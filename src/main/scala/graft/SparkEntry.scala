@@ -1,13 +1,229 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.fixtures.TpchGeo
+import graft.fixtures.TpchGeo.{grid, domain, zres}
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-equivalent oracle in `oracleSql`.
+  *
+  * Oracle-parity design: all geospatial layers are derived arithmetically
+  * from the TPC-H tables on an integer lattice with power-of-two weight
+  * denominators (see TpchGeo), so both engines produce bit-identical
+  * doubles — no tolerance needed for the hash compare. The Spark side runs
+  * the REAL engine operators (cell-cover joins, ray-cast PIP, clipping);
+  * the oracle is closed-form SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: point surrogate (pages→county/cell ratio table) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_srg_point")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scan/agg sanity (classic TPC-H-style shape)
+    "q01_lineitem_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // --- batched cell-encode / geotag stage (closed-form grid math)
+    "q02_geotag_cells" -> ((s, dir) => {
+      import graft.spark.GeoFunctions._
+      TpchGeo.points(s, dir)
+        .withColumn("col", gridCol(col("x"), grid))
+        .withColumn("row", gridRow(col("y"), grid))
+        .groupBy("col", "row").agg(count(lit(1)).as("n"))
+        .orderBy("row", "col")
+    }),
+
+    // --- srgcreate: point weights, count mode (sumpoly.c:224-228)
+    "q03_srg_point" -> ((s, dir) =>
+      Surrogate.pointSurrogate(TpchGeo.points(s, dir), TpchGeo.counties(s),
+        grid, domain, zres, srgCode = 100)),
+
+    // --- srgcreate: polygon weights, attribute mode (population analogue)
+    "q04_srg_area" -> ((s, dir) =>
+      Surrogate.polySurrogate(TpchGeo.tracts(s, dir), TpchGeo.counties(s),
+        grid, domain, zres, srgCode = 120, weight = Some("p_size"))),
+
+    // --- srgcreate: line weights, length mode (road miles analogue)
+    "q05_srg_line" -> ((s, dir) =>
+      Surrogate.lineSurrogate(TpchGeo.roads(s, dir), TpchGeo.counties(s),
+        grid, domain, zres, srgCode = 240)),
+
+    // --- allocate: Aggregate mode (allocate.c:212, sum1Poly)
+    "q06_allocate_agg" -> ((s, dir) =>
+      Allocate.allocate(TpchGeo.tracts(s, dir),
+          TpchGeo.counties(s).withColumnRenamed("fips", "out_id"),
+          Seq("p_size" -> Allocate.Aggregate), domain, zres)
+        .withColumnRenamed("out_id", "fips")
+        .withColumnRenamed("p_size", "p_size_alloc")
+        .orderBy("fips")),
+
+    // --- allocate: Average mode (avg1Poly density semantics)
+    "q07_allocate_avg" -> ((s, dir) =>
+      Allocate.allocate(TpchGeo.tracts(s, dir),
+          TpchGeo.counties(s).withColumnRenamed("fips", "out_id"),
+          Seq("p_size" -> Allocate.Average), domain, zres)
+        .withColumnRenamed("out_id", "fips")
+        .withColumnRenamed("p_size", "p_size_density")
+        .orderBy("fips")),
+
+    // --- OVERLAY mode: semi-join against a 2-polygon mask (overlay.c:21)
+    "q08_overlay" -> ((s, dir) => {
+      import s.implicits._
+      val mask = Seq(
+        Seq(Seq(500.0, 500, 2500, 500, 2500, 2500, 500, 2500)),
+        Seq(Seq(5000.0, 1000, 7000, 1000, 7000, 3000, 5000, 3000))
+      ).toDF("geom")
+      SpatialJoin.overlayPoints(TpchGeo.points(s, dir), mask, domain, zres)
+        .orderBy("o_orderkey")
+    }),
+
+    // --- FILTER_SHAPE: glob include/exclude + continuous range
+    "q09_filter" -> ((s, dir) =>
+      Filters.filterSpec(s.read.parquet(s"$dir/part.parquet"),
+        Seq(
+          Filters.AttrCond("p_brand", discrete = true,
+            include = Seq("Brand#3*"), exclude = Seq("Brand#33")),
+          Filters.AttrCond("p_size", discrete = false, include = Seq("10-40"))))
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_partkey")),
+
+    // --- kNN: k-ring expansion (replaces ANN kd-tree)
+    "q10_knn" -> ((s, dir) =>
+      Knn.knnJoin(TpchGeo.knnQueries(s, dir), TpchGeo.knnSites(s, dir),
+          k = 5, domain, zres)
+        .orderBy("qid", "rank"))
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private def srgSelect(code: Int): String =
+    s"""SELECT CAST($code AS INT) AS srg_code, fips, col, "row",
+       |  numer/denom AS frac, numer, denom,
+       |  sum(numer/denom) OVER (PARTITION BY fips ORDER BY "row", col) AS qasum
+       |FROM num JOIN den USING (fips)
+       |WHERE denom >= 0.00001 AND numer <> 0
+       |ORDER BY fips, "row", col""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_geotag_cells" ->
+      s"""WITH pts AS (${TpchGeo.pointsSql})
+         |SELECT CAST(floor(x/1000.0) AS INT)+1 AS col,
+         |  CAST(floor(y/1000.0) AS INT)+1 AS "row", count(*) AS n
+         |FROM pts GROUP BY 1, 2 ORDER BY "row", col""".stripMargin,
+
+    "q03_srg_point" ->
+      s"""WITH pts AS (${TpchGeo.pointsSql}),
+         |tagged AS (SELECT ${TpchGeo.fipsOfSql("x", "y")} AS fips,
+         |  CAST(floor(x/1000.0) AS INT)+1 AS col,
+         |  CAST(floor(y/1000.0) AS INT)+1 AS "row" FROM pts),
+         |num AS (SELECT fips, col, "row", CAST(count(*) AS DOUBLE) AS numer
+         |        FROM tagged GROUP BY 1, 2, 3),
+         |den AS (SELECT fips, CAST(count(*) AS DOUBLE) AS denom
+         |        FROM tagged GROUP BY 1)
+         |${srgSelect(100)}""".stripMargin,
+
+    "q04_srg_area" ->
+      s"""WITH tr AS (${TpchGeo.tractsSql}),
+         |cn AS (${TpchGeo.countiesSql}),
+         |cl AS (${TpchGeo.cellsSql}),
+         |fr AS (
+         |  SELECT fips, p_size, tx0, ty0, cx0, cy0,
+         |    greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
+         |    greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) AS fa
+         |  FROM tr CROSS JOIN cn
+         |  WHERE greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
+         |        greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) > 0),
+         |den AS (SELECT fips, sum(p_size * (fa / 262144.0)) AS denom
+         |        FROM fr GROUP BY 1),
+         |cf AS (
+         |  SELECT fips, col, "row", p_size,
+         |    greatest(0, least(tx0+512, cx0+2000, gx0+1000) - greatest(tx0, cx0, gx0)) *
+         |    greatest(0, least(ty0+512, cy0+2000, gy0+1000) - greatest(ty0, cy0, gy0)) AS ca
+         |  FROM fr CROSS JOIN cl),
+         |num AS (SELECT fips, col, "row", sum(p_size * (ca / 262144.0)) AS numer
+         |        FROM cf WHERE ca > 0 GROUP BY 1, 2, 3)
+         |${srgSelect(120)}""".stripMargin,
+
+    "q05_srg_line" ->
+      s"""WITH rd AS (${TpchGeo.roadsSql}),
+         |cn AS (${TpchGeo.countiesSql}),
+         |cl AS (${TpchGeo.cellsSql}),
+         |fr AS (
+         |  SELECT fips, s_suppkey, x1, x2, y, cx0, cy0,
+         |    greatest(0, least(x2, cx0+2000) - greatest(x1, cx0)) AS flen
+         |  FROM rd JOIN cn ON y > cy0 AND y < cy0+2000
+         |  WHERE greatest(0, least(x2, cx0+2000) - greatest(x1, cx0)) > 0),
+         |den AS (SELECT fips, sum(flen) AS denom FROM fr GROUP BY 1),
+         |cf AS (
+         |  SELECT fips, col, "row",
+         |    greatest(0, least(x2, cx0+2000, gx0+1000) - greatest(x1, cx0, gx0)) AS clen
+         |  FROM fr JOIN cl ON y > gy0 AND y < gy0+1000),
+         |num AS (SELECT fips, col, "row", sum(clen) AS numer
+         |        FROM cf WHERE clen > 0 GROUP BY 1, 2, 3)
+         |${srgSelect(240)}""".stripMargin,
+
+    "q06_allocate_agg" ->
+      s"""WITH tr AS (${TpchGeo.tractsSql}),
+         |cn AS (${TpchGeo.countiesSql}),
+         |fr AS (
+         |  SELECT fips, p_size,
+         |    greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
+         |    greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) AS fa
+         |  FROM tr CROSS JOIN cn)
+         |SELECT fips, sum(p_size * (fa / 262144.0)) AS p_size_alloc
+         |FROM fr WHERE fa > 0 GROUP BY fips ORDER BY fips""".stripMargin,
+
+    "q07_allocate_avg" ->
+      s"""WITH tr AS (${TpchGeo.tractsSql}),
+         |cn AS (${TpchGeo.countiesSql}),
+         |fr AS (
+         |  SELECT fips, p_size,
+         |    greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
+         |    greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) AS fa
+         |  FROM tr CROSS JOIN cn)
+         |SELECT fips, sum(p_size * (fa / 262144.0)) / 4000000.0 AS p_size_density
+         |FROM fr WHERE fa > 0 GROUP BY fips ORDER BY fips""".stripMargin,
+
+    "q08_overlay" ->
+      s"""WITH pts AS (${TpchGeo.pointsSql})
+         |SELECT o_orderkey, x, y FROM pts
+         |WHERE (x > 500 AND x < 2500 AND y > 500 AND y < 2500)
+         |   OR (x > 5000 AND x < 7000 AND y > 1000 AND y < 3000)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q09_filter" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE p_brand LIKE 'Brand#3%' AND p_brand <> 'Brand#33'
+        |  AND p_size BETWEEN 10 AND 40
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q10_knn" ->
+      """WITH q AS (SELECT c_custkey AS qid,
+        |    CAST((c_custkey*32717) % 8000 AS DOUBLE) AS x,
+        |    CAST((c_custkey*11261) % 8000 AS DOUBLE) AS y
+        |  FROM customer WHERE c_custkey <= 20),
+        |s AS (SELECT s_suppkey AS sid,
+        |    CAST((s_suppkey*27179) % 8000 AS DOUBLE) AS sx,
+        |    CAST((s_suppkey*15101) % 8000 AS DOUBLE) AS sy
+        |  FROM supplier),
+        |d AS (SELECT qid, sid, (x-sx)*(x-sx)+(y-sy)*(y-sy) AS dist2
+        |      FROM q CROSS JOIN s),
+        |r AS (SELECT qid, sid, dist2,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist2, sid) AS INT) AS "rank"
+        |  FROM d)
+        |SELECT qid, sid, dist2, "rank" FROM r WHERE "rank" <= 5
+        |ORDER BY qid, "rank"""".stripMargin
+  )
 }

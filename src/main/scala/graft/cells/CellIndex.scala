@@ -85,8 +85,13 @@ object CellIndex {
     * stays small relative to row width (a polygon covering k cells produces
     * k join rows). */
   def coverCells(b: BBox, d: CellDomain, res: Int): IndexedSeq[Long] = {
+    // max side is exclusive (a bbox ending exactly on a lattice line does not
+    // spill into the next cell) — but degenerate zero-extent sides must still
+    // cover their own cell, so only step down when the side has extent
+    val xhi = if (b.xmax > b.xmin) math.nextDown(b.xmax) else b.xmax
+    val yhi = if (b.ymax > b.ymin) math.nextDown(b.ymax) else b.ymax
     val (ix0, iy0) = latticeCoords(b.xmin, b.ymin, d, res)
-    val (ix1, iy1) = latticeCoords(math.nextDown(b.xmax), math.nextDown(b.ymax), d, res)
+    val (ix1, iy1) = latticeCoords(xhi, yhi, d, res)
     for {
       iy <- iy0 to iy1
       ix <- ix0 to ix1

@@ -105,17 +105,34 @@ object Clip {
     Array(t0, t1)
   }
 
-  /** Length of polyline ∩ rect (sum over segments). */
+  /** Length of polyline ∩ rect (sum over segments). Axis-aligned segments
+    * take an exact min/max path — no parametric rounding — so grid-aligned
+    * infrastructure (common in practice, and our integer-lattice oracle
+    * fixtures) accumulates bit-exact lengths. */
   def lineRectClipLength(line: Array[Double], r: BBox): Double = {
     var s = 0.0
     var i = 0
     while (i < line.length - 3) {
       val x1 = line(i); val y1 = line(i + 1)
       val x2 = line(i + 2); val y2 = line(i + 3)
-      val ts = clipSegRectParams(x1, y1, x2, y2, r)
-      if (ts != null) {
-        val dx = x2 - x1; val dy = y2 - y1
-        s += (ts(1) - ts(0)) * math.sqrt(dx * dx + dy * dy)
+      if (y1 == y2) {
+        if (y1 >= r.ymin && y1 <= r.ymax) {
+          val lo = math.max(math.min(x1, x2), r.xmin)
+          val hi = math.min(math.max(x1, x2), r.xmax)
+          if (hi > lo) s += hi - lo
+        }
+      } else if (x1 == x2) {
+        if (x1 >= r.xmin && x1 <= r.xmax) {
+          val lo = math.max(math.min(y1, y2), r.ymin)
+          val hi = math.min(math.max(y1, y2), r.ymax)
+          if (hi > lo) s += hi - lo
+        }
+      } else {
+        val ts = clipSegRectParams(x1, y1, x2, y2, r)
+        if (ts != null) {
+          val dx = x2 - x1; val dy = y2 - y1
+          s += (ts(1) - ts(0)) * math.sqrt(dx * dx + dy * dy)
+        }
       }
       i += 2
     }
@@ -209,6 +226,107 @@ object Clip {
     if (jb.covers(ja)) ja.getArea
     else if (ja.covers(jb)) jb.getArea
     else ja.intersection(jb).getArea
+  }
+
+  /** A ∩ B as ring arrays (multipolygon flattened: each outer ring CCW
+    * followed by its holes CW — compatible with Geo.polygonArea /
+    * pointInPolygon parity semantics). Empty when disjoint. */
+  def polyPolyClip(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
+    val ba = Geo.bboxOfPolygon(a); val bb = Geo.bboxOfPolygon(b)
+    if (!ba.intersects(bb)) return Array.empty
+    val ja = toJts(a); val jb = toJts(b)
+    val res = if (jb.covers(ja)) ja else if (ja.covers(jb)) jb else ja.intersection(jb)
+    fromJts(res)
+  }
+
+  /** JTS geometry → flat ring arrays; non-polygonal pieces (lines/points
+    * from degenerate touches) are dropped, matching the reference which only
+    * keeps area-bearing fragments for polygon joins. */
+  def fromJts(g: JtsGeom): Array[Array[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    def ringToFlat(r: org.locationtech.jts.geom.LineString, wantCcw: Boolean): Array[Double] = {
+      val cs = r.getCoordinates
+      // drop the closing duplicate
+      val n = cs.length - 1
+      val flat = new Array[Double](2 * n)
+      var i = 0
+      while (i < n) { flat(2 * i) = cs(i).x; flat(2 * i + 1) = cs(i).y; i += 1 }
+      val ccw = Geo.signedArea(flat) > 0
+      if (ccw == wantCcw) flat
+      else { // reverse vertex order
+        val rev = new Array[Double](2 * n)
+        var j = 0
+        while (j < n) {
+          rev(2 * j) = flat(2 * (n - 1 - j)); rev(2 * j + 1) = flat(2 * (n - 1 - j) + 1)
+          j += 1
+        }
+        rev
+      }
+    }
+    def addPoly(p: JtsPolygon): Unit = {
+      out += ringToFlat(p.getExteriorRing, wantCcw = true)
+      var i = 0
+      while (i < p.getNumInteriorRing) {
+        out += ringToFlat(p.getInteriorRingN(i), wantCcw = false)
+        i += 1
+      }
+    }
+    g match {
+      case p: JtsPolygon => if (!p.isEmpty) addPoly(p)
+      case mp: org.locationtech.jts.geom.GeometryCollection =>
+        var i = 0
+        while (i < mp.getNumGeometries) {
+          mp.getGeometryN(i) match {
+            case p: JtsPolygon if !p.isEmpty => addPoly(p)
+            case _ =>
+          }
+          i += 1
+        }
+      case _ =>
+    }
+    out.toArray
+  }
+
+  /** Polyline ∩ polygon as the list of inside sub-segments, flattened to
+    * one polyline-piece array per span (intersect.c:274-512 emits inside
+    * sub-segments the same way). */
+  def linePolyClipSegments(line: Array[Double], rings: Array[Array[Double]]): Array[Array[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var i = 0
+    while (i < line.length - 3) {
+      val x1 = line(i); val y1 = line(i + 1)
+      val x2 = line(i + 2); val y2 = line(i + 3)
+      val dx = x2 - x1; val dy = y2 - y1
+      val len = math.sqrt(dx * dx + dy * dy)
+      if (len > 0) {
+        val ts = scala.collection.mutable.ArrayBuffer[Double](0.0, 1.0)
+        var ri = 0
+        while (ri < rings.length) {
+          val ring = rings(ri); val n = ring.length / 2
+          var e = 0
+          while (e < n) {
+            val j = (e + 1) % n
+            Geo.segSegInt(x1, y1, x2, y2, ring(2 * e), ring(2 * e + 1),
+                          ring(2 * j), ring(2 * j + 1)).foreach { case (t, _, _, _) => ts += t }
+            e += 1
+          }
+          ri += 1
+        }
+        val sorted = ts.distinct.sorted
+        var k = 0
+        while (k < sorted.length - 1) {
+          val a = sorted(k); val b = sorted(k + 1)
+          if (b > a) {
+            val mx = x1 + (a + b) / 2 * dx; val my = y1 + (a + b) / 2 * dy
+            if (Geo.pointInPolygon(mx, my, rings) == Geo.IN)
+              out += Array(x1 + a * dx, y1 + a * dy, x1 + b * dx, y1 + b * dy)
+          }
+          k += 1
+        }
+      }
+      i += 2
+    }
+    out.toArray
   }
 
   /** Geometric union of many polygons (the OVERLAY ShapeFile mask path,

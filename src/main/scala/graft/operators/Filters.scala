@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Attribute filtering — the reference's filter-file semantics
+  * (parseWeightAttributes.c:141, parse_include_exclude.c:105-515; docs
+  * SA_ch03_vector.md:1004-1055):
+  *
+  *   - ATTRIBUTE_TYPE=DISCRETE: INCLUDE_VALUES / EXCLUDE_VALUES comma lists
+  *     with grep-style globs (`C*`, `[A-K]*`, `25??`)
+  *   - ATTRIBUTE_TYPE=CONTINUOUS: numeric ranges `100-200`, relational
+  *     `<`, `<=`, `>`, `>=` (bounds ±1E20), one relation per attribute
+  *   - include and exclude accumulate with AND across attributes
+  *
+  * Catalyst handles evaluation (`rlike`, `between`, plain comparisons) —
+  * pushdown-friendly, codegen'd, no UDF.
+  */
+object Filters {
+
+  /** glob → anchored Java regex: `*`→`.*`, `?`→`.`, `[...]` passes through,
+    * everything else is quoted (parse_include_exclude.c:352-515 uses POSIX
+    * regex compiled from the same translation). */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val close = glob.indexOf(']', i + 1)
+          if (close < 0) { sb.append("\\["); }
+          else { sb.append(glob.substring(i, close + 1)); i = close }
+        case c if "\\.^$+{}()|".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
+  /** Discrete include: value matches ANY of the patterns (exact values are
+    * globs without metacharacters). */
+  def discreteInclude(c: Column, patterns: Seq[String]): Column =
+    patterns.map(p => c.rlike(globToRegex(p))).reduce(_ || _)
+
+  def discreteExclude(c: Column, patterns: Seq[String]): Column =
+    !discreteInclude(c, patterns)
+
+  /** One continuous range term: "100-200" (inclusive), "<5", "<=5", ">5",
+    * ">=5", or a bare number (equality). */
+  def continuousTerm(c: Column, term: String): Column = {
+    val t = term.trim
+    if (t.startsWith("<=")) c <= t.drop(2).trim.toDouble
+    else if (t.startsWith(">=")) c >= t.drop(2).trim.toDouble
+    else if (t.startsWith("<")) c < t.drop(1).trim.toDouble
+    else if (t.startsWith(">")) c > t.drop(1).trim.toDouble
+    else {
+      // `a-b` range; careful with leading minus of a negative number
+      val dash = t.indexOf('-', 1)
+      if (dash > 0) {
+        val lo = t.substring(0, dash).trim.toDouble
+        val hi = t.substring(dash + 1).trim.toDouble
+        c.between(lo, hi)
+      } else c === t.toDouble
+    }
+  }
+
+  def continuousInclude(c: Column, terms: Seq[String]): Column =
+    terms.map(continuousTerm(c, _)).reduce(_ || _)
+
+  /** A full filter spec: per-attribute include/exclude lists ANDed together
+    * (cumulative across attributes, parse_include_exclude semantics). */
+  final case class AttrCond(attr: String, discrete: Boolean,
+                            include: Seq[String] = Nil, exclude: Seq[String] = Nil)
+
+  def filterSpec(df: DataFrame, conds: Seq[AttrCond]): DataFrame = {
+    val pred = conds.flatMap { ac =>
+      val c = col(ac.attr)
+      val inc =
+        if (ac.include.isEmpty) None
+        else Some(if (ac.discrete) discreteInclude(c.cast("string"), ac.include)
+                  else continuousInclude(c.cast("double"), ac.include))
+      val exc =
+        if (ac.exclude.isEmpty) None
+        else Some(if (ac.discrete) discreteExclude(c.cast("string"), ac.exclude)
+                  else !continuousInclude(c.cast("double"), ac.exclude))
+      inc.toSeq ++ exc.toSeq
+    }
+    if (pred.isEmpty) df else df.where(pred.reduce(_ && _))
+  }
+
+  /** Weight-function expressions (`0.75*urban+0.25*rural`): the reference
+    * built an infix→postfix evaluator (postfix.c:24, eval.c:270-480); Spark's
+    * SQL parser subsumes it. We validate the reference's operator subset
+    * (+ - * / parentheses, numeric literals, identifiers — no pow/unary
+    * minus, SA_ch03_vector.md:597-617) then hand the string to expr(). */
+  def weightFunction(df: DataFrame, exprStr: String, as: String): DataFrame = {
+    require(exprStr.matches("[A-Za-z0-9_+\\-*/(). ]+"),
+      s"weight function restricted to + - * / ( ) identifiers: $exprStr")
+    require(!exprStr.matches(".*(^|[^A-Za-z0-9_])-.*") || !exprStr.trim.startsWith("-"),
+      s"unary minus not supported by reference weight functions: $exprStr")
+    df.withColumn(as, expr(exprStr).cast("double"))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.cells.CellDomain
+import graft.grid.GridSpec
+import graft.spark.GeoFunctions._
+
+/** The flagship srgcreate pipeline (srg_main.c:35, reportSurrogate
+  * surrogate.c:30-563), re-expressed as declarative DataFrame algebra —
+  * the same relational shape as the reference's own PG formulation
+  * (pg_srgtools/pgscripts/template_polygon_noFF_withWA.csh:95-152):
+  *
+  *   numer(fips,col,row) = Σ contribution over W∩D∩G fragments
+  *   denom(fips)         = Σ contribution over W∩D fragments
+  *   frac                = numer/denom      [skip when denom < threshold]
+  *   qasum               = running Σ frac per county in (row,col) order
+  *
+  * contribution per weight type (sumpoly.c:53-266):
+  *   point:   val                  (1 in count mode)
+  *   line:    val·len(frag)/len(parent_line)   (len(frag) in length mode)
+  *   polygon: val·area(frag)/area(parent_poly) (area(frag) in area mode)
+  * ratio is always vs the ORIGINAL weight feature (sumpoly.c:667,672).
+  *
+  * Scale notes: numerator/denominator are hash aggregations with map-side
+  * partial combine (sparse by construction — the reference needed a custom
+  * sparse struct, sumpoly.c:283-334; Spark gets it free). The county
+  * dimension joins broadcast. The grid never materializes: cells are
+  * closed-form column arithmetic for points, bbox-cover explode for
+  * fragments. Denominators re-join numerators broadcast (one row per
+  * county). The only wide exchanges are the two groupBys, both keyed
+  * (fips[,cell]) — minimal for the semantics.
+  */
+object Surrogate {
+
+  val OUT_COLS: Seq[String] =
+    Seq("srg_code", "fips", "col", "row", "frac", "numer", "denom", "qasum")
+
+  /** Shared tail: numerators ⋈ denominators → frac, threshold skip, qasum.
+    * numer: (fips, col, row, numer); denom: (fips, denom). */
+  def ratio(numer: DataFrame, denom: DataFrame, srgCode: Int,
+            denomThreshold: Double = 1e-5): DataFrame = {
+    val joined = numer.join(broadcast(denom), "fips")
+      // #SKIPPED path: denom below threshold never emits rows
+      // (surrogate.c:72,434-452); zero-numerator rows are skipped too
+      // (PG: WHERE numer != 0 AND denom != 0)
+      .where(col("denom") >= denomThreshold && col("numer") =!= 0.0)
+      .withColumn("frac", col("numer") / col("denom"))
+    val w = Window.partitionBy("fips").orderBy("row", "col")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("qasum", sum("frac").over(w))
+      .withColumn("srg_code", lit(srgCode))
+      .select(OUT_COLS.map(col): _*)
+      .orderBy("fips", "row", "col")
+  }
+
+  /** Point-weight surrogate (pages/ports): count mode when weight is None.
+    * points must carry x, y; counties carry fips + geom. */
+  def pointSurrogate(points: DataFrame, counties: DataFrame,
+                     grid: GridSpec, domain: CellDomain, res: Int,
+                     srgCode: Int, weight: Option[String] = None,
+                     denomThreshold: Double = 1e-5,
+                     saltFactor: Int = 1): DataFrame = {
+    val w = weight.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val tagged = SpatialJoin.pointInPoly(points, counties, domain, res,
+        saltFactor = saltFactor)
+      // zero-weight features skip all geometry math (sumpoly.c:189,206)
+      .where(w =!= 0.0)
+      .select(col("fips"), col("x"), col("y"), w.as("__w"))
+    // denominator: every point in its county, whether or not on the grid
+    // (sum1Poly runs over W∩D, windowed to the counties' bbox not the
+    // grid's — srg_main.c:227-230)
+    val denom = tagged.groupBy("fips").agg(sum("__w").as("denom"))
+    val numer = tagged
+      .withColumn("col", gridCol(col("x"), grid))
+      .withColumn("row", gridRow(col("y"), grid))
+      .where(inGrid(col("col"), col("row"), grid))
+      .groupBy("fips", "col", "row").agg(sum("__w").as("numer"))
+    ratio(numer, denom, srgCode, denomThreshold)
+  }
+
+  /** Polygon-weight surrogate (census tracts): area mode when weight None.
+    * weights: (geom, [weight]); counties: (fips, bgeom as `geom`). */
+  def polySurrogate(weights: DataFrame, counties: DataFrame,
+                    grid: GridSpec, domain: CellDomain, res: Int,
+                    srgCode: Int, weight: Option[String] = None,
+                    denomThreshold: Double = 1e-5): DataFrame = {
+    val wexpr = weight.map(col(_).cast("double")).getOrElse(lit(0.0))
+    val wts = weights
+      .where(weight.map(c => col(c).cast("double") =!= 0.0).getOrElse(lit(true)))
+      .withColumn("__warea", polygonAreaUdf(col("geom")))
+      .where(col("__warea") > 0)
+      .withColumn("__wval", wexpr)
+    // Join #1: W ⋈ D with clipped fragments (polyIsect, srg_main.c:287)
+    val frags = SpatialJoin.polyPolyFragments(
+      wts, counties.withColumnRenamed("geom", "bgeom"), domain, res)
+    // contribution vs ORIGINAL weight area (sumpoly.c:667,672); area mode
+    // uses the fragment area itself (sumpoly.c:224-247)
+    val denomContrib = weight
+      .map(_ => col("__wval") * (col("frag_area") / col("__warea")))
+      .getOrElse(col("frag_area"))
+    val denom = frags.groupBy("fips").agg(sum(denomContrib).as("denom"))
+    // Join #2: (W∩D) ⋈ G — closed-form cell cover of each fragment, then
+    // exact rect clip per cell (the grid side never materializes)
+    val cellFrags = frags
+      .withColumn("__cellid", explode(polyGridCoverCells(col("frag_geom"), grid)))
+      .withColumn("__carea",
+        polyCellClipArea(col("frag_geom"), col("__cellid"), grid))
+      .where(col("__carea") > 0)
+    val numContrib = weight
+      .map(_ => col("__wval") * (col("__carea") / col("__warea")))
+      .getOrElse(col("__carea"))
+    val numer = cellFrags
+      .withColumn("col", (col("__cellid") % grid.ncols).cast("int") + 1)
+      .withColumn("row", (col("__cellid") / grid.ncols).cast("int") + 1)
+      .groupBy("fips", "col", "row").agg(sum(numContrib).as("numer"))
+    ratio(numer, denom, srgCode, denomThreshold)
+  }
+
+  /** Line-weight surrogate (roads): length mode when weight None.
+    * lines: (line, [weight]); counties: (fips, geom). */
+  def lineSurrogate(lines: DataFrame, counties: DataFrame,
+                    grid: GridSpec, domain: CellDomain, res: Int,
+                    srgCode: Int, weight: Option[String] = None,
+                    denomThreshold: Double = 1e-5): DataFrame = {
+    val lns = lines
+      .where(weight.map(c => col(c).cast("double") =!= 0.0).getOrElse(lit(true)))
+      .withColumn("__wlen", lineLengthUdf(col("line")))
+      .where(col("__wlen") > 0)
+      .withColumn("__wval",
+        weight.map(col(_).cast("double")).getOrElse(lit(0.0)))
+    val frags = SpatialJoin.linePolyFragments(lns, counties, domain, res)
+    val denomContrib = weight
+      .map(_ => col("__wval") * (col("frag_len") / col("__wlen")))
+      .getOrElse(col("frag_len"))
+    val denom = frags.groupBy("fips").agg(sum(denomContrib).as("denom"))
+    // per clipped piece × cell: Liang–Barsky length inside the cell
+    val pieces = frags.withColumn("__piece", explode(col("frag_line")))
+    val cellPieces = pieces
+      .withColumn("__cellid", explode(lineGridCoverCells(col("__piece"), grid)))
+      .withColumn("__clen", lineCellClipLength(col("__piece"), col("__cellid"), grid))
+      .where(col("__clen") > 0)
+    val numContrib = weight
+      .map(_ => col("__wval") * (col("__clen") / col("__wlen")))
+      .getOrElse(col("__clen"))
+    val numer = cellPieces
+      .withColumn("col", (col("__cellid") % grid.ncols).cast("int") + 1)
+      .withColumn("row", (col("__cellid") / grid.ncols).cast("int") + 1)
+      .groupBy("fips", "col", "row").agg(sum(numContrib).as("numer"))
+    ratio(numer, denom, srgCode, denomThreshold)
+  }
+}

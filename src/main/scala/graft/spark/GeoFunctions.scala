@@ -1,0 +1,144 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.geom.{Geo, Clip}
+import graft.cells.{CellDomain, CellIndex}
+import graft.grid.GridSpec
+
+/** Column-level geometry functions.
+  *
+  * Two tiers, chosen deliberately for scale:
+  *   - regular-grid math (point→col/row/cell, in-grid tests) is PURE COLUMN
+  *     ARITHMETIC (`floor`, `cast`, `pmod`) — whole-stage-codegen'd, no UDF,
+  *     no grid table materialized, mirroring the closed-form id math of the
+  *     reference (surrogate.c:425-431, regularGridReader.c:191-296);
+  *   - exact geometry kernels (PIP, clip areas/lengths, cell cover) are Scala
+  *     UDFs over flat ring arrays (array<array<double>>). These sit AFTER the
+  *     cell-cover equi-join prefilter, so they run on candidate pairs only.
+  */
+object GeoFunctions {
+
+  // --------------------------------------------- regular grid, closed form
+
+  /** 1-based grid column of x; values outside [1,ncols] mean off-grid. */
+  def gridCol(x: Column, g: GridSpec): Column =
+    (floor((x - g.xorig) / g.xcell).cast("int") + 1).as("col")
+
+  def gridRow(y: Column, g: GridSpec): Column =
+    (floor((y - g.yorig) / g.ycell).cast("int") + 1).as("row")
+
+  def inGrid(c: Column, r: Column, g: GridSpec): Column =
+    c.between(1, g.ncols) && r.between(1, g.nrows)
+
+  /** 0-based dense cell id (row-1)*ncols+(col-1). */
+  def gridCellId(c: Column, r: Column, g: GridSpec): Column =
+    (r.cast("long") - 1) * g.ncols + (c.cast("long") - 1)
+
+  // --------------------------------------------- hierarchical cell index
+
+  /** Point → Z-order cell id at resolution res (batched cell-encode stage). */
+  def cellEncode(x: Column, y: Column, d: CellDomain, res: Int): Column = {
+    val f = udf((px: Double, py: Double) => CellIndex.encode(px, py, d, res))
+    f(x, y)
+  }
+
+  /** Geometry (polygon rings) → covering Z-cells; explode() this to build
+    * the equi-join key (the scalable replacement for OVERLAP2 bbox loops). */
+  def polyCoverCells(geom: Column, d: CellDomain, res: Int): Column = {
+    val f = udf((rings: Seq[Seq[Double]]) =>
+      CellIndex.coverCells(Geo.bboxOfPolygon(rings.map(_.toArray).toArray), d, res))
+    f(geom)
+  }
+
+  def lineCoverCells(line: Column, d: CellDomain, res: Int): Column = {
+    val f = udf((l: Seq[Double]) =>
+      CellIndex.coverCells(Geo.bboxOfRing(l.toArray), d, res))
+    f(line)
+  }
+
+  // --------------------------------------------- exact kernels (UDF tier)
+
+  /** Reference-semantics point-in-polygon (EDGE in, VTX excluded, hole
+    * parity; inpoly.c / sumpoly.c:184-187). */
+  val pipStatus = udf((px: Double, py: Double, rings: Seq[Seq[Double]]) =>
+    Geo.pointInPolygon(px, py, rings.map(_.toArray).toArray))
+
+  def containsPoint(x: Column, y: Column, geom: Column): Column =
+    pipStatus(x, y, geom) === Geo.IN
+
+  val polygonAreaUdf = udf((rings: Seq[Seq[Double]]) =>
+    Geo.polygonArea(rings.map(_.toArray).toArray))
+
+  val lineLengthUdf = udf((l: Seq[Double]) => Geo.lineLength(l.toArray))
+
+  val centroidUdf = udf((rings: Seq[Seq[Double]]) => {
+    val (cx, cy) = Geo.vertexMeanCentroid(rings.map(_.toArray).toArray)
+    Array(cx, cy)
+  })
+
+  /** Area of polygon ∩ polygon (JTS-backed, covered-by shortcut). */
+  val polyClipAreaUdf = udf((a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =>
+    Clip.polyPolyClipArea(a.map(_.toArray).toArray, b.map(_.toArray).toArray))
+
+  /** Clipped geometry of polygon ∩ polygon as rings (for fragment rows). */
+  val polyClipGeomUdf = udf((a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =>
+    Clip.polyPolyClip(a.map(_.toArray).toArray, b.map(_.toArray).toArray))
+
+  /** Area of polygon ∩ one grid cell (rect fast path, exact). */
+  def polyCellClipArea(geom: Column, cellId: Column, g: GridSpec): Column = {
+    val f = udf((rings: Seq[Seq[Double]], id: Long) =>
+      Clip.polygonRectClipArea(rings.map(_.toArray).toArray, g.cellBBox(id)))
+    f(geom, cellId)
+  }
+
+  /** Grid cells covered by a polygon's bbox (closed-form; explode for the
+    * fragment×cell stage — the reference's fillPolyIntInfo candidate
+    * enumeration, sumpoly.c:385-423). */
+  def polyGridCoverCells(geom: Column, g: GridSpec): Column = {
+    val f = udf((rings: Seq[Seq[Double]]) =>
+      g.coverCells(Geo.bboxOfPolygon(rings.map(_.toArray).toArray)))
+    f(geom)
+  }
+
+  def lineGridCoverCells(line: Column, g: GridSpec): Column = {
+    val f = udf((l: Seq[Double]) => g.coverCells(Geo.bboxOfRing(l.toArray)))
+    f(line)
+  }
+
+  /** Length of polyline ∩ polygon (reference line_clip algorithm). */
+  val linePolyClipLenUdf = udf((l: Seq[Double], rings: Seq[Seq[Double]]) =>
+    Clip.linePolyClipLength(l.toArray, rings.map(_.toArray).toArray))
+
+  /** Polyline ∩ polygon as clipped sub-segments (flat polyline pieces). */
+  val linePolyClipSegsUdf = udf((l: Seq[Double], rings: Seq[Seq[Double]]) =>
+    Clip.linePolyClipSegments(l.toArray, rings.map(_.toArray).toArray))
+
+  /** Length of polyline ∩ one grid cell (Liang–Barsky fast path). */
+  def lineCellClipLength(line: Column, cellId: Column, g: GridSpec): Column = {
+    val f = udf((l: Seq[Double], id: Long) =>
+      Clip.lineRectClipLength(l.toArray, g.cellBBox(id)))
+    f(line, cellId)
+  }
+
+  /** bbox struct column of a polygon (for reference-point dedup + pruning). */
+  val polyBBoxUdf = udf((rings: Seq[Seq[Double]]) => {
+    val b = Geo.bboxOfPolygon(rings.map(_.toArray).toArray)
+    Array(b.xmin, b.ymin, b.xmax, b.ymax)
+  })
+
+  /** Reference-point pair dedup for cell-cover joins: true only in the one
+    * canonical cell containing (max(xmins), max(ymins)) of the two bboxes —
+    * each intersecting pair is kept exactly once with NO dropDuplicates
+    * shuffle (standard PBSM/reference-point technique). */
+  def isCanonicalCell(aGeom: Column, bGeom: Column, cell: Column,
+                      d: CellDomain, res: Int): Column = {
+    val f = udf((a: Seq[Seq[Double]], b: Seq[Seq[Double]], c: Long) => {
+      val ba = Geo.bboxOfPolygon(a.map(_.toArray).toArray)
+      val bb = Geo.bboxOfPolygon(b.map(_.toArray).toArray)
+      CellIndex.encode(math.max(ba.xmin, bb.xmin), math.max(ba.ymin, bb.ymin),
+                       d, res) == c
+    })
+    f(aGeom, bGeom, cell)
+  }
+}
