@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fixtures.TextFixtures
+import graft.text.TextOps
+import graft.ml.Similarity
+import graft.multimodal.MultimodalOps
+
+/** Training-data pipeline queries: dedup, text analysis, similarity search,
+  * multimodal plumbing, event windows — over `documents`/`embeddings`/
+  * `events`. Oracle parity per the integer-count / identical-expression-tree
+  * discipline (see SparkEntry). */
+object EntryText {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup groups over a corpus with engineered duplicates
+    "q11_dedup_exact" -> ((s, dir) =>
+      TextOps.exactDedupGroups(TextFixtures.dupCorpus(s, dir), "doc_id", "text")
+        .orderBy("rep_id")),
+
+    // token counting + quality scoring (integer counts → exact ratios)
+    "q12_token_quality" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.stopwordCount(col("text"), TextFixtures.qualityStopwords).as("stop_cnt"),
+          TextOps.qualityScore(col("text"), length(col("text")),
+            TextFixtures.qualityStopwords).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // stopword-profile language id (argmax, first-profile tie-break)
+    "q13_lang_id" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextOps.langId(col("text"), TextFixtures.langProfiles).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // exact n-gram Jaccard near-dup pairs (shingle self-join path)
+    "q14_ngram_jaccard" -> ((s, dir) =>
+      TextOps.ngramJaccardPairs(
+          TextFixtures.nearDupCorpus(s, dir, " graftmark near dup copy"),
+          "doc_id", "text", n = 3, tau = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash+LSH near-dup pairs with exact verification (the scale path)
+    "q15_minhash_dedup" -> ((s, dir) =>
+      TextOps.minHashLshPairs(
+          TextFixtures.nearDupCorpus(s, dir, " graftmark"),
+          // 32 bands × 2 rows: P(miss | jac ≥ 0.8) = (1-0.8²)³² ≈ 6e-15 —
+          // the LSH output is indistinguishable from exact at this τ
+          "doc_id", "text", n = 3, numHashes = 64, bands = 32, tau = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (rows-only check: simhash not SQL-expressible)
+    "q16_simhash" -> ((s, dir) =>
+      TextOps.simhashPairs(TextFixtures.nearDupCorpus(s, dir, " graftmark"),
+          "doc_id", "text", n = 3, maxHamming = 8, tables = 4)
+        .orderBy("id_a", "id_b")),
+
+    // brute-force cosine top-k (baseline ANN)
+    "q17_ann_cosine" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.cosineTopK(queries, corpus, k = 10).orderBy("qid", "rank")
+    }),
+
+    // embedding-cosine near-dup pairs via LSH buckets + exact verify
+    "q18_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(
+          TextFixtures.embedDupCorpus(s, dir), tau = 0.99)
+        .orderBy("id_a", "id_b")),
+
+    // multimodal: binary media column → batched stub decode via mapPartitions
+    "q19_multimodal_meta" -> ((s, dir) => {
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      MultimodalOps.decodeImageMeta(media, "doc_id", "media").orderBy("id")
+    }),
+
+    // event table: 5-minute windowed aggregation (batch form)
+    "q20_events_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("bucket", (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("bucket", "event_type"))
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB list_filter stopword count. */
+  private def stopCntSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  private def jaccardPairsSql(corpusSql: String, tau: Double): String =
+    s"""WITH corpus AS ($corpusSql),
+       |w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM corpus),
+       |shl AS (SELECT id, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                    FOR i IN range(1, len(ws) - 1)] AS l FROM w),
+       |sh AS (SELECT DISTINCT id, unnest(l) AS sh FROM shl),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |          FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b,
+       |        CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
+       |      FROM pairs
+       |      JOIN sizes sa ON sa.id = pairs.id_a
+       |      JOIN sizes sb ON sb.id = pairs.id_b)
+       |SELECT id_a, id_b, jac FROM j WHERE jac >= $tau ORDER BY id_a, id_b""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q11_dedup_exact" ->
+      s"""WITH corpus AS (${TextFixtures.dupCorpusSql})
+         |SELECT md5(text) AS text_hash, min(doc_id) AS rep_id, count(*) AS dup_count
+         |FROM corpus GROUP BY 1 ORDER BY rep_id""".stripMargin,
+
+    "q12_token_quality" -> {
+      val sw = stopCntSql(TextFixtures.qualityStopwords)
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |  CAST($sw AS INT) AS stop_cnt,
+         |  0.5 * (CAST($sw AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         |  + 0.5 * (1.0 - abs((CAST(length(text) AS DOUBLE)
+         |      - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 10.0) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q13_lang_id" -> {
+      val scores = TextFixtures.langProfiles.zipWithIndex.map {
+        case ((lang, words), pos) =>
+          s"SELECT doc_id, '$lang' AS lang, $pos AS pos, ${stopCntSql(words)} AS score FROM documents"
+      }.mkString("\nUNION ALL ")
+      s"""WITH s AS ($scores),
+         |r AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pos) AS rn
+         |      FROM s)
+         |SELECT doc_id, lang AS lang_pred FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "q14_ngram_jaccard" ->
+      jaccardPairsSql(TextFixtures.nearDupCorpusSql(" graftmark near dup copy"), 0.5),
+
+    "q15_minhash_dedup" ->
+      jaccardPairsSql(TextFixtures.nearDupCorpusSql(" graftmark"), 0.8),
+
+    // q16_simhash: intentionally no oracle (rows-only check)
+
+    "q17_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |d AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q CROSS JOIN c WHERE qid <> cid),
+        |r AS (SELECT qid, cid, cos,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS "rank"
+        |      FROM d)
+        |SELECT qid, cid, cos, "rank" FROM r WHERE "rank" <= 10
+        |ORDER BY qid, "rank"""".stripMargin,
+
+    "q18_embed_neardup" ->
+      s"""WITH corpus AS (${TextFixtures.embedDupCorpusSql}),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        list_cosine_similarity(a.v, b.v) AS cos
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q19_multimodal_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byteLen,
+        |  md5(text) AS contentHash,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_events_window" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket, event_type,
+        |  count(*) AS n, min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+  )
+}

@@ -22,7 +22,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q03_srg_point")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ EntryText.queries
+
+  def oracleSql: Map[String, String] = baseOracles ++ EntryText.oracles
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scan/agg sanity (classic TPC-H-style shape)
     "q01_lineitem_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -111,7 +116,7 @@ object SparkEntry {
        |WHERE denom >= 0.00001 AND numer <> 0
        |ORDER BY fips, "row", col""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  private def baseOracles: Map[String, String] = Map(
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS cnt

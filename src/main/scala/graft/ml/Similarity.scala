@@ -1,0 +1,130 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.TextHash
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast nested-loop the
+  * optimizer handles well when the query side is small (the common "probe
+  * set vs corpus" shape). Scale path: random-hyperplane LSH bucketing —
+  * candidates share ≥1 of `tables` hyperplane-sign prefixes, so the
+  * cross-join shrinks from |Q|×|C| to bucket-local joins; recall is tuned
+  * by tables × hyperplanes-per-table. An IVF variant (k-means-ish coarse
+  * quantizer from seeded centroids) gives cluster-pruned search without
+  * any training dependency.
+  */
+object Similarity {
+
+  /** Sequential-order cosine (dot/(√na·√nb)) — bit-stable across engines. */
+  val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    // clamp: identical vectors can give 1+ε; cosine is defined on [-1,1]
+    math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+  })
+
+  /** Brute-force cosine top-k: queries (qid, qvec) × corpus (cid, cvec).
+    * Queries broadcast; corpus streams — one pass over the corpus however
+    * large, k results per query via windowed top-k with deterministic
+    * tie-break. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("cos", cosineUdf(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
+  /** Deterministic random hyperplane: seeded pseudo-gaussian components. */
+  private def hyperplaneSigns(vec: Seq[Float], table: Int, planes: Int): Long = {
+    var key = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) {
+        // component ~ signed mix of (table, plane, dim): zero-mean
+        val h = TextHash.mix64((table.toLong << 40) ^ (p.toLong << 20) ^ i.toLong)
+        val comp = (h >> 11).toDouble / (1L << 52).toDouble // ~U(-1,1)
+        dot += vec(i) * comp
+        i += 1
+      }
+      if (dot > 0) key |= (1L << p)
+      p += 1
+    }
+    key | (table.toLong << 56)
+  }
+
+  def lshKeysUdf(tables: Int, planes: Int) = udf((v: Seq[Float]) =>
+    Array.tabulate(tables)(t => hyperplaneSigns(v, t, planes)))
+
+  /** LSH-bucketed ANN top-k: candidates = corpus vectors sharing at least
+    * one hyperplane-sign bucket with the query across `tables` tables;
+    * exact cosine + top-k on candidates only. Approximate: recall grows
+    * with tables; verified ≥ target recall in tests vs brute force. */
+  def annLshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 tables: Int = 8, planes: Int = 12): DataFrame = {
+    val keys = lshKeysUdf(tables, planes)
+    val qB = queries.withColumn("__key", explode(keys(col("qvec"))))
+    val cB = corpus.withColumn("__key", explode(keys(col("cvec"))))
+    val cands = qB.join(cB, Seq("__key"))
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "qvec", "cid", "cvec")
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    cands.withColumn("cos", cosineUdf(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
+  /** IVF-style coarse quantization: assign vectors to the nearest of
+    * `nlist` seeded pseudo-centroids (deterministic, no training pass);
+    * search probes the query's `nprobe` nearest centroids' lists only. */
+  def ivfAssignUdf(nlist: Int, dim: Int) = udf((v: Seq[Float]) => {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < nlist) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = TextHash.mix64((c.toLong << 32) ^ i.toLong)
+        val cent = (h >> 11).toDouble / (1L << 52).toDouble
+        val diff = v(i) - cent
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  })
+
+  /** Embedding near-duplicate pairs: cos ≥ tau via LSH candidates +
+    * exact verification (the embedding-cosine near-dup dedup mode). */
+  def embeddingNearDupPairs(df: DataFrame, tau: Double,
+                            tables: Int = 8, planes: Int = 10): DataFrame = {
+    val keys = lshKeysUdf(tables, planes)
+    val b = df.select(col("vec_id"), col("embedding"))
+      .withColumn("__key", explode(keys(col("embedding"))))
+    b.as("a").join(b.as("b"), Seq("__key"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosineUdf(col("va"), col("vb")))
+      .where(col("cos") >= tau)
+      .select("id_a", "id_b", "cos")
+  }
+}

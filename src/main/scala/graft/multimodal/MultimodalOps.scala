@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in partition-sized batches.
+  *
+  * The actual codec layer is STUBBED (no image/audio libraries ship in this
+  * environment): `FakeCodec` derives deterministic metadata/features from
+  * the bytes. Everything Spark-side is real and tested — schema, batch
+  * iteration via mapPartitions (the Scala analogue of mapInPandas batch
+  * processing), partition sizing, and the UDF signatures a real decoder
+  * would drop into.
+  */
+object MultimodalOps {
+
+  /** Typed media metadata carried next to the binary payload. */
+  case class MediaMeta(byteLen: Long, contentHash: String,
+                       width: Int, height: Int)
+
+  /** STUB decode — replace body with a real codec (e.g. javax.imageio /
+    * ffmpeg bindings) in production; signature and batching stay as-is. */
+  object FakeCodec {
+    def imageMeta(bytes: Array[Byte]): MediaMeta = {
+      val len = bytes.length.toLong
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      // deterministic fake dimensions from the payload length
+      MediaMeta(len, hash, (len % 640).toInt + 1, (len * 7 % 480).toInt + 1)
+    }
+
+    /** STUB resize: returns a deterministic downsample marker. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      (s"resized:${w}x$h:" + bytes.length).getBytes("UTF-8")
+
+    /** STUB frame sampling: every `stride`-th 1KB block's hash stands in
+      * for a decoded video frame. */
+    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until bytes.length by (1024 * stride)).map { off =>
+        val end = math.min(off + 1024, bytes.length)
+        md.reset()
+        md.digest(java.util.Arrays.copyOfRange(bytes, off, end))
+          .take(8).map("%02x".format(_)).mkString
+      }
+    }
+
+    /** STUB feature extraction: 8-dim pseudo-embedding from byte stats. */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val acc = new Array[Long](8)
+      var i = 0
+      while (i < bytes.length) { acc(i % 8) += (bytes(i) & 0xff); i += 1 }
+      acc.map(v => if (bytes.length == 0) 0f else v.toFloat / bytes.length)
+    }
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("byteLen", LongType, nullable = false),
+    StructField("contentHash", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Batch decode via mapPartitions: one codec instance per partition, rows
+    * streamed — the shape a real (expensive-init) decoder needs. Input:
+    * (id: Long, media: binary); output adds the meta struct columns. */
+  def decodeImageMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField("id", LongType) +: metaSchema.fields.toIndexedSeq)
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        // per-partition codec init happens here (stubbed)
+        rows.map { r =>
+          val m = FakeCodec.imageMeta(r.getAs[Array[Byte]]("media"))
+          Row(r.getLong(0), m.byteLen, m.contentHash, m.width, m.height)
+        }
+      }(enc)
+  }
+
+  /** Column-level stub feature extractor (for joins with Similarity ops). */
+  val featureUdf = udf((bytes: Array[Byte]) => FakeCodec.features(bytes))
+
+  val frameSampleUdf = udf((bytes: Array[Byte], stride: Int) =>
+    FakeCodec.sampleFrames(bytes, stride))
+}

@@ -1,0 +1,205 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication operators for large-scale training-data
+  * pipelines over the web-page/document table.
+  *
+  * Scale design:
+  *   - exact dedup groups by a 128-bit content hash — the text column itself
+  *     is never shuffled (only hash + id move);
+  *   - MinHash signatures are computed doc-locally (one pass per doc, no
+  *     explode of shingles for signature building); only (band_key, id)
+  *     pairs shuffle, and candidate verification joins fetch shingle sets
+  *     for the candidate pairs only;
+  *   - n-gram Jaccard's shingle self-join is the exact (quadratic-risk)
+  *     path — kept for oracle verification and small corpora; LSH is the
+  *     100 TB path.
+  */
+object TextOps {
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact duplicate groups: (text_hash, rep_id = min id, dup_count).
+    * Only hash+id shuffle; collision probability of md5 at web scale is
+    * negligible and detectable downstream. */
+  def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(min(idCol).as("rep_id"), count(lit(1)).as("dup_count"))
+
+  /** Keep one representative row per distinct text (the min-id row). */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reps = exactDedupGroups(df, idCol, textCol)
+      .select(col("rep_id").as(idCol))
+    df.join(reps, idCol)
+  }
+
+  // ------------------------------------------------------------ tokenizing
+
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  def tokenCount(textCol: Column): Column = size(tokens(textCol))
+
+  /** BPE-ish subword proxy: count of word-piece boundaries via a regex that
+    * splits on transitions (letters/digits/punct) — a cheap deterministic
+    * stand-in for tokenizer costs at scale. */
+  def subwordCount(textCol: Column): Column =
+    size(split(textCol, "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|\\s+|(?=[^a-z0-9\\s])"))
+
+  // ------------------------------------------------------------ quality
+
+  /** Quality-score components; all integer counts so downstream ratios are
+    * deterministic across engines. */
+  def stopwordCount(textCol: Column, stopwords: Seq[String]): Column = {
+    val arr = tokens(textCol)
+    size(filter(arr, t => t.isin(stopwords.map(lit): _*)))
+  }
+
+  /** Composite quality score ∈ [0,1]-ish: stopword-ratio band + mean word
+    * length band (C4/Gopher-style heuristics, deterministic expression
+    * tree). */
+  def qualityScore(textCol: Column, nCharsCol: Column,
+                   stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(textCol).cast("double")
+    val stopRatio = stopwordCount(textCol, stopwords).cast("double") / nTok
+    val meanLen = (nCharsCol.cast("double") - (nTok - 1)) / nTok
+    lit(0.5) * stopRatio + lit(0.5) * (lit(1.0) - abs(meanLen - 5.0) / 10.0)
+  }
+
+  // ------------------------------------------------------------ language id
+
+  /** Stopword-profile language ID: score = hits per profile, argmax with
+    * first-profile tie-break. Profiles ordered — determinism matters. */
+  def langId(textCol: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scores = profiles.map { case (lang, words) =>
+      (lang, stopwordCount(textCol, words))
+    }
+    // argmax by (score, -position): fold keeping best
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4"))
+
+  // ------------------------------------------------------------ fingerprints
+
+  /** Content fingerprint: first 64 bits of md5 as hex — cross-engine
+    * checkable. */
+  def contentFingerprint(textCol: Column): Column =
+    substring(md5(textCol), 1, 16)
+
+  /** Winnowing fingerprint (rolling Karp–Rabin over char k-grams, window
+    * minima — Schleimer et al.): local computation per doc, returns the
+    * set of selected hash values. Engine-side only (not SQL-expressible). */
+  def winnowFingerprintUdf(k: Int = 8, window: Int = 16) =
+    udf((text: String) => TextHash.winnow(text, k, window))
+
+  // ------------------------------------------------------------ shingles
+
+  /** Distinct word n-gram shingle strings of a doc. */
+  def shingleUdf(n: Int) = udf((text: String) => {
+    val ws = text.split(' ')
+    if (ws.length < n) Array.empty[String]
+    else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct.toArray
+  })
+
+  /** Exact n-gram Jaccard similar pairs via distinct-shingle self-join:
+    * (id_a < id_b, jac ≥ tau). Exact path — quadratic in docs sharing a
+    * shingle; use minHashLshPairs at scale. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, tau: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingleUdf(n)(col(textCol))).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"))
+      .where(col("jac") >= tau)
+      .select("id_a", "id_b", "jac")
+  }
+
+  // ------------------------------------------------------------ MinHash LSH
+
+  /** Doc-local MinHash signature over hashed word n-gram shingles. */
+  def minhashSigUdf(n: Int, numHashes: Int) = udf((text: String) =>
+    TextHash.minhashSignature(text, n, numHashes))
+
+  /** LSH band keys from a signature: one key per band = hash(band idx +
+    * band's rows). */
+  def bandKeysUdf(bands: Int, rows: Int) = udf((sig: Seq[Long]) =>
+    TextHash.bandKeys(sig.toArray, bands, rows))
+
+  /** Near-duplicate pairs via MinHash+LSH with exact Jaccard verification:
+    * shingle→minhash→band→bucket-join→verify. Returns (id_a, id_b, jac)
+    * with jac ≥ tau computed exactly on hashed shingle sets.
+    *
+    * Wide plan: docs → (sig, shingle-set hash array) map-side; bucket join
+    * on band key; dedup pairs; verify by joining the two shingle arrays.
+    * Only candidate pairs ever pay the verification cost. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, tau: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val prepared = df.select(col(idCol).as("id"),
+        minhashSigUdf(n, numHashes)(col(textCol)).as("sig"),
+        TextHash.shingleHashSetUdf(n)(col(textCol)).as("shs"))
+      .where(size(col("shs")) > 0)
+    val bandsDf = prepared.select(col("id"),
+        explode(bandKeysUdf(bands, rows)(col("sig"))).as("band_key"))
+    val cands = bandsDf.as("a").join(bandsDf.as("b"), Seq("band_key"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val withSets = cands
+      .join(prepared.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(prepared.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+    withSets
+      .withColumn("jac", TextHash.jaccardUdf(col("shs_a"), col("shs_b")))
+      .where(col("jac") >= tau)
+      .select("id_a", "id_b", "jac")
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  def simhashUdf(n: Int) = udf((text: String) => TextHash.simhash(text, n))
+
+  /** SimHash near-dup pairs: 64-bit fingerprint, candidates from matching
+    * any of `tables` bit-slices (pigeonhole: hamming ≤ tables-1 guaranteed
+    * caught), verified by exact hamming ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, maxHamming: Int = 3,
+                   tables: Int = 4): DataFrame = {
+    val prepared = df.select(col(idCol).as("id"),
+      simhashUdf(n)(col(textCol)).as("sh"))
+    val sliceUdf = udf((h: Long) => TextHash.bitSlices(h, tables))
+    val sliced = prepared.select(col("id"), col("sh"),
+      explode(sliceUdf(col("sh"))).as("slice_key"))
+    val hamming = udf((a: Long, b: Long) =>
+      java.lang.Long.bitCount(a ^ b))
+    sliced.as("a").join(sliced.as("b"), Seq("slice_key"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}
