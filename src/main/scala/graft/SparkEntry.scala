@@ -18,14 +18,15 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship: point surrogate (pages→county/cell ratio table) on sf0.001. */
+  /** Flagship: page-count surrogate (pages→county/cell ratio table) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q03_srg_point")(spark, "/root/testdata/sf0.001")
+    queries("q21_pages_srg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ EntryText.queries
+    baseQueries ++ EntryText.queries ++ EntryPages.queries
 
-  def oracleSql: Map[String, String] = baseOracles ++ EntryText.oracles
+  def oracleSql: Map[String, String] =
+    baseOracles ++ EntryText.oracles ++ EntryPages.oracles
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scan/agg sanity (classic TPC-H-style shape)
