@@ -23,10 +23,10 @@ object SparkEntry {
     queries("q21_pages_srg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ EntryText.queries ++ EntryPages.queries
+    baseQueries ++ EntryText.queries ++ EntryPages.queries ++ EntryPost.queries
 
   def oracleSql: Map[String, String] =
-    baseOracles ++ EntryText.oracles ++ EntryPages.oracles
+    baseOracles ++ EntryText.oracles ++ EntryPages.oracles ++ EntryPost.oracles
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scan/agg sanity (classic TPC-H-style shape)
@@ -109,13 +109,48 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
-  private def srgSelect(code: Int): String =
+  private[graft] def srgSelect(code: Int): String =
     s"""SELECT CAST($code AS INT) AS srg_code, fips, col, "row",
        |  numer/denom AS frac, numer, denom,
        |  sum(numer/denom) OVER (PARTITION BY fips ORDER BY "row", col) AS qasum
        |FROM num JOIN den USING (fips)
        |WHERE denom >= 0.00001 AND numer <> 0
        |ORDER BY fips, "row", col""".stripMargin
+
+  /** Full q03/q04 oracle statements, reusable as parenthesized subqueries
+    * by the post-op oracles (EntryPost). */
+  private[graft] lazy val srgPointStmt: String =
+    s"""WITH pts AS (${TpchGeo.pointsSql}),
+       |tagged AS (SELECT ${TpchGeo.fipsOfSql("x", "y")} AS fips,
+       |  CAST(floor(x/1000.0) AS INT)+1 AS col,
+       |  CAST(floor(y/1000.0) AS INT)+1 AS "row" FROM pts),
+       |num AS (SELECT fips, col, "row", CAST(count(*) AS DOUBLE) AS numer
+       |        FROM tagged GROUP BY 1, 2, 3),
+       |den AS (SELECT fips, CAST(count(*) AS DOUBLE) AS denom
+       |        FROM tagged GROUP BY 1)
+       |${srgSelect(100)}""".stripMargin
+
+  private[graft] lazy val srgAreaStmt: String =
+    s"""WITH tr AS (${TpchGeo.tractsSql}),
+       |cn AS (${TpchGeo.countiesSql}),
+       |cl AS (${TpchGeo.cellsSql}),
+       |fr AS (
+       |  SELECT fips, p_size, tx0, ty0, cx0, cy0,
+       |    greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
+       |    greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) AS fa
+       |  FROM tr CROSS JOIN cn
+       |  WHERE greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
+       |        greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) > 0),
+       |den AS (SELECT fips, sum(p_size * (fa / 262144.0)) AS denom
+       |        FROM fr GROUP BY 1),
+       |cf AS (
+       |  SELECT fips, col, "row", p_size,
+       |    greatest(0, least(tx0+512, cx0+2000, gx0+1000) - greatest(tx0, cx0, gx0)) *
+       |    greatest(0, least(ty0+512, cy0+2000, gy0+1000) - greatest(ty0, cy0, gy0)) AS ca
+       |  FROM fr CROSS JOIN cl),
+       |num AS (SELECT fips, col, "row", sum(p_size * (ca / 262144.0)) AS numer
+       |        FROM cf WHERE ca > 0 GROUP BY 1, 2, 3)
+       |${srgSelect(120)}""".stripMargin
 
   private def baseOracles: Map[String, String] = Map(
     "q01_lineitem_agg" ->
@@ -129,38 +164,9 @@ object SparkEntry {
          |  CAST(floor(y/1000.0) AS INT)+1 AS "row", count(*) AS n
          |FROM pts GROUP BY 1, 2 ORDER BY "row", col""".stripMargin,
 
-    "q03_srg_point" ->
-      s"""WITH pts AS (${TpchGeo.pointsSql}),
-         |tagged AS (SELECT ${TpchGeo.fipsOfSql("x", "y")} AS fips,
-         |  CAST(floor(x/1000.0) AS INT)+1 AS col,
-         |  CAST(floor(y/1000.0) AS INT)+1 AS "row" FROM pts),
-         |num AS (SELECT fips, col, "row", CAST(count(*) AS DOUBLE) AS numer
-         |        FROM tagged GROUP BY 1, 2, 3),
-         |den AS (SELECT fips, CAST(count(*) AS DOUBLE) AS denom
-         |        FROM tagged GROUP BY 1)
-         |${srgSelect(100)}""".stripMargin,
+    "q03_srg_point" -> srgPointStmt,
 
-    "q04_srg_area" ->
-      s"""WITH tr AS (${TpchGeo.tractsSql}),
-         |cn AS (${TpchGeo.countiesSql}),
-         |cl AS (${TpchGeo.cellsSql}),
-         |fr AS (
-         |  SELECT fips, p_size, tx0, ty0, cx0, cy0,
-         |    greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
-         |    greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) AS fa
-         |  FROM tr CROSS JOIN cn
-         |  WHERE greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
-         |        greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) > 0),
-         |den AS (SELECT fips, sum(p_size * (fa / 262144.0)) AS denom
-         |        FROM fr GROUP BY 1),
-         |cf AS (
-         |  SELECT fips, col, "row", p_size,
-         |    greatest(0, least(tx0+512, cx0+2000, gx0+1000) - greatest(tx0, cx0, gx0)) *
-         |    greatest(0, least(ty0+512, cy0+2000, gy0+1000) - greatest(ty0, cy0, gy0)) AS ca
-         |  FROM fr CROSS JOIN cl),
-         |num AS (SELECT fips, col, "row", sum(p_size * (ca / 262144.0)) AS numer
-         |        FROM cf WHERE ca > 0 GROUP BY 1, 2, 3)
-         |${srgSelect(120)}""".stripMargin,
+    "q04_srg_area" -> srgAreaStmt,
 
     "q05_srg_line" ->
       s"""WITH rd AS (${TpchGeo.roadsSql}),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -53,15 +53,26 @@ object PostOps {
       .orderBy("fips", "row", "col")
   }
 
+  /** Deterministic per-county Σfrac: computed as the LAST value of a running
+    * sum in (row, col) order rather than an unordered aggregate, so the
+    * float addition order is fixed — results are bit-identical across
+    * partitionings/cluster sizes (and match the reference, which also sums
+    * in output order, surrogate.c:413-414). */
+  private def countySum: Column = {
+    val run = Window.partitionBy("srg_code", "fips").orderBy("row", "col")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    max(sum(col("frac")).over(run))
+      .over(Window.partitionBy("srg_code", "fips"))
+  }
+
   /** NORMALIZE (normalize/NormalizeSurrogates.java, County.java:34-58): per
     * county, when |Σfrac − 1| > tol, rescale frac := frac/Σfrac; counties on
     * an exclude list (grid-border counties) are left untouched. */
   def normalize(srg: DataFrame, tol: Double = 1e-6,
                 excludeFips: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy("srg_code", "fips")
     val excluded = if (excludeFips.isEmpty) lit(false)
                    else col("fips").isin(excludeFips: _*)
-    srg.withColumn("__sum", sum("frac").over(w))
+    srg.withColumn("__sum", countySum)
       .withColumn("frac",
         when(!excluded && abs(col("__sum") - 1.0) > tol,
              col("frac") / col("__sum"))
@@ -72,14 +83,16 @@ object PostOps {
   /** QA reports (qa package): per-county pivots over surrogate codes.
     * kind ∈ summary | not1 | threshold | nodata. */
   def qaSummary(srg: DataFrame): DataFrame =
-    srg.groupBy("fips").pivot("srg_code")
-      .agg(round(sum("frac"), 8))
+    srg.withColumn("__sum", countySum)
+      .groupBy("fips").pivot("srg_code")
+      .agg(round(first("__sum"), 8))
       .orderBy("fips")
 
   /** Counties whose Σfrac deviates from 1 by more than tol
     * (qa/SurrogateNot1Report.java). */
   def qaNot1(srg: DataFrame, tol: Double = 1e-5): DataFrame =
-    srg.groupBy("srg_code", "fips").agg(sum("frac").as("sum_frac"))
+    srg.withColumn("__sum", countySum)
+      .groupBy("srg_code", "fips").agg(first("__sum").as("sum_frac"))
       .where(abs(col("sum_frac") - 1.0) > tol)
       .orderBy("srg_code", "fips")
 
