@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fixtures.TpchGeo
+import graft.fixtures.TpchGeo.{grid, domain, zres}
+import graft.operators.{Allocate, Surrogate, PostOps}
+import graft.functions.WeightExpr
+
+/** Remaining allocator-mode queries: discrete allocate modes, area-percent
+  * gridding, the USE_FUNCTION weight expression, and diffsurr. */
+object EntryAlloc {
+
+  /** eval.c operator subset exercised: * - / + ( ); all-dyadic values so
+    * both engines aggregate bit-exactly. */
+  private val WFUN = "(3*p_size - p_size/2) + 128"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DiscreteOverlap + DiscreteCentroid in one allocate pass
+    "q30_alloc_discrete" -> ((s, dir) =>
+      Allocate.allocate(TpchGeo.tracts(s, dir),
+          TpchGeo.counties(s).withColumnRenamed("fips", "out_id"),
+          Seq("p_size" -> Allocate.DiscreteOverlap,
+              "p_partkey" -> Allocate.DiscreteCentroid),
+          domain, zres)
+        .withColumnRenamed("out_id", "fips")
+        .withColumnRenamed("p_size", "ov_size")
+        .withColumnRenamed("p_partkey", "cent_key")
+        .orderBy("fips")),
+
+    // typeAreaPercent: fraction of each grid cell covered per category
+    "q31_area_percent" -> ((s, dir) =>
+      Allocate.areaPercent(
+          TpchGeo.tracts(s, dir).withColumn("category",
+            substring(col("p_partkey").cast("string"), -1, 1)),
+          "category", grid)
+        .orderBy("row", "col", "category")),
+
+    // srgcreate USE_FUNCTION: computed weight column through the full
+    // polygon surrogate pipeline
+    "q32_srg_weight_fun" -> ((s, dir) =>
+      Surrogate.polySurrogate(
+        TpchGeo.tracts(s, dir).withColumn("__wf", WeightExpr.compile(WFUN)),
+        TpchGeo.counties(s), grid, domain, zres,
+        srgCode = 130, weight = Some("__wf"))),
+
+    // diffsurr: srg120 vs merged(500) — missing sides + out-of-tol rows
+    "q33_diffsurr" -> ((s, dir) => {
+      val a = Surrogate.polySurrogate(TpchGeo.tracts(s, dir),
+        TpchGeo.counties(s), grid, domain, zres, 120, Some("p_size"))
+      val b = Surrogate.pointSurrogate(TpchGeo.points(s, dir),
+        TpchGeo.counties(s), grid, domain, zres, 100)
+      PostOps.diffSurr(a, b, tol = 1e-5)
+    })
+  )
+
+  private val s1 = s"(${SparkEntry.srgAreaStmt})"
+  private val s2 = s"(${SparkEntry.srgPointStmt})"
+
+  def oracles: Map[String, String] = Map(
+    "q30_alloc_discrete" ->
+      s"""WITH tr AS (${TpchGeo.tractsSql}),
+         |cn AS (${TpchGeo.countiesSql}),
+         |fr AS (
+         |  SELECT fips, p_size,
+         |    greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
+         |    greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) AS fa
+         |  FROM tr CROSS JOIN cn),
+         |ov AS (
+         |  SELECT fips, p_size AS ov_size,
+         |    row_number() OVER (PARTITION BY fips ORDER BY fa DESC, p_size ASC) AS rn
+         |  FROM fr WHERE fa > 0),
+         |cent AS (
+         |  SELECT fips, min(p_partkey) AS cent_key
+         |  FROM tr CROSS JOIN cn
+         |  WHERE cx0+1000 > tx0 AND cx0+1000 < tx0+512
+         |    AND cy0+1000 > ty0 AND cy0+1000 < ty0+512
+         |  GROUP BY 1)
+         |SELECT fips, ov_size, cent_key
+         |FROM ov LEFT JOIN cent USING (fips) WHERE rn = 1
+         |ORDER BY fips""".stripMargin,
+
+    "q31_area_percent" ->
+      s"""WITH tr AS (${TpchGeo.tractsSql}),
+         |cl AS (${TpchGeo.cellsSql}),
+         |fr AS (
+         |  SELECT col, "row",
+         |    substr(CAST(p_partkey AS VARCHAR), -1, 1) AS category,
+         |    greatest(0, least(tx0+512, gx0+1000) - greatest(tx0, gx0)) *
+         |    greatest(0, least(ty0+512, gy0+1000) - greatest(ty0, gy0)) AS ca
+         |  FROM tr CROSS JOIN cl)
+         |SELECT col, "row", category, sum(ca) / 1000000.0 AS pct
+         |FROM fr WHERE ca > 0 GROUP BY 1, 2, 3
+         |ORDER BY "row", col, category""".stripMargin,
+
+    "q32_srg_weight_fun" ->
+      SparkEntry.srgAreaStmtFor(130, "(3*p_size - p_size/2) + 128"),
+
+    "q33_diffsurr" ->
+      s"""SELECT coalesce(a.fips, b.fips) AS fips,
+         |  coalesce(a.col, b.col) AS col,
+         |  coalesce(a."row", b."row") AS "row",
+         |  a.frac AS frac_a, b.frac AS frac_b
+         |FROM $s1 a FULL OUTER JOIN $s2 b
+         |  ON a.fips = b.fips AND a.col = b.col AND a."row" = b."row"
+         |WHERE a.frac IS NULL OR b.frac IS NULL OR abs(a.frac - b.frac) > 0.00001
+         |ORDER BY fips, "row", col""".stripMargin
+  )
+}

@@ -23,10 +23,12 @@ object SparkEntry {
     queries("q21_pages_srg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ EntryText.queries ++ EntryPages.queries ++ EntryPost.queries
+    baseQueries ++ EntryText.queries ++ EntryPages.queries ++
+      EntryPost.queries ++ EntryAlloc.queries
 
   def oracleSql: Map[String, String] =
-    baseOracles ++ EntryText.oracles ++ EntryPages.oracles ++ EntryPost.oracles
+    baseOracles ++ EntryText.oracles ++ EntryPages.oracles ++
+      EntryPost.oracles ++ EntryAlloc.oracles
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scan/agg sanity (classic TPC-H-style shape)
@@ -130,7 +132,11 @@ object SparkEntry {
        |        FROM tagged GROUP BY 1)
        |${srgSelect(100)}""".stripMargin
 
-  private[graft] lazy val srgAreaStmt: String =
+  private[graft] lazy val srgAreaStmt: String = srgAreaStmtFor(120, "p_size")
+
+  /** Area-mode surrogate oracle with a pluggable weight SQL expression over
+    * the tract attributes (the USE_FUNCTION path). */
+  private[graft] def srgAreaStmtFor(code: Int, wexpr: String): String =
     s"""WITH tr AS (${TpchGeo.tractsSql}),
        |cn AS (${TpchGeo.countiesSql}),
        |cl AS (${TpchGeo.cellsSql}),
@@ -141,16 +147,16 @@ object SparkEntry {
        |  FROM tr CROSS JOIN cn
        |  WHERE greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
        |        greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) > 0),
-       |den AS (SELECT fips, sum(p_size * (fa / 262144.0)) AS denom
+       |den AS (SELECT fips, sum(($wexpr) * (fa / 262144.0)) AS denom
        |        FROM fr GROUP BY 1),
        |cf AS (
        |  SELECT fips, col, "row", p_size,
        |    greatest(0, least(tx0+512, cx0+2000, gx0+1000) - greatest(tx0, cx0, gx0)) *
        |    greatest(0, least(ty0+512, cy0+2000, gy0+1000) - greatest(ty0, cy0, gy0)) AS ca
        |  FROM fr CROSS JOIN cl),
-       |num AS (SELECT fips, col, "row", sum(p_size * (ca / 262144.0)) AS numer
+       |num AS (SELECT fips, col, "row", sum(($wexpr) * (ca / 262144.0)) AS numer
        |        FROM cf WHERE ca > 0 GROUP BY 1, 2, 3)
-       |${srgSelect(120)}""".stripMargin
+       |${srgSelect(code)}""".stripMargin
 
   private def baseOracles: Map[String, String] = Map(
     "q01_lineitem_agg" ->

@@ -86,10 +86,14 @@ object Allocate {
         .withColumn("__c", centroidUdf(col("geom")))
         .select(col(outId), col("__c").getItem(0).as("x"),
                 col("__c").getItem(1).as("y"))
+      // the reference assumes exactly one containing input (sumpoly.c:1069);
+      // with overlapping inputs we reduce deterministically via min so the
+      // result is stable under shuffle
+      val aggs = centAttrs.map(a => min(col(a)).as(a))
       val hit = SpatialJoin.pointInPoly(cent, inp.select(
           (Seq("geom") ++ centAttrs).map(col): _*),
         domain, res)
-        .select((outId +: centAttrs).map(col): _*)
+        .groupBy(col(outId)).agg(aggs.head, aggs.tail: _*)
       result = if (result == null) hit else result.join(hit, Seq(outId), "left")
     }
     result

@@ -108,4 +108,16 @@ object PostOps {
     universe.select("fips").distinct()
       .join(srg.select("fips").distinct(), Seq("fips"), "left_anti")
       .orderBy("fips")
+
+  /** diffsurr (diffsurr.c:45-234): align two surrogate tables on
+    * (fips, col, row) and report rows where |frac_a − frac_b| > tol or one
+    * side is missing — also the engine's own regression harness. */
+  def diffSurr(a: DataFrame, b: DataFrame, tol: Double = 1e-5): DataFrame = {
+    val al = a.select(col("fips"), col("col"), col("row"), col("frac").as("frac_a"))
+    val bl = b.select(col("fips"), col("col"), col("row"), col("frac").as("frac_b"))
+    al.join(bl, Seq("fips", "col", "row"), "full_outer")
+      .where(col("frac_a").isNull || col("frac_b").isNull ||
+             abs(col("frac_a") - col("frac_b")) > tol)
+      .orderBy("fips", "row", "col")
+  }
 }
