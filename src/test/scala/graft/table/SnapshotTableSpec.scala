@@ -1,0 +1,78 @@
+package graft.table
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Snapshot table semantics: atomic commits, lineage + per-file metrics,
+  * time travel, and checkpoint/resume without recompute. */
+class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("snapshot-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("snaptab").toString
+
+  test("commit / read / time travel / lineage + metrics") {
+    import spark.implicits._
+    val t = new SnapshotTable(tmpRoot())
+    assert(t.current.isEmpty)
+
+    val s1 = t.commit((1 to 100).toDF("n"), "append", "raw")
+    assert(s1.version == 1 && s1.rows == 100 && s1.parentId.isEmpty)
+    assert(s1.files.nonEmpty && s1.files.map(_.rows).sum == 100)
+    assert(s1.files.forall(_.bytes > 0))
+
+    val s2 = t.commit(t.read(spark).where($"n" % 2 === 0), "filter", "even")
+    assert(s2.version == 2 && s2.rows == 50 && s2.parentId.contains(s1.id))
+
+    assert(t.read(spark).count() == 50)              // current = v2
+    assert(t.readAt(spark, 1).count() == 100)        // time travel
+    assert(t.snapshots.map(_.stage) == Seq("even", "raw"))
+    assert(t.findStage("raw").map(_.version).contains(1))
+  }
+
+  test("resume skips committed stages (no recompute)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    var computeCount = 0
+
+    def runPipeline(): Long = {
+      val t = new SnapshotTable(root)   // fresh handle = restarted job
+      val a = Resumable.stage(t, spark, "stage_a") {
+        computeCount += 1
+        (1 to 1000).toDF("n").withColumn("sq", $"n" * $"n")
+      }
+      val b = Resumable.stage(t, spark, "stage_b") {
+        computeCount += 1
+        a.where($"sq" % 3 === 0)
+      }
+      b.count()
+    }
+
+    val r1 = runPipeline()
+    assert(computeCount == 2)
+    val r2 = runPipeline()               // "restart": both stages committed
+    assert(computeCount == 2, "resume recomputed a committed stage")
+    assert(r1 == r2)
+  }
+
+  test("readers see the old snapshot until the pointer swap") {
+    import spark.implicits._
+    val t = new SnapshotTable(tmpRoot())
+    t.commit((1 to 10).toDF("n"), "append", "v1")
+    val v = t.currentVersion.get
+    // simulate a concurrent half-done writer: data dir exists, no manifest
+    Files.createDirectories(java.nio.file.Paths.get(t.root, "data", "s-orphan"))
+    assert(t.currentVersion.get == v)
+    assert(t.read(spark).count() == 10)
+  }
+}
