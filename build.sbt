@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // ParallelGC: throughput collector for batch pipelines — G1's concurrent
+  // cycles throttle high-thread-count runs (~40% slower at local[16] on the
+  // allocation-heavy geotag+join path; see BENCH.md)
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").toSeq)

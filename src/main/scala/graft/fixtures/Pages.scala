@@ -41,6 +41,33 @@ object Pages {
       |  text, lang
       |FROM documents""".stripMargin
 
+  /** Bench-scale page table: `replicas` deterministic variants per document
+    * (distinct page id ⇒ distinct url/coords), text/html bytes kept real so
+    * byte-fidelity-at-scale flows through the measured pipeline. Row count =
+    * |documents| × replicas.
+    *
+    * Parallelism comes from `spark.range` (evenly split across cores), NOT
+    * from the parquet scan — a small documents file is one scan split, which
+    * would serialize the whole pipeline; instead the big side is generated
+    * pre-partitioned and the small documents side broadcast-joins onto it
+    * (zero shuffle of the wide rows). */
+  def pagesScaled(spark: SparkSession, dir: String, replicas: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val nDocs = docs.count()
+    spark.range(nDocs * replicas).toDF("pid")
+      .withColumn("doc_id", col("pid") % nDocs)
+      .join(broadcast(docs), "doc_id")
+      .select(
+        concat(lit("https://host"), (col("pid") % 97).cast("string"),
+               lit(".example.org/doc/"), col("pid").cast("string")).as("url"),
+        to_timestamp(lit(1600000000L) + col("pid") * 137L).as("warc_ts"),
+        encode(concat(lit("<html><body>"), col("text"), lit("</body></html>")),
+               "UTF-8").as("html"),
+        col("text"),
+        col("lang"))
+  }
+
   /** Batched geotag stage: parse the page id out of the url (metadata), map
     * to planar (x, y) on the integer lattice. Pure column arithmetic —
     * whole-stage codegen, no UDF. Coordinates on a 500-lattice line (county /

@@ -1,0 +1,128 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import java.util.Locale
+import graft.grid.GridSpec
+
+/** SMOKE surrogate text format — sink and source.
+  *
+  * Format (reference writer surrogate.c:436-519, header allocate.c:756-833,
+  * sample docs/User_Manual/media/sample_srg.txt):
+  *
+  *   #GRID\tname\txorig\tyorig\txcell\tycell\tncols\tnrows\t1\tproj\tunits\talpha\tbeta\tgamma\txcent\tycent
+  *   %5d\t%s\t%5d\t%5d\t%10.8f[\t!\t%f\t%f\t%f]      (code fips col row frac ! num den qasum)
+  *   #SKIPPED …          rows whose county denominator < DENOMINATOR_THRESHOLD
+  *                       (surrogate.c:434-452)
+  *   #REMAINDER %5d\t%s\t    0\t    0\t%10.8f[…]     per county when
+  *                       |1−Σfrac| > 1e-5 and Σfrac > 1e-5 (surrogate.c:291-360)
+  */
+object Smoke {
+
+  final case class ProjInfo(name: String = "LAMBERT", units: String = "meters",
+                            alpha: Double = 30.0, beta: Double = 60.0,
+                            gamma: Double = -100.0,
+                            xcent: Double = -100.0, ycent: Double = 40.0)
+
+  def header(g: GridSpec, p: ProjInfo): String =
+    "#GRID\t%s\t%f\t%f\t%f\t%f\t%d\t%d\t%d\t%s\t%s\t%f\t%f\t%f\t%f\t%f".formatLocal(
+      Locale.US, g.name, g.xorig, g.yorig, g.xcell, g.ycell, g.ncols, g.nrows,
+      1, p.name, p.units, p.alpha, p.beta, p.gamma, p.xcent, p.ycent)
+
+  private def dataLine(code: Int, fips: String, c: Int, r: Int, frac: Double,
+                       qa: Option[(Double, Double, Double)],
+                       prefix: String = ""): String = {
+    val base = "%s%5d\t%s\t%5d\t%5d\t%10.8f".formatLocal(
+      Locale.US, prefix, code, fips, c, r, frac)
+    qa match {
+      case Some((num, den, qs)) =>
+        base + "\t!\t%f\t%f\t%f".formatLocal(Locale.US, num, den, qs)
+      case None => base
+    }
+  }
+
+  /** Surrogate table → SMOKE lines. Input schema: (srg_code, fips, col, row,
+    * frac, numer, denom, qasum). Distributed: one in-memory group per county
+    * (counties are small — ≤ cells-per-county rows), counties stream through
+    * flatMapGroups; remainder rows injected at each county's end.
+    *
+    * @param withQa     append the `! numer denom qasum` comment fields
+    * @param denomThreshold counties below it render as #SKIPPED rows */
+  def toLines(srg: DataFrame, withQa: Boolean = true,
+              denomThreshold: Double = 1e-5): Dataset[String] = {
+    val spark = srg.sparkSession
+    import spark.implicits._
+    srg.select(col("srg_code").cast("int"), col("fips").cast("string"),
+        col("col").cast("int"), col("row").cast("int"),
+        col("frac").cast("double"), col("numer").cast("double"),
+        col("denom").cast("double"), col("qasum").cast("double"))
+      .as[(Int, String, Int, Int, Double, Double, Double, Double)]
+      .groupByKey { case (code, fips, _, _, _, _, _, _) => (code, fips) }
+      .flatMapGroups { (key: (Int, String),
+                        it: Iterator[(Int, String, Int, Int, Double, Double, Double, Double)]) =>
+        val (code, fips) = key
+        val rows = it.toVector.sortBy { case (_, _, c, r, _, _, _, _) => (r, c) }
+        val skipped = rows.headOption.exists(_._7 < denomThreshold)
+        val prefix = if (skipped) "#SKIPPED " else ""
+        val lines = rows.map { case (_, _, c, r, frac, num, den, qs) =>
+          dataLine(code, fips, c, r, frac,
+            if (withQa) Some((num, den, qs)) else None, prefix)
+        }
+        val qasum = rows.lastOption.map(_._8).getOrElse(0.0)
+        val den = rows.headOption.map(_._7).getOrElse(0.0)
+        val sumNum = rows.iterator.map(_._6).sum
+        // remainder rule: surrogate.c:297 (|1-qasum|>1e-5 && qasum>1e-5)
+        val rem =
+          if (!skipped && math.abs(1.0 - qasum) > 1e-5 && qasum > 1e-5)
+            Seq(dataLine(code, fips, 0, 0, 1.0 - qasum,
+              if (withQa) Some((den - sumNum, den, 1.0 - qasum)) else None,
+              "#REMAINDER "))
+          else Seq.empty
+        lines ++ rem
+      }
+  }
+
+  /** Write a complete SMOKE file (header + ordered body). The single-file
+    * coalesce is for byte-exact parity at test scale; at 100 TB callers keep
+    * the Dataset[String] distributed (`toLines`) and write part files. */
+  def write(srg: DataFrame, g: GridSpec, p: ProjInfo, path: String,
+            withQa: Boolean = true): Unit = {
+    val spark = srg.sparkSession
+    import spark.implicits._
+    val body = toLines(srg, withQa).collect()
+      .sortBy { l =>
+        val t = l.replaceAll("^#(SKIPPED|REMAINDER) ", "").split("\t")
+        (t(0).trim.toInt, t(1), t(3).trim.toInt, t(2).trim.toInt)
+      }
+    val all = header(g, p) +: body
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      all.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  /** SMOKE source: parse lines back to (srg_code, fips, col, row, frac
+    * [, numer, denom, qasum]) — the merge/gapfill tools' input path
+    * (merge/SurrogateFileReader.java). #SKIPPED/#REMAINDER/#GRID lines drop. */
+  def parse(spark: SparkSession, lines: Dataset[String]): DataFrame = {
+    import spark.implicits._
+    lines.filter((l: String) => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val p = l.split("\t").map(_.trim)
+        val qa = p.indexOf("!")
+        val (num, den, qs) =
+          if (qa >= 0 && p.length >= qa + 4)
+            (p(qa + 1).toDouble, p(qa + 2).toDouble, p(qa + 3).toDouble)
+          else (Double.NaN, Double.NaN, Double.NaN)
+        (p(0).toInt, p(1), p(2).toInt, p(3).toInt, p(4).toDouble, num, den, qs)
+      }
+      .toDF("srg_code", "fips", "col", "row", "frac", "numer", "denom", "qasum")
+  }
+
+  /** Parse a #GRID header line back to its GridSpec. */
+  def parseHeader(line: String): GridSpec = {
+    val p = line.split("\t")
+    require(p(0) == "#GRID" || p(0) == "#VARIABLE_GRID" || p(0) == "#POLYGON",
+      s"not a SMOKE header: $line")
+    GridSpec(p(1), p(2).toDouble, p(3).toDouble, p(4).toDouble, p(5).toDouble,
+      p(6).toInt, p(7).toInt)
+  }
+}

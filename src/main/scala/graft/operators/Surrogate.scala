@@ -40,7 +40,7 @@ object Surrogate {
   /** Shared tail: numerators ⋈ denominators → frac, threshold skip, qasum.
     * numer: (fips, col, row, numer); denom: (fips, denom). */
   def ratio(numer: DataFrame, denom: DataFrame, srgCode: Int,
-            denomThreshold: Double = 1e-5): DataFrame = {
+            denomThreshold: Double = 1e-5, ordered: Boolean = true): DataFrame = {
     val joined = numer.join(broadcast(denom), "fips")
       // #SKIPPED path: denom below threshold never emits rows
       // (surrogate.c:72,434-452); zero-numerator rows are skipped too
@@ -49,11 +49,14 @@ object Surrogate {
       .withColumn("frac", col("numer") / col("denom"))
     val w = Window.partitionBy("fips").orderBy("row", "col")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined
+    val out = joined
       .withColumn("qasum", sum("frac").over(w))
       .withColumn("srg_code", lit(srgCode))
       .select(OUT_COLS.map(col): _*)
-      .orderBy("fips", "row", "col")
+    // global sort only when the sink needs it (SMOKE text); at 10^9 rows an
+    // unneeded range-partition + sort is pure overhead (sampling pass + wide
+    // exchange) — the qasum window has already sorted within counties
+    if (ordered) out.orderBy("fips", "row", "col") else out
   }
 
   /** Point-weight surrogate (pages/ports): count mode when weight is None.
@@ -62,23 +65,30 @@ object Surrogate {
                      grid: GridSpec, domain: CellDomain, res: Int,
                      srgCode: Int, weight: Option[String] = None,
                      denomThreshold: Double = 1e-5,
-                     saltFactor: Int = 1): DataFrame = {
+                     saltFactor: Int = 1, ordered: Boolean = true): DataFrame = {
     val w = weight.map(col(_).cast("double")).getOrElse(lit(1.0))
     val tagged = SpatialJoin.pointInPoly(points, counties, domain, res,
         saltFactor = saltFactor)
       // zero-weight features skip all geometry math (sumpoly.c:189,206)
       .where(w =!= 0.0)
       .select(col("fips"), col("x"), col("y"), w.as("__w"))
-    // denominator: every point in its county, whether or not on the grid
-    // (sum1Poly runs over W∩D, windowed to the counties' bbox not the
-    // grid's — srg_main.c:227-230)
-    val denom = tagged.groupBy("fips").agg(sum("__w").as("denom"))
-    val numer = tagged
-      .withColumn("col", gridCol(col("x"), grid))
-      .withColumn("row", gridRow(col("y"), grid))
-      .where(inGrid(col("col"), col("row"), grid))
+    // ONE pass over the (huge) point table: aggregate per (fips, cell) with
+    // a NULL cell for off-grid points. The denominator — every point in its
+    // county whether or not on the grid (sum1Poly over W∩D, windowed to the
+    // counties' bbox not the grid's, srg_main.c:227-230) — then re-aggregates
+    // the tiny per-cell table instead of rescanning the input.
+    val onGrid = inGrid(gridCol(col("x"), grid), gridRow(col("y"), grid), grid)
+    // persist the sparse (county × cell) matrix — the reference materializes
+    // it too (PolyIntStruct, sumpoly.c:283-334); without it the broadcast
+    // branch of the numer⋈denom join would re-run the full input scan
+    val perCell = tagged
+      .withColumn("col", when(onGrid, gridCol(col("x"), grid)))
+      .withColumn("row", when(onGrid, gridRow(col("y"), grid)))
       .groupBy("fips", "col", "row").agg(sum("__w").as("numer"))
-    ratio(numer, denom, srgCode, denomThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val denom = perCell.groupBy("fips").agg(sum("numer").as("denom"))
+    val numer = perCell.where(col("col").isNotNull && col("row").isNotNull)
+    ratio(numer, denom, srgCode, denomThreshold, ordered)
   }
 
   /** Polygon-weight surrogate (census tracts): area mode when weight None.

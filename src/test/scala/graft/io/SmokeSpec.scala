@@ -1,0 +1,61 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.grid.GridCatalog
+
+/** Golden-string parity with the reference's fprintf formats
+  * (surrogate.c:436-519, allocate.c:794-812). */
+class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]").config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false").appName("smoke-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("header matches the reference #GRID format") {
+    val h = Smoke.header(GridCatalog.M08_NASH, Smoke.ProjInfo())
+    assert(h == "#GRID\tM08_NASH\t540000.000000\t-168000.000000\t8000.000000" +
+      "\t8000.000000\t45\t66\t1\tLAMBERT\tmeters\t30.000000\t60.000000" +
+      "\t-100.000000\t-100.000000\t40.000000")
+    assert(Smoke.parseHeader(h) == GridCatalog.M08_NASH)
+  }
+
+  test("data / remainder / skipped rows render and round-trip") {
+    import spark.implicits._
+    // county 47001 sums to 0.75 → remainder; 47002 below threshold → skipped
+    val srg = Seq(
+      (100, "47001", 2, 1, 0.5,  5.0, 10.0, 0.5),
+      (100, "47001", 1, 2, 0.25, 2.5, 10.0, 0.75),
+      (100, "47002", 1, 1, 1.0,  1e-7, 1e-7, 1.0)
+    ).toDF("srg_code", "fips", "col", "row", "frac", "numer", "denom", "qasum")
+
+    val lines = Smoke.toLines(srg).collect().sorted.toSeq
+    assert(lines.contains(
+      "  100\t47001\t    2\t    1\t0.50000000\t!\t5.000000\t10.000000\t0.500000"))
+    assert(lines.contains(
+      "#REMAINDER   100\t47001\t    0\t    0\t0.25000000\t!\t2.500000\t10.000000\t0.250000"))
+    assert(lines.count(_.startsWith("#SKIPPED")) == 1)
+
+    // parse drops comment rows, returns the data rows
+    val back = Smoke.parse(spark, spark.createDataset(lines))
+    assert(back.count() == 2)
+    val r = back.where("col = 2").collect().head
+    assert(r.getAs[Double]("frac") == 0.5 && r.getAs[Double]("denom") == 10.0)
+  }
+
+  test("write produces a deterministically ordered file") {
+    import spark.implicits._
+    val srg = Seq(
+      (100, "47002", 1, 1, 1.0, 4.0, 4.0, 1.0),
+      (100, "47001", 2, 1, 1.0, 3.0, 3.0, 1.0)
+    ).toDF("srg_code", "fips", "col", "row", "frac", "numer", "denom", "qasum")
+    val f = java.nio.file.Files.createTempFile("srg", ".txt").toString
+    Smoke.write(srg, GridCatalog.TEST8, Smoke.ProjInfo(), f)
+    val ls = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+    assert(ls.get(0).startsWith("#GRID\tTEST8"))
+    assert(ls.get(1).contains("47001") && ls.get(2).contains("47002"))
+  }
+}
