@@ -18,8 +18,16 @@ import graft.text.TextHash
   */
 object Similarity {
 
+  /** Unwrap Spark's array<float> runtime value to the raw float[] without
+    * per-element boxing (ArraySeq.ofFloat wraps one). */
+  @inline private def floats(a: Seq[Float]): Array[Float] = a match {
+    case s: scala.collection.immutable.ArraySeq.ofFloat => s.unsafeArray
+    case s => s.toArray
+  }
+
   /** Sequential-order cosine (dot/(√na·√nb)) — bit-stable across engines. */
-  val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+  val cosineUdf = udf((as: Seq[Float], bs: Seq[Float]) => {
+    val a = floats(as); val b = floats(bs)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -46,18 +54,41 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  /** Hyperplane component matrices are pure functions of (table, planes,
+    * dim) — memoized per executor JVM instead of re-hashed per row. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def planeMatrix(table: Int, planes: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((table, planes, dim), { key =>
+      val (t, ps, d) = key
+      val m = new Array[Double](ps * d)
+      var p = 0
+      while (p < ps) {
+        var i = 0
+        while (i < d) {
+          // component ~ signed mix of (table, plane, dim): zero-mean
+          val h = TextHash.mix64((t.toLong << 40) ^ (p.toLong << 20) ^ i.toLong)
+          m(p * d + i) = (h >> 11).toDouble / (1L << 52).toDouble // ~U(-1,1)
+          i += 1
+        }
+        p += 1
+      }
+      m
+    })
+
   /** Deterministic random hyperplane: seeded pseudo-gaussian components. */
-  private def hyperplaneSigns(vec: Seq[Float], table: Int, planes: Int): Long = {
+  private def hyperplaneSigns(vecSeq: Seq[Float], table: Int, planes: Int): Long = {
+    val vec = floats(vecSeq)
+    val m = planeMatrix(table, planes, vec.length)
     var key = 0L
     var p = 0
     while (p < planes) {
       var dot = 0.0
       var i = 0
+      val off = p * vec.length
       while (i < vec.length) {
-        // component ~ signed mix of (table, plane, dim): zero-mean
-        val h = TextHash.mix64((table.toLong << 40) ^ (p.toLong << 20) ^ i.toLong)
-        val comp = (h >> 11).toDouble / (1L << 52).toDouble // ~U(-1,1)
-        dot += vec(i) * comp
+        dot += vec(i) * m(off + i)
         i += 1
       }
       if (dot > 0) key |= (1L << p)

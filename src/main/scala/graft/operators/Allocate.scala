@@ -40,8 +40,11 @@ object Allocate {
                outId: String = "out_id"): DataFrame = {
     val inp = input.withColumn("__iarea", polygonAreaUdf(col("geom")))
     val out = output.withColumnRenamed("geom", "bgeom")
+    // persisted: consumed once per aggregation mode (the reference likewise
+    // feeds every allocate mode from one polyIsect result, allocate.c:367)
     val frags = SpatialJoin.polyPolyFragments(inp, out, domain, res,
-      keepFragGeom = false)
+        keepFragGeom = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val needArea = modes.exists(_._2 == Average)
     val outAreas =
       if (needArea) output.select(col(outId),

@@ -103,9 +103,13 @@ object Surrogate {
       .withColumn("__warea", polygonAreaUdf(col("geom")))
       .where(col("__warea") > 0)
       .withColumn("__wval", wexpr)
-    // Join #1: W ⋈ D with clipped fragments (polyIsect, srg_main.c:287)
+    // Join #1: W ⋈ D with clipped fragments (polyIsect, srg_main.c:287).
+    // Persisted: both the denominator and the per-cell numerator consume it —
+    // the reference materializes this same grid-independent intermediate
+    // (SAVE_DW_FILE/USE_DW_FILE, data_weight.c:19-160)
     val frags = SpatialJoin.polyPolyFragments(
-      wts, counties.withColumnRenamed("geom", "bgeom"), domain, res)
+        wts, counties.withColumnRenamed("geom", "bgeom"), domain, res)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // contribution vs ORIGINAL weight area (sumpoly.c:667,672); area mode
     // uses the fragment area itself (sumpoly.c:224-247)
     val denomContrib = weight
@@ -142,6 +146,7 @@ object Surrogate {
       .withColumn("__wval",
         weight.map(col(_).cast("double")).getOrElse(lit(0.0)))
     val frags = SpatialJoin.linePolyFragments(lns, counties, domain, res)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val denomContrib = weight
       .map(_ => col("__wval") * (col("frag_len") / col("__wlen")))
       .getOrElse(col("frag_len"))

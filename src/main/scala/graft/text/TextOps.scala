@@ -115,11 +115,15 @@ object TextOps {
 
   /** Exact n-gram Jaccard similar pairs via distinct-shingle self-join:
     * (id_a < id_b, jac ≥ tau). Exact path — quadratic in docs sharing a
-    * shingle; use minHashLshPairs at scale. */
+    * shingle; use minHashLshPairs at scale.
+    *
+    * The join key is the 64-bit shingle HASH, not the shingle string: the
+    * shuffle moves 8-byte keys and the join compares longs (same hash family
+    * as the MinHash path, so both paths see identical shingle sets). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-        explode(shingleUdf(n)(col(textCol))).as("sh"))
+        explode(TextHash.shingleHashSetUdf(n)(col(textCol))).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"), Seq("sh"))
       .where(col("a.id") < col("b.id"))
