@@ -37,8 +37,20 @@ object GeoFunctions {
 
   // --------------------------------------------- hierarchical cell index
 
-  /** Point → Z-order cell id at resolution res (batched cell-encode stage). */
-  def cellEncode(x: Column, y: Column, d: CellDomain, res: Int): Column = {
+  private def exprCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(e)
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ExprBridge.expression(c)
+
+  /** Point → Z-order cell id at resolution res (batched cell-encode stage).
+    * Native codegen expression — stays inside WholeStageCodegen, no boxing. */
+  def cellEncode(x: Column, y: Column, d: CellDomain, res: Int): Column =
+    exprCol(graft.spark.expressions.CellEncodeExpr(
+      exprOf(x.cast("double")), exprOf(y.cast("double")),
+      d.xmin, d.ymin, d.xmax, d.ymax, res))
+
+  /** UDF twin of cellEncode, kept for cross-checking the native expression. */
+  def cellEncodeUdf(x: Column, y: Column, d: CellDomain, res: Int): Column = {
     val f = udf((px: Double, py: Double) => CellIndex.encode(px, py, d, res))
     f(x, y)
   }
@@ -60,8 +72,14 @@ object GeoFunctions {
   // --------------------------------------------- exact kernels (UDF tier)
 
   /** Reference-semantics point-in-polygon (EDGE in, VTX excluded, hole
-    * parity; inpoly.c / sumpoly.c:184-187). */
-  val pipStatus = udf((px: Double, py: Double, rings: Seq[Seq[Double]]) =>
+    * parity; inpoly.c / sumpoly.c:184-187). Native codegen expression
+    * reading Tungsten ArrayData in place — no per-row ring materialization. */
+  def pipStatus(x: Column, y: Column, geom: Column): Column =
+    exprCol(graft.spark.expressions.PointInPolygonStatus(
+      exprOf(x.cast("double")), exprOf(y.cast("double")), exprOf(geom)))
+
+  /** UDF twin of pipStatus, kept for cross-checking the native expression. */
+  val pipStatusUdf = udf((px: Double, py: Double, rings: Seq[Seq[Double]]) =>
     Geo.pointInPolygon(px, py, rings.map(_.toArray).toArray))
 
   def containsPoint(x: Column, y: Column, geom: Column): Column =
