@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.fixtures.TpchGeo
 import graft.fixtures.TpchGeo.{grid, domain, zres}
-import graft.operators.{Allocate, Surrogate, PostOps}
+import graft.operators.{Allocate, Surrogate, PostOps, Reproject}
 import graft.functions.WeightExpr
 
 /** Remaining allocator-mode queries: discrete allocate modes, area-percent
@@ -43,6 +43,23 @@ object EntryAlloc {
         TpchGeo.tracts(s, dir).withColumn("__wf", WeightExpr.compile(WFUN)),
         TpchGeo.counties(s), grid, domain, zres,
         srgCode = 130, weight = Some("__wf"))),
+
+    // CONVERT_SHAPE: counties → lon/lat → LCC; per-county projected area.
+    // Rows-only check (no DuckDB oracle: trig is not bit-stable across
+    // engines); exactness is covered by roundtrip unit tests instead.
+    "q34_reproject" -> ((s, dir) => {
+      import graft.grid.Proj
+      import graft.spark.GeoFunctions.polygonAreaUdf
+      val toLonLat = udf((rings: Seq[Seq[Double]]) =>
+        rings.map(r => r.zipWithIndex.map { case (v, i) =>
+          if (i % 2 == 0) -92.0 + v / 1000.0 * 0.5 else 33.0 + v / 1000.0 * 0.5
+        }))
+      val geo = TpchGeo.counties(s).withColumn("geom", toLonLat(col("geom")))
+      Reproject.polygons(geo, Proj.LatLon, Proj.Lcc(33, 45, 40, -97), maxSeg = 0.1)
+        .select(col("fips"),
+          round(polygonAreaUdf(col("geom")) / 1e6, 3).as("area_km2"))
+        .orderBy("fips")
+    }),
 
     // diffsurr: srg120 vs merged(500) — missing sides + out-of-tol rows
     "q33_diffsurr" -> ((s, dir) => {
