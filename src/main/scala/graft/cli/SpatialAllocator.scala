@@ -1,0 +1,209 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cells.CellDomain
+import graft.grid.{GridSpec, Proj}
+import graft.operators._
+import graft.functions.WeightExpr
+import graft.sources.{Sources, GridDesc}
+import graft.io.Smoke
+
+/** The allocator/srgcreate driver re-expressed over the engine — honoring
+  * the reference's env-var contract (mims_evs.h, mims_spatial.c:132,589-620)
+  * so a user of the reference can switch by repointing file paths at
+  * parquet/CSV layers:
+  *
+  *   MIMS_PROCESSING ∈ SURROGATE | ALLOCATE | OVERLAY | FILTER_SHAPE |
+  *                     CONVERT_SHAPE
+  *   GRIDDESC + OUTPUT_GRID_NAME        grid catalog + target grid
+  *   DATA_FILE_NAME / DATA_ID_ATTR      data polygons (fips layer)
+  *   WEIGHT_FILE_NAME / WEIGHT_FILE_TYPE (Polygon|Line|Point)
+  *   WEIGHT_ATTR_LIST | WEIGHT_FUNCTION | SURROGATE_ID
+  *   FILTER_FILE-style conds via FILTER_ATTR/FILTER_INCLUDE/FILTER_EXCLUDE
+  *   DENOMINATOR_THRESHOLD, SURROGATE_FILE (SMOKE text out)
+  *   INPUT_FILE_NAME + OVERLAY_SHAPE    overlay input + mask
+  *   ALLOCATE_ATTRS + ALLOC_MODE_FILE-style "attr=Mode" list
+  *
+  * Config comes from a Map (defaults to sys.env) so the same entry point is
+  * scriptable and testable. File types: parquet layers with the engine's
+  * geometry columns; PointFile CSV via Sources.pointFile.
+  */
+object SpatialAllocator {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .appName("spatial-allocator").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, sys.env) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, cfg: Map[String, String]): Option[DataFrame] = {
+    def req(k: String): String = cfg.getOrElse(k,
+      throw new IllegalArgumentException(s"required env $k not set"))
+
+    val domain = cfg.get("CELL_DOMAIN").map { s =>
+      val Array(a, b, c, d) = s.split(",").map(_.trim.toDouble)
+      CellDomain(a, b, c, d)
+    }.getOrElse(CellDomain(0, 0, 8192, 8192))
+    val zres = cfg.getOrElse("CELL_RES", "4").toInt
+
+    def grid(): GridSpec = {
+      val name = req("OUTPUT_GRID_NAME")
+      cfg.get("GRIDDESC") match {
+        case Some(path) =>
+          val text = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+          GridDesc.parse(text).grids(name).grid
+        case None => graft.grid.GridCatalog.byName(name)
+      }
+    }
+
+    def readLayer(path: String, ftype: String): DataFrame = ftype match {
+      case "PointFile" =>
+        Sources.pointFile(spark, path,
+          cfg.getOrElse("INPUT_FILE_XCOL", "x"),
+          cfg.getOrElse("INPUT_FILE_YCOL", "y"),
+          cfg.getOrElse("INPUT_FILE_DELIMITER", "COMMA"))
+      case _ => spark.read.parquet(path)
+    }
+
+    def weightLayer(): DataFrame = {
+      val base = readLayer(req("WEIGHT_FILE_NAME"),
+        cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon"))
+      val filtered = applyFilter(base)
+      cfg.get("WEIGHT_FUNCTION") match {
+        case Some(f) => filtered.withColumn("weight_function", WeightExpr.compile(f))
+        case None => filtered
+      }
+    }
+
+    def applyFilter(df: DataFrame): DataFrame = cfg.get("FILTER_ATTR") match {
+      case Some(attr) =>
+        Filters.filterSpec(df, Seq(Filters.AttrCond(attr,
+          discrete = cfg.getOrElse("FILTER_TYPE", "DISCRETE") == "DISCRETE",
+          include = cfg.get("FILTER_INCLUDE").map(_.split(",").toSeq).getOrElse(Nil),
+          exclude = cfg.get("FILTER_EXCLUDE").map(_.split(",").toSeq).getOrElse(Nil))))
+      case None => df
+    }
+
+    val result: Option[DataFrame] = req("MIMS_PROCESSING") match {
+      case "SURROGATE" =>
+        val counties = spark.read.parquet(req("DATA_FILE_NAME"))
+          .withColumnRenamed(cfg.getOrElse("DATA_ID_ATTR", "fips"), "fips")
+        val code = cfg.getOrElse("SURROGATE_ID", "100").toInt
+        val thr = cfg.getOrElse("DENOMINATOR_THRESHOLD", "0.00001").toDouble
+        val weight = cfg.get("WEIGHT_FUNCTION").map(_ => "weight_function")
+          .orElse(cfg.get("WEIGHT_ATTR_LIST").map(_.split(",").head.trim)
+            .filter(_ != "NONE"))
+        val w = weightLayer()
+        val srg = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon") match {
+          case "Point" =>
+            Surrogate.pointSurrogate(w, counties, grid(), domain, zres, code,
+              weight, thr)
+          case "Line" =>
+            Surrogate.lineSurrogate(w, counties, grid(), domain, zres, code,
+              weight, thr)
+          case _ =>
+            Surrogate.polySurrogate(w, counties, grid(), domain, zres, code,
+              weight, thr)
+        }
+        cfg.get("SURROGATE_FILE").foreach { out =>
+          Smoke.write(srg, grid(), Smoke.ProjInfo(), out,
+            withQa = cfg.getOrElse("WRITE_QASUM", "YES") == "YES")
+        }
+        Some(srg)
+
+      case "ALLOCATE" =>
+        val input = applyFilter(readLayer(req("INPUT_FILE_NAME"),
+          cfg.getOrElse("INPUT_FILE_TYPE", "Polygon")))
+        val output = spark.read.parquet(req("OUTPUT_POLY_FILE"))
+          .withColumnRenamed(cfg.getOrElse("OUTPUT_POLY_ATTRS", "out_id"), "out_id")
+        val modes = req("ALLOCATE_ATTRS").split(",").map { kv =>
+          val Array(a, m) = kv.trim.split("=")
+          a -> (m match {
+            case "Aggregate" => Allocate.Aggregate
+            case "Average" => Allocate.Average
+            case "DiscreteOverlap" => Allocate.DiscreteOverlap
+            case "DiscreteCentroid" => Allocate.DiscreteCentroid
+            case other => throw new IllegalArgumentException(s"mode $other")
+          })
+        }.toSeq
+        val out = Allocate.allocate(input, output, modes, domain, zres)
+        cfg.get("OUTPUT_FILE_NAME").foreach(p =>
+          out.coalesce(1).write.mode("overwrite").parquet(p))
+        Some(out)
+
+      case "OVERLAY" =>
+        val input = readLayer(req("INPUT_FILE_NAME"),
+          cfg.getOrElse("INPUT_FILE_TYPE", "Point"))
+        val mask = cfg.get("OVERLAY_SHAPE") match {
+          case Some(p) if p.count(_ == ',') == 3 => // BoundingBox literal
+            Sources.boundingBox(spark, p)
+          case Some(p) => spark.read.parquet(p)
+          case None => throw new IllegalArgumentException("OVERLAY_SHAPE not set")
+        }
+        val out = cfg.getOrElse("INPUT_FILE_TYPE", "Point") match {
+          case "Point" => SpatialJoin.overlayPoints(input, mask, domain, zres)
+          case "Line" => SpatialJoin.overlayLines(input, mask, domain, zres)
+          case _ => SpatialJoin.overlayPolys(input, mask, domain, zres)
+        }
+        val selected = cfg.get("OVERLAY_ATTRS").filter(_ != "ALL")
+          .map(a => out.select(a.split(",").map(_.trim).map(col): _*))
+          .getOrElse(out)
+        cfg.get("OUTPUT_FILE_NAME").foreach(p =>
+          selected.coalesce(1).write.mode("overwrite")
+            .option("header", "true").csv(p))
+        Some(selected)
+
+      case "FILTER_SHAPE" =>
+        val input = readLayer(req("INPUT_FILE_NAME"),
+          cfg.getOrElse("INPUT_FILE_TYPE", "Polygon"))
+        val out = applyFilter(input)
+        cfg.get("OUTPUT_FILE_NAME").foreach(p =>
+          out.write.mode("overwrite").parquet(p))
+        Some(out)
+
+      case "CONVERT_SHAPE" =>
+        val input = readLayer(req("INPUT_FILE_NAME"),
+          cfg.getOrElse("INPUT_FILE_TYPE", "Polygon"))
+        val from = projOf(cfg.getOrElse("INPUT_FILE_MAP_PRJN", "latlon"))
+        val to = projOf(cfg.getOrElse("OUTPUT_FILE_MAP_PRJN", "latlon"))
+        val maxSeg = cfg.getOrElse("MAX_LINE_SEG", "0").toDouble
+        val out = cfg.getOrElse("INPUT_FILE_TYPE", "Polygon") match {
+          case "Point" => Reproject.points(input, from, to)
+          case "Line" => Reproject.lines(input, from, to, maxSeg)
+          case _ => Reproject.polygons(input, from, to, maxSeg)
+        }
+        cfg.get("OUTPUT_FILE_NAME").foreach(p =>
+          out.write.mode("overwrite").parquet(p))
+        Some(out)
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown MIMS_PROCESSING=$other")
+    }
+    result
+  }
+
+  /** "+proj=lcc,+lat_1=33,+lat_2=45,+lat_0=40,+lon_0=-97"-style minimal
+    * PROJ-ish spec (subset the engine implements). */
+  def projOf(spec: String): Proj = {
+    val kv = spec.split(",").map(_.trim.stripPrefix("+"))
+      .filter(_.contains("=")).map { s =>
+        val Array(k, v) = s.split("=", 2); k -> v
+      }.toMap
+    spec.split(",").head.stripPrefix("+proj=") match {
+      case "latlon" | "latlong" => Proj.LatLon
+      case "lcc" => Proj.Lcc(kv("lat_1").toDouble, kv("lat_2").toDouble,
+        kv("lat_0").toDouble, kv("lon_0").toDouble)
+      case "merc" => Proj.Mercator(kv.getOrElse("lon_0", "0").toDouble)
+      case "tmerc" => Proj.Tmerc(kv("lon_0").toDouble)
+      case "utm" => Proj.utmZone(kv("zone").toInt)
+      case p if p == "latlon" => Proj.LatLon
+      case other => throw new IllegalArgumentException(s"unsupported proj $other")
+    }
+  }
+}

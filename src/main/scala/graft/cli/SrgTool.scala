@@ -1,0 +1,113 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.concurrent.{Await, Future, ExecutionContext}
+import scala.concurrent.duration.Duration
+import graft.cells.CellDomain
+import graft.grid.GridSpec
+import graft.operators.{Surrogate, PostOps}
+import graft.io.Smoke
+
+/** The Java SurrogateTool meta-pipeline (SurrogateTool.java:33;
+  * SA_ch05_surrogate.md:94-138) as a library driver: a catalog of surrogate
+  * specs runs CONCURRENTLY on the Spark scheduler (the reference forks one
+  * srgcreate process per core — here each spec is a job submitted from its
+  * own thread; fair scheduling interleaves them), then merge / gapfill /
+  * normalize / QA post-passes, SMOKE files and an SRGDESC index. */
+object SrgTool {
+
+  sealed trait WeightKind
+  case object PointW extends WeightKind
+  case object LineW extends WeightKind
+  case object PolyW extends WeightKind
+
+  /** One generation row of the tool's surrogate-specification CSV. */
+  final case class SrgSpec(code: Int, name: String, kind: WeightKind,
+                           weights: DataFrame, weightAttr: Option[String] = None)
+
+  final case class MergeSpec(outCode: Int, name: String,
+                             a: Int, fa: Double, b: Int, fb: Double)
+  final case class GapfillSpec(outCode: Int, name: String, cascade: Seq[Int])
+
+  final case class Result(srg: Map[Int, DataFrame], qaSummary: DataFrame,
+                          qaNot1: DataFrame, srgdesc: Seq[(Int, String, String)])
+
+  /** Run the whole catalog. Returns per-code surrogate tables + QA reports;
+    * writes SMOKE text + SRGDESC when outDir is given. */
+  def run(spark: SparkSession, counties: DataFrame, grid: GridSpec,
+          domain: CellDomain, res: Int,
+          specs: Seq[SrgSpec],
+          merges: Seq[MergeSpec] = Nil,
+          gapfills: Seq[GapfillSpec] = Nil,
+          normalizeTol: Double = 1e-6,
+          outDir: Option[String] = None): Result = {
+
+    // generation: one Spark job chain per spec, submitted concurrently
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val generated: Map[Int, DataFrame] = Await.result(
+      Future.traverse(specs) { s =>
+        Future {
+          val df = s.kind match {
+            case PointW => Surrogate.pointSurrogate(s.weights, counties,
+              grid, domain, res, s.code, s.weightAttr)
+            case LineW => Surrogate.lineSurrogate(s.weights, counties,
+              grid, domain, res, s.code, s.weightAttr)
+            case PolyW => Surrogate.polySurrogate(s.weights, counties,
+              grid, domain, res, s.code, s.weightAttr)
+          }
+          s.code -> df
+        }
+      }, Duration.Inf).toMap
+
+    // post-passes over generated tables
+    val merged = merges.map { m =>
+      m.outCode -> PostOps.merge(generated(m.a), generated(m.b), m.fa, m.fb,
+        m.outCode)
+    }.toMap
+    val all0 = generated ++ merged
+    val filled = gapfills.map { g =>
+      g.outCode -> PostOps.gapfill(g.cascade.map(all0), g.outCode)
+    }.toMap
+    val all = all0 ++ filled
+
+    val normalized = all.map { case (code, df) =>
+      code -> PostOps.normalize(df, normalizeTol)
+    }
+
+    // QA over every table that has frac
+    val union = normalized.values
+      .map(_.select("srg_code", "fips", "col", "row", "frac"))
+      .reduce(_ unionByName _)
+    val qaSum = PostOps.qaSummary(union)
+    val qaNot1 = PostOps.qaNot1(union)
+
+    // sinks: SMOKE per code + SRGDESC index (SA_ch05_surrogate.md:688)
+    val descRows = outDir.map { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      normalized.toSeq.sortBy(_._1).map { case (code, df) =>
+        val name = specs.find(_.code == code).map(_.name)
+          .orElse(merges.find(_.outCode == code).map(_.name))
+          .orElse(gapfills.find(_.outCode == code).map(_.name))
+          .getOrElse(s"srg_$code")
+        val path = s"$dir/srg_$code.txt"
+        // gapfilled/merged tables may lack QA fields — write plain rows then
+        // (the reference's no-QA output mode, surrogate.c:476-519)
+        val hasQa = Seq("numer", "denom", "qasum").forall(df.columns.contains)
+        val full = if (hasQa) df else df
+          .withColumn("numer", lit(0.0)).withColumn("denom", lit(1.0))
+          .withColumn("qasum", lit(0.0))
+        Smoke.write(full, grid, Smoke.ProjInfo(), path, withQa = hasQa)
+        (code, name, path)
+      }
+    }.getOrElse(normalized.keys.toSeq.sorted.map(c => (c, s"srg_$c", "")))
+
+    outDir.foreach { dir =>
+      val lines = "#SRGDESC" +: descRows.map { case (c, n, p) => s"$c,$n,$p" }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/SRGDESC.txt"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+
+    Result(normalized, qaSum, qaNot1, descRows)
+  }
+}

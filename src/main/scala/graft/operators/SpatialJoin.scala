@@ -128,4 +128,54 @@ object SpatialJoin {
         "left_semi")
       .drop("__cell")
   }
+
+  /** OVERLAY for polygon/line inputs. The reference UNIONS the mask's
+    * polygons into one region and tests every input against it
+    * (polyUnion, mims_spatial.c:491) — masks are dimension-sized by
+    * contract, so the region ships to executors inside the filter closure
+    * (a broadcast scalar, no join, no shuffle); a bbox pretest guards the
+    * exact kernel. Output = input rows (attributes) only, like
+    * reportOverlays. */
+  private def collectMask(mask: DataFrame, geom: String): Array[Array[Array[Double]]] =
+    mask.select(col(geom)).collect().map(
+      _.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+        .map(_.toArray).toArray)
+
+  def overlayPolys(polys: DataFrame, mask: DataFrame,
+                   domain: CellDomain, res: Int,
+                   geom: String = "geom"): DataFrame = {
+    val region = collectMask(mask, geom)
+    val bboxes = region.map(graft.geom.Geo.bboxOfPolygon)
+    val hits = udf((rings: Seq[Seq[Double]]) => {
+      val g = rings.map(_.toArray).toArray
+      val b = graft.geom.Geo.bboxOfPolygon(g)
+      var i = 0; var found = false
+      while (i < region.length && !found) {
+        found = bboxes(i).intersects(b) &&
+          graft.geom.Clip.polyPolyClipArea(g, region(i)) > 0
+        i += 1
+      }
+      found
+    })
+    polys.where(hits(col(geom)))
+  }
+
+  def overlayLines(lines: DataFrame, mask: DataFrame,
+                   domain: CellDomain, res: Int,
+                   lineCol: String = "line", geom: String = "geom"): DataFrame = {
+    val region = collectMask(mask, geom)
+    val bboxes = region.map(graft.geom.Geo.bboxOfPolygon)
+    val hits = udf((l: Seq[Double]) => {
+      val arr = l.toArray
+      val b = graft.geom.Geo.bboxOfRing(arr)
+      var i = 0; var found = false
+      while (i < region.length && !found) {
+        found = bboxes(i).intersects(b) &&
+          graft.geom.Clip.linePolyClipLength(arr, region(i)) > 0
+        i += 1
+      }
+      found
+    })
+    lines.where(hits(col(lineCol)))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.cli
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.fixtures.TpchGeo
+
+/** End-to-end driver parity: the env-var contract (SpatialAllocator) and the
+  * SurrogateTool meta-pipeline (SrgTool) on fixture layers. */
+class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false").appName("cli-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  test("SpatialAllocator SURROGATE mode matches the direct operator and writes SMOKE") {
+    val dataDir = tmp("cli-data")
+    TpchGeo.counties(spark).write.mode("overwrite").parquet(s"$dataDir/counties")
+    TpchGeo.points(spark, sfDir).write.mode("overwrite").parquet(s"$dataDir/points")
+    val smoke = s"$dataDir/srg100.txt"
+
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "SURROGATE",
+      "OUTPUT_GRID_NAME" -> "TEST8",
+      "DATA_FILE_NAME" -> s"$dataDir/counties",
+      "DATA_ID_ATTR" -> "fips",
+      "WEIGHT_FILE_NAME" -> s"$dataDir/points",
+      "WEIGHT_FILE_TYPE" -> "Point",
+      "SURROGATE_ID" -> "100",
+      "SURROGATE_FILE" -> smoke)).get
+
+    val direct = graft.operators.Surrogate.pointSurrogate(
+      TpchGeo.points(spark, sfDir), TpchGeo.counties(spark),
+      TpchGeo.grid, TpchGeo.domain, TpchGeo.zres, 100)
+    assert(out.collect().map(_.toString).toSeq ==
+           direct.collect().map(_.toString).toSeq)
+
+    val lines = Files.readAllLines(java.nio.file.Paths.get(smoke))
+    assert(lines.get(0).startsWith("#GRID\tTEST8"))
+    assert(lines.size() > 10)
+    // SMOKE round-trip: parse back, frac matches
+    import spark.implicits._
+    val back = graft.io.Smoke.parse(spark,
+      spark.createDataset(scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala.toSeq))
+    assert(back.count() == direct.count())
+  }
+
+  test("SpatialAllocator OVERLAY + FILTER_SHAPE + CONVERT_SHAPE modes run") {
+    val dataDir = tmp("cli-ov")
+    TpchGeo.points(spark, sfDir).write.mode("overwrite").parquet(s"$dataDir/points")
+
+    val ov = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "OVERLAY",
+      "INPUT_FILE_NAME" -> s"$dataDir/points",
+      "INPUT_FILE_TYPE" -> "Point",
+      "OVERLAY_SHAPE" -> "500,500,2500,2500")).get
+    val n = ov.count()
+    assert(n > 0 && n < TpchGeo.points(spark, sfDir).count())
+
+    TpchGeo.counties(spark).write.mode("overwrite").parquet(s"$dataDir/counties")
+    val filt = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "FILTER_SHAPE",
+      "INPUT_FILE_NAME" -> s"$dataDir/counties",
+      "FILTER_ATTR" -> "fips",
+      "FILTER_INCLUDE" -> "4700[1-4]")).get
+    assert(filt.count() == 4)
+
+    val conv = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "CONVERT_SHAPE",
+      "INPUT_FILE_NAME" -> s"$dataDir/points",
+      "INPUT_FILE_TYPE" -> "Point",
+      "INPUT_FILE_MAP_PRJN" -> "latlon",
+      "OUTPUT_FILE_MAP_PRJN" -> "+proj=merc,+lon_0=0")).get
+    assert(conv.count() == TpchGeo.points(spark, sfDir).count())
+  }
+
+  test("SrgTool runs a 3-spec catalog concurrently with post-passes and SRGDESC") {
+    val outDir = tmp("srgtool")
+    val r = SrgTool.run(spark, TpchGeo.counties(spark),
+      TpchGeo.grid, TpchGeo.domain, TpchGeo.zres,
+      specs = Seq(
+        SrgTool.SrgSpec(100, "points", SrgTool.PointW, TpchGeo.points(spark, sfDir)),
+        SrgTool.SrgSpec(120, "tracts", SrgTool.PolyW, TpchGeo.tracts(spark, sfDir),
+          Some("p_size")),
+        SrgTool.SrgSpec(240, "roads", SrgTool.LineW, TpchGeo.roads(spark, sfDir))),
+      merges = Seq(SrgTool.MergeSpec(500, "pop_mix", 100, 0.5, 120, 0.5)),
+      gapfills = Seq(SrgTool.GapfillSpec(600, "filled", Seq(240, 100))),
+      outDir = Some(outDir))
+
+    assert(r.srg.keySet == Set(100, 120, 240, 500, 600))
+    // every normalized county sums to 1 (within normalize tol)
+    r.srg(500).groupBy("fips").agg(sum("frac").as("s")).collect().foreach { row =>
+      assert(math.abs(row.getAs[Double]("s") - 1.0) < 1e-9)
+    }
+    assert(r.qaSummary.columns.toSet.contains("fips"))
+    val desc = Files.readAllLines(java.nio.file.Paths.get(s"$outDir/SRGDESC.txt"))
+    assert(desc.get(0) == "#SRGDESC" && desc.size() == 6)
+    assert(Files.exists(java.nio.file.Paths.get(s"$outDir/srg_500.txt")))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.fixtures.TpchGeo
+import graft.operators.Surrogate
+
+/** Join-strategy invariants: salting and broadcast-vs-shuffle must never
+  * change results — only the physical plan. */
+class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false").appName("sjoin-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def srg(salt: Int) =
+    Surrogate.pointSurrogate(TpchGeo.points(spark, sfDir),
+        TpchGeo.counties(spark), TpchGeo.grid, TpchGeo.domain, TpchGeo.zres,
+        srgCode = 100, saltFactor = salt)
+      .collect().map(_.toString).toSeq
+
+  test("hot-cell salting (saltFactor 4) is result-identical to unsalted") {
+    assert(srg(1) == srg(4))
+  }
+
+  test("shuffle-hash path (broadcastPolys=false) matches broadcast path") {
+    val pts = TpchGeo.points(spark, sfDir)
+    val polys = TpchGeo.counties(spark)
+    val a = SpatialJoin.pointInPoly(pts, polys, TpchGeo.domain, TpchGeo.zres,
+        broadcastPolys = true)
+      .select("o_orderkey", "fips").collect().map(_.toString).sorted.toSeq
+    val b = SpatialJoin.pointInPoly(pts, polys, TpchGeo.domain, TpchGeo.zres,
+        broadcastPolys = false)
+      .select("o_orderkey", "fips").collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("overlayPolys / overlayLines semi-join semantics") {
+    import spark.implicits._
+    val mask = Seq(Tuple1(Seq(Seq(500.0, 500, 2500, 500, 2500, 2500, 500, 2500))))
+      .toDF("geom")
+    // polygons: one inside, one overlapping, one disjoint
+    val polys = Seq(
+      ("in",      Seq(Seq(1000.0, 1000, 1200, 1000, 1200, 1200, 1000, 1200))),
+      ("overlap", Seq(Seq(2400.0, 2400, 2600, 2400, 2600, 2600, 2400, 2600))),
+      ("out",     Seq(Seq(4000.0, 4000, 4200, 4000, 4200, 4200, 4000, 4200)))
+    ).toDF("pid", "geom")
+    val hits = SpatialJoin.overlayPolys(polys, mask, TpchGeo.domain, TpchGeo.zres)
+      .select("pid").collect().map(_.getString(0)).sorted.toSeq
+    assert(hits == Seq("in", "overlap"))
+
+    val lines = Seq(
+      ("cross", Seq(0.0, 1000, 3000, 1000)),
+      ("miss",  Seq(0.0, 4000, 3000, 4000))
+    ).toDF("lid", "line")
+    val lhits = SpatialJoin.overlayLines(lines, mask, TpchGeo.domain, TpchGeo.zres)
+      .select("lid").collect().map(_.getString(0)).toSeq
+    assert(lhits == Seq("cross"))
+  }
+}
