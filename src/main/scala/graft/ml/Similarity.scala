@@ -142,6 +142,48 @@ object Similarity {
     best
   })
 
+  /** IVF-style ANN top-k: corpus vectors bucketed by nearest pseudo-centroid
+    * (one pass, no training); each query probes its `nprobe` nearest
+    * centroids' lists only — the cross-join shrinks |Q|×|C| →
+    * |Q|×(nprobe/nlist)·|C| on average. Bucketing is an equi-join on the
+    * centroid id, so the probe is a hash join, not a nested loop. */
+  def annIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val dim = 0 // centroids are derived per-dimension from hashes; dim-free
+    val assignC = ivfAssignUdf(nlist, dim)
+    val probeUdf = udf((v: Seq[Float]) => ivfProbes(floats(v), nlist, nprobe))
+    val cB = corpus.withColumn("__list", assignC(col("cvec")))
+    val qB = queries.withColumn("__list", explode(probeUdf(col("qvec"))))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    qB.join(cB, Seq("__list"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("cos", cosineUdf(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
+  /** The query's nprobe nearest pseudo-centroids (same centroid derivation
+    * as ivfAssignUdf). */
+  private def ivfProbes(v: Array[Float], nlist: Int, nprobe: Int): Array[Int] = {
+    val d2 = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = TextHash.mix64((c.toLong << 32) ^ i.toLong)
+        val cent = (h >> 11).toDouble / (1L << 52).toDouble
+        val diff = v(i) - cent
+        d += diff * diff
+        i += 1
+      }
+      d2(c) = d
+      c += 1
+    }
+    d2.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2)
+  }
+
   /** Embedding near-duplicate pairs: cos ≥ tau via LSH candidates +
     * exact verification (the embedding-cosine near-dup dedup mode). */
   def embeddingNearDupPairs(df: DataFrame, tau: Double,
