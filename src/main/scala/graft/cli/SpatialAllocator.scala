@@ -151,9 +151,17 @@ object SpatialAllocator {
           case "Line" => SpatialJoin.overlayLines(input, mask, domain, zres)
           case _ => SpatialJoin.overlayPolys(input, mask, domain, zres)
         }
+        // OVERLAY_OUT_CELLID (overlay.c:155-190): append grid COL/ROW
+        val withCell =
+          if (cfg.getOrElse("OVERLAY_OUT_CELLID", "NO") == "YES") {
+            import graft.spark.GeoFunctions._
+            val g = grid()
+            out.withColumn("COL", gridCol(col("x"), g))
+              .withColumn("ROW", gridRow(col("y"), g))
+          } else out
         val selected = cfg.get("OVERLAY_ATTRS").filter(_ != "ALL")
-          .map(a => out.select(a.split(",").map(_.trim).map(col): _*))
-          .getOrElse(out)
+          .map(a => withCell.select(a.split(",").map(_.trim).map(col): _*))
+          .getOrElse(withCell)
         cfg.get("OUTPUT_FILE_NAME").foreach(p =>
           selected.coalesce(1).write.mode("overwrite")
             .option("header", "true").csv(p))

@@ -32,6 +32,19 @@ class GeomSpec extends AnyFunSuite {
     assert(lineLength(Array(1, 1)) == 0.0) // degenerate
   }
 
+  test("great-circle length (USE_CURVED_LINES=YES, polyops.c:440-474)") {
+    // one degree of longitude along the equator on the reference sphere
+    val oneDeg = greatCircleLength(Array(0, 0, 1, 0))
+    assert(math.abs(oneDeg - 2 * math.Pi * 6370997.0 / 360) < 1e-6)
+    // quarter meridian: equator to pole
+    val quarter = greatCircleLength(Array(10, 0, 10, 90))
+    assert(math.abs(quarter - 2 * math.Pi * 6370997.0 / 4) < 1e-6)
+    // curved ≥ planar chord never holds in degrees-space, but additivity does
+    val ab = greatCircleLength(Array(0, 0, 5, 5))
+    val abc = greatCircleLength(Array(0, 0, 5, 5, 10, 10))
+    assert(abc > ab)
+  }
+
   test("vertex-mean centroid excludes closing duplicate (centroid.c:78-105)") {
     val (cx, cy) = vertexMeanCentroid(Array(Array(0, 0, 10, 0, 10, 10, 0, 10, 0, 0)))
     assert(cx == 5.0 && cy == 5.0)
