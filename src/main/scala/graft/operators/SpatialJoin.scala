@@ -71,13 +71,16 @@ object SpatialJoin {
                         aGeom: String = "geom", bGeom: String = "bgeom",
                         broadcastB: Boolean = true,
                         keepFragGeom: Boolean = true): DataFrame = {
-    val aE = a.withColumn("__cell", explode(polyCoverCells(col(aGeom), domain, res)))
-    val bE0 = b.withColumn("__cell", explode(polyCoverCells(col(bGeom), domain, res)))
+    // bboxes once per ROW; the per-PAIR canonical test is column arithmetic
+    val aE = a.withColumn("__abb", polyBBoxUdf(col(aGeom)))
+      .withColumn("__cell", explode(polyCoverCells(col(aGeom), domain, res)))
+    val bE0 = b.withColumn("__bbb", polyBBoxUdf(col(bGeom)))
+      .withColumn("__cell", explode(polyCoverCells(col(bGeom), domain, res)))
     val bE = if (broadcastB) broadcast(bE0) else bE0
     val paired = aE.join(bE, Seq("__cell"))
       // reference-point rule: keep each (a,b) pair in exactly one cell
-      .where(isCanonicalCell(col(aGeom), col(bGeom), col("__cell"), domain, res))
-      .drop("__cell")
+      .where(isCanonicalCellBB(col("__abb"), col("__bbb"), col("__cell"), domain, res))
+      .drop("__cell", "__abb", "__bbb")
     val withFrag = paired
       .withColumn("frag_geom", polyClipGeomUdf(col(aGeom), col(bGeom)))
       .where(size(col("frag_geom")) > 0)
@@ -93,13 +96,14 @@ object SpatialJoin {
                         domain: CellDomain, res: Int,
                         lineCol: String = "line", geom: String = "geom",
                         broadcastPolys: Boolean = true): DataFrame = {
-    val lE = lines.withColumn("__cell", explode(lineCoverCells(col(lineCol), domain, res)))
-    val pE0 = polys.withColumn("__cell", explode(polyCoverCells(col(geom), domain, res)))
+    val lE = lines.withColumn("__lbb", lineBBoxUdf(col(lineCol)))
+      .withColumn("__cell", explode(lineCoverCells(col(lineCol), domain, res)))
+    val pE0 = polys.withColumn("__pbb", polyBBoxUdf(col(geom)))
+      .withColumn("__cell", explode(polyCoverCells(col(geom), domain, res)))
     val pE = if (broadcastPolys) broadcast(pE0) else pE0
-    val lineAsPoly = udf((l: Seq[Double]) => Seq(l)) // bbox-compatible wrapper
     val paired = lE.join(pE, Seq("__cell"))
-      .where(isCanonicalCell(lineAsPoly(col(lineCol)), col(geom), col("__cell"), domain, res))
-      .drop("__cell")
+      .where(isCanonicalCellBB(col("__lbb"), col("__pbb"), col("__cell"), domain, res))
+      .drop("__cell", "__lbb", "__pbb")
     paired
       .withColumn("frag_line", linePolyClipSegsUdf(col(lineCol), col(geom)))
       .where(size(col("frag_line")) > 0)

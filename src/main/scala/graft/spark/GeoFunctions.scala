@@ -56,12 +56,11 @@ object GeoFunctions {
   }
 
   /** Geometry (polygon rings) → covering Z-cells; explode() this to build
-    * the equi-join key (the scalable replacement for OVERLAP2 bbox loops). */
-  def polyCoverCells(geom: Column, d: CellDomain, res: Int): Column = {
-    val f = udf((rings: Seq[Seq[Double]]) =>
-      CellIndex.coverCells(Geo.bboxOfPolygon(rings.map(_.toArray).toArray), d, res))
-    f(geom)
-  }
+    * the equi-join key (the scalable replacement for OVERLAP2 bbox loops).
+    * Native codegen expression over raw ArrayData. */
+  def polyCoverCells(geom: Column, d: CellDomain, res: Int): Column =
+    exprCol(graft.spark.expressions.CoverCellsExpr(
+      exprOf(geom), d.xmin, d.ymin, d.xmax, d.ymax, res))
 
   def lineCoverCells(line: Column, d: CellDomain, res: Int): Column = {
     val f = udf((l: Seq[Double]) =>
@@ -145,10 +144,26 @@ object GeoFunctions {
     Array(b.xmin, b.ymin, b.xmax, b.ymax)
   })
 
+  /** bbox column of a polyline. */
+  val lineBBoxUdf = udf((l: Seq[Double]) => {
+    val b = Geo.bboxOfRing(l.toArray)
+    Array(b.xmin, b.ymin, b.xmax, b.ymax)
+  })
+
   /** Reference-point pair dedup for cell-cover joins: true only in the one
     * canonical cell containing (max(xmins), max(ymins)) of the two bboxes —
     * each intersecting pair is kept exactly once with NO dropDuplicates
-    * shuffle (standard PBSM/reference-point technique). */
+    * shuffle (standard PBSM/reference-point technique).
+    *
+    * Takes PRECOMPUTED bbox columns ([xmin,ymin,xmax,ymax], one scan per
+    * ROW, via polyBBoxUdf) so the per-candidate-PAIR test is pure codegen
+    * column arithmetic — no ring scans in the join's inner loop. */
+  def isCanonicalCellBB(aBB: Column, bBB: Column, cell: Column,
+                        d: CellDomain, res: Int): Column =
+    cellEncode(greatest(aBB.getItem(0), bBB.getItem(0)),
+               greatest(aBB.getItem(1), bBB.getItem(1)), d, res) === cell
+
+  /** Ring-scanning variant kept for call sites without bbox columns. */
   def isCanonicalCell(aGeom: Column, bGeom: Column, cell: Column,
                       d: CellDomain, res: Int): Column = {
     val f = udf((a: Seq[Seq[Double]], b: Seq[Seq[Double]], c: Long) => {
