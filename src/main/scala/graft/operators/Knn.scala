@@ -24,10 +24,15 @@ import graft.cells.{CellDomain, CellIndex}
 object Knn {
 
   /** queries: (qid, x, y); sites: (sid, sx, sy). Output: (qid, sid, dist2,
-    * rank) with rank 1..k by squared distance, ties broken on sid. */
+    * rank) with rank 1..k by squared distance, ties broken on sid.
+    *
+    * initialRadius ≤ 0 → density heuristic: pick the radius whose ring is
+    * expected to hold ~2k sites (one cheap count job), skipping the first
+    * few doubling passes — each pass is a full distributed join, so starting
+    * near the answer matters more as k grows. */
   def knnJoin(queries: DataFrame, sites: DataFrame, k: Int,
               domain: CellDomain, res: Int,
-              initialRadius: Int = 1, maxRadius: Int = 1 << 10): DataFrame = {
+              initialRadius: Int = 0, maxRadius: Int = 1 << 10): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
@@ -35,9 +40,20 @@ object Knn {
       .withColumn("__cell", udf((x: Double, y: Double) =>
         CellIndex.encode(x, y, domain, res)).apply(col("sx"), col("sy")))
 
+    val startRadius =
+      if (initialRadius > 0) initialRadius
+      else {
+        val nSites = math.max(1L, sites.count())
+        val cells = (1L << res) * (1L << res)
+        val perCell = nSites.toDouble / cells
+        // (2r+1)² cells should hold ~2k sites
+        val r = math.ceil((math.sqrt(2.0 * k / math.max(perCell, 1e-12)) - 1) / 2).toInt
+        math.max(1, math.min(r, maxRadius))
+      }
+
     var remaining = queries
     var acc: DataFrame = null
-    var radius = initialRadius
+    var radius = startRadius
     // cell edge length in domain units at this resolution
     val cellEdge = math.min(domain.width, domain.height) / (1L << res)
 
