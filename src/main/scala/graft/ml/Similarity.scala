@@ -40,16 +40,73 @@ object Similarity {
     math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
   })
 
+  /** Shared cosine kernel — fixed sequential order, bit-stable. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+  }
+
   /** Brute-force cosine top-k: queries (qid, qvec) × corpus (cid, cvec).
-    * Queries broadcast; corpus streams — one pass over the corpus however
-    * large, k results per query via windowed top-k with deterministic
-    * tie-break. */
+    * The probe set is small by contract: it ships to executors in the task
+    * closure; the corpus streams ONCE through mapPartitions keeping a
+    * bounded k-heap per query (≤ |Q|·k rows leave each partition — no
+    * |Q|×|C| intermediate exists anywhere), then a final windowed top-k
+    * merges the per-partition candidates. Deterministic tie-break
+    * (cos desc, cid asc) throughout. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .where(col("qid") =!= col("cid"))
-      .withColumn("cos", cosineUdf(col("qvec"), col("cvec")))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("qvec"))
+      .collect().map(r => (r.getLong(0), floats(r.getSeq[Float](1))))
+      .sortBy(_._1)
+
+    val partials = corpus
+      .select(col("cid").cast("long"), col("cvec"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        // per-query heap of the k best; head = WORST under (cos desc, cid
+        // asc), i.e. max of (-cos, cid) — O(log k) replace
+        implicit val dord: Ordering[Double] = Ordering.Double.TotalOrdering
+        val ord = Ordering.by[(Double, Long), (Double, Long)] {
+          case (cos, cid) => (-cos, cid)
+        }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        rows.foreach { case (cid, cvecSeq) =>
+          val cvec = floats(cvecSeq)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qvec) = qs(qi)
+            if (qid != cid) {
+              val cos = cosine(qvec, cvec)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cos, cid))
+              else {
+                val (wc, wid) = h.head
+                if (cos > wc || (cos == wc && cid < wid)) {
+                  h.dequeue(); h.enqueue((cos, cid))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cos, cid) => (qs(qi)._1, cid, cos) }
+        }
+      }
+      .toDF("qid", "cid", "cos")
+
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    joined.withColumn("rank", row_number().over(w))
+    partials.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("qid", "cid", "cos", "rank")
   }
