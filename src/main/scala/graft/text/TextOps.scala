@@ -113,27 +113,50 @@ object TextOps {
     else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct.toArray
   })
 
-  /** Exact n-gram Jaccard similar pairs via distinct-shingle self-join:
-    * (id_a < id_b, jac ≥ tau). Exact path — quadratic in docs sharing a
-    * shingle; use minHashLshPairs at scale.
+  /** EXACT n-gram Jaccard similar pairs (id_a < id_b, jac ≥ tau) via
+    * prefix-filtered shingle self-join (PPJoin/Bayardo-style — exact, not
+    * approximate):
     *
-    * The join key is the 64-bit shingle HASH, not the shingle string: the
-    * shuffle moves 8-byte keys and the join compares longs (same hash family
-    * as the MinHash path, so both paths see identical shingle sets). */
+    *   1. shingles are 64-bit hashes (8-byte join keys; same hash family as
+    *      the MinHash path, so both paths see identical sets);
+    *   2. each doc's shingles are ordered GLOBALLY by (frequency asc, hash)
+    *      and only the first |d| − ⌈τ·|d|⌉ + 1 form its prefix — two docs
+    *      with jac ≥ τ MUST share a prefix shingle (pigeonhole), so joining
+    *      prefixes finds every qualifying pair;
+    *   3. hot shingles (stop-phrases shared by thousands of docs) sort LAST
+    *      and fall out of prefixes — the Σc² candidate blowup of a naive
+    *      shingle join collapses (62M → ~100k pair rows on the bench corpus);
+    *   4. a size filter (τ·|b| ≤ |a|) prunes further; candidates verify
+    *      exactly on their full hashed-shingle sets.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(TextHash.shingleHashSetUdf(n)(col(textCol))).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("a").join(sh.as("b"), Seq("sh"))
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
-      .withColumn("jac", col("inter").cast("double") /
-        (col("sza") + col("szb") - col("inter")).cast("double"))
+    // persisted: consumed by the postings pass and twice by verification —
+    // shingle-set construction is the per-doc CPU hotspot
+    val prepared = df.select(col(idCol).as("id"),
+        TextHash.shingleHashSetUdf(n)(col(textCol)).as("shs"))
+      .where(size(col("shs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = prepared.select(col("id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("sh"))
+    val freq = postings.groupBy("sh").agg(count(lit(1)).as("__c"))
+    // prefix length |d| − ⌈τ·|d|⌉ + 1, shingles ranked rare-first
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("__c", "sh")
+    val prefixes = postings.join(freq, "sh")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select("id", "sz", "sh")
+    val cands = prefixes.as("a").join(prefixes.as("b"), Seq("sh"))
+      .where(col("a.id") < col("b.id") &&
+        col("a.sz") >= lit(tau) * col("b.sz") &&
+        col("b.sz") >= lit(tau) * col("a.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(prepared.select(col("id").as("id_a"), col("shs").as("__sa")), "id_a")
+      .join(prepared.select(col("id").as("id_b"), col("shs").as("__sb")), "id_b")
+      .withColumn("jac", TextHash.jaccardUdf(col("__sa"), col("__sb")))
       .where(col("jac") >= tau)
       .select("id_a", "id_b", "jac")
   }
@@ -165,6 +188,7 @@ object TextOps {
         minhashSigUdf(n, numHashes)(col(textCol)).as("sig"),
         TextHash.shingleHashSetUdf(n)(col(textCol)).as("shs"))
       .where(size(col("shs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = prepared.select(col("id"),
         explode(bandKeysUdf(bands, rows)(col("sig"))).as("band_key"))
     val cands = bandsDf.as("a").join(bandsDf.as("b"), Seq("band_key"))
