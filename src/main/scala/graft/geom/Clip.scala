@@ -215,13 +215,33 @@ object Clip {
     gf.createPolygon(shell, holes)
   }
 
+  /** True when the polygon is a single axis-aligned rectangle ring (every
+    * vertex on a corner of its own bbox, ≥2 distinct corners per axis) — the
+    * common shape of admin tiles, grid cells, and bbox masks. */
+  def isAxisRect(g: Array[Array[Double]], b: BBox): Boolean = {
+    if (g.length != 1) return false
+    val ring = g(0)
+    val n = ring.length / 2
+    if (n < 4 || n > 5) return false // closed duplicate tolerated
+    if (b.xmin == b.xmax || b.ymin == b.ymax) return false
+    var i = 0
+    while (i < n) {
+      val x = ring(2 * i); val y = ring(2 * i + 1)
+      if ((x != b.xmin && x != b.xmax) || (y != b.ymin && y != b.ymax)) return false
+      i += 1
+    }
+    true
+  }
+
   /** Area of A ∩ B for arbitrary polygons-with-holes (replaces GPC Vatti,
-    * gpc.c:1117). Skips the expensive intersection when one bbox is disjoint
-    * or A is entirely covered (the PG covered-by shortcut,
-    * template_polygon_noFF_withWA.csh:39-49). */
+    * gpc.c:1117). Fast paths: disjoint bboxes; either side an axis-aligned
+    * rectangle (Sutherland–Hodgman, no JTS objects); covered-by shortcut
+    * (the PG trick, template_polygon_noFF_withWA.csh:39-49). */
   def polyPolyClipArea(a: Array[Array[Double]], b: Array[Array[Double]]): Double = {
     val ba = Geo.bboxOfPolygon(a); val bb = Geo.bboxOfPolygon(b)
     if (!ba.intersects(bb)) return 0.0
+    if (isAxisRect(b, bb)) return polygonRectClipArea(a, bb)
+    if (isAxisRect(a, ba)) return polygonRectClipArea(b, ba)
     val ja = toJts(a); val jb = toJts(b)
     if (jb.covers(ja)) ja.getArea
     else if (ja.covers(jb)) jb.getArea
@@ -230,10 +250,15 @@ object Clip {
 
   /** A ∩ B as ring arrays (multipolygon flattened: each outer ring CCW
     * followed by its holes CW — compatible with Geo.polygonArea /
-    * pointInPolygon parity semantics). Empty when disjoint. */
+    * pointInPolygon parity semantics). Empty when disjoint. Rect sides take
+    * the Sutherland–Hodgman path (winding preserved, holes stay holes). */
   def polyPolyClip(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
     val ba = Geo.bboxOfPolygon(a); val bb = Geo.bboxOfPolygon(b)
     if (!ba.intersects(bb)) return Array.empty
+    if (isAxisRect(b, bb))
+      return a.map(r => clipRingRect(r, bb)).filter(_.length >= 6)
+    if (isAxisRect(a, ba))
+      return b.map(r => clipRingRect(r, ba)).filter(_.length >= 6)
     val ja = toJts(a); val jb = toJts(b)
     val res = if (jb.covers(ja)) ja else if (ja.covers(jb)) jb else ja.intersection(jb)
     fromJts(res)
