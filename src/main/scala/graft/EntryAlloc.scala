@@ -61,6 +61,26 @@ object EntryAlloc {
         .orderBy("fips")
     }),
 
+    // PolyMShapeInOne (PolyMShapeInOne.c:30-300): multi-record features
+    // sharing an id merge into one multipolygon; per-feature ring count and
+    // exact area (distinct disjoint rects → closed-form oracle)
+    "q35_multipart" -> ((s, dir) => {
+      import graft.spark.GeoFunctions.polygonAreaUdf
+      TpchGeo.tracts(s, dir)
+        .select(col("p_size"), col("geom").getItem(0).as("ring"))
+        .groupBy("p_size")
+        .agg(array_sort(collect_set(col("ring"))).as("geom"))
+        .select(col("p_size"), size(col("geom")).as("n_rings"),
+          polygonAreaUdf(col("geom")).as("area"))
+        .orderBy("p_size")
+    }),
+
+    // QA threshold report (qa/Threshold.java:9): rows with frac ≥ 0.5
+    "q36_qa_threshold" -> ((s, dir) =>
+      PostOps.qaThreshold(
+        Surrogate.pointSurrogate(TpchGeo.points(s, dir), TpchGeo.counties(s),
+          grid, domain, zres, 100), t = 0.05)),
+
     // diffsurr: srg120 vs merged(500) — missing sides + out-of-tol rows
     "q33_diffsurr" -> ((s, dir) => {
       val a = Surrogate.polySurrogate(TpchGeo.tracts(s, dir),
@@ -112,6 +132,19 @@ object EntryAlloc {
 
     "q32_srg_weight_fun" ->
       SparkEntry.srgAreaStmtFor(130, "(3*p_size - p_size/2) + 128"),
+
+    "q35_multipart" ->
+      s"""WITH tr AS (${TpchGeo.tractsSql})
+         |SELECT p_size,
+         |  CAST(count(DISTINCT (tx0, ty0)) AS INT) AS n_rings,
+         |  count(DISTINCT (tx0, ty0)) * 262144.0 AS area
+         |FROM tr GROUP BY p_size ORDER BY p_size""".stripMargin,
+
+    "q36_qa_threshold" ->
+      s"""SELECT CAST(srg_code AS INT) AS srg_code, fips, col, "row", frac
+         |FROM (${SparkEntry.srgPointStmt})
+         |WHERE frac >= 0.05
+         |ORDER BY srg_code, fips, "row", col""".stripMargin,
 
     "q33_diffsurr" ->
       s"""SELECT coalesce(a.fips, b.fips) AS fips,
