@@ -57,6 +57,10 @@ object ScalingBench {
         val pagesIn = spark.read.parquet(tableDir).count().toDouble // warmup
         job(spark, tableDir).count()                                // warmup
         val times = (1 to iters).map { _ =>
+          // the surrogate operator persists its sparse per-cell matrix; a
+          // repeat run would hit the cache and measure nothing — clear it so
+          // every timed run recomputes the full pipeline
+          spark.sharedState.cacheManager.clearCache()
           val t0 = System.nanoTime()
           job(spark, tableDir).count()
           (System.nanoTime() - t0) / 1e9
