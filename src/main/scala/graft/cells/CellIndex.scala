@@ -98,6 +98,28 @@ object CellIndex {
     } yield (res.toLong << 58) | interleave(ix, iy)
   }
 
+  /** Adaptive cover: the cells of the COARSEST resolution ≤ maxRes at which
+    * the bbox covers at most `maxCells` cells (S2-style covering). Huge
+    * geometries emit a few coarse cells instead of thousands of fine ones —
+    * bounding the explode factor of mixed-size layers; tiny geometries keep
+    * maxRes selectivity. Ids carry their resolution, so multi-resolution
+    * joins stay plain equi-joins (probes enumerate ancestor levels). */
+  def adaptiveCover(b: BBox, d: CellDomain, maxRes: Int,
+                    maxCells: Int = 4): IndexedSeq[Long] = {
+    var r = maxRes
+    while (r > 0) {
+      val c = coverCells(b, d, r)
+      if (c.length <= maxCells) return c
+      r -= 1
+    }
+    coverCells(b, d, 0)
+  }
+
+  /** The cell ids of (x, y) at EVERY resolution 0..maxRes — the probe keys
+    * of a multi-resolution join (one per level, maxRes+1 total). */
+  def ancestors(x: Double, y: Double, d: CellDomain, maxRes: Int): Array[Long] =
+    Array.tabulate(maxRes + 1)(r => encode(x, y, d, r))
+
   /** k-ring: all cells within Chebyshev distance k of a cell — the kNN
     * expansion neighborhood (replaces the reference's ANN kd-tree,
     * geo_functions.cpp:3958-4060). */

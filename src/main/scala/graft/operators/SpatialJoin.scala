@@ -59,6 +59,29 @@ object SpatialJoin {
     if (keepGeom) joined else joined.drop(geom)
   }
 
+  /** Multi-resolution variant of pointInPoly for MIXED-SIZE polygon layers
+    * (a continental boundary next to city blocks): each polygon emits its
+    * ADAPTIVE cover (coarse cells when huge — bounded explode factor), each
+    * point probes its ancestor cell at every level; the join stays a plain
+    * equi-join because ids carry their resolution. Same exact kernel. */
+  def pointInPolyAdaptive(points: DataFrame, polys: DataFrame,
+                          domain: CellDomain, maxRes: Int,
+                          x: String = "x", y: String = "y",
+                          geom: String = "geom",
+                          maxCells: Int = 4,
+                          broadcastPolys: Boolean = true,
+                          keepGeom: Boolean = false): DataFrame = {
+    val polysE0 = polys.withColumn("__cell",
+      explode(polyAdaptiveCoverCells(col(geom), domain, maxRes, maxCells)))
+    val polysSide = if (broadcastPolys) broadcast(polysE0) else polysE0
+    val ptsE = points.withColumn("__cell",
+      explode(cellAncestors(col(x), col(y), domain, maxRes)))
+    val joined = ptsE.join(polysSide, Seq("__cell"))
+      .where(containsPoint(col(x), col(y), col(geom)))
+      .drop("__cell")
+    if (keepGeom) joined else joined.drop(geom)
+  }
+
   /** Polygon×polygon join with clipped fragments — the reference's
     * polyIsect for two polygon layers (county×tract). Output: all columns of
     * both sides plus `frag_geom` (clipped rings) and `frag_area`.

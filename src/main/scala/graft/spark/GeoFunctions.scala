@@ -68,6 +68,24 @@ object GeoFunctions {
     f(line)
   }
 
+  /** Adaptive (multi-resolution) cover of a polygon: few coarse cells for
+    * huge geometries, maxRes cells for small ones — bounds the explode
+    * factor on mixed-size layers. Join partner: cellAncestors on points. */
+  def polyAdaptiveCoverCells(geom: Column, d: CellDomain, maxRes: Int,
+                             maxCells: Int = 4): Column = {
+    val f = udf((rings: Seq[Seq[Double]]) =>
+      CellIndex.adaptiveCover(
+        Geo.bboxOfPolygon(rings.map(_.toArray).toArray), d, maxRes, maxCells))
+    f(geom)
+  }
+
+  /** A point's cell id at every resolution 0..maxRes (multi-res probe keys). */
+  def cellAncestors(x: Column, y: Column, d: CellDomain, maxRes: Int): Column = {
+    val f = udf((px: Double, py: Double) =>
+      CellIndex.ancestors(px, py, d, maxRes))
+    f(x, y)
+  }
+
   // --------------------------------------------- exact kernels (UDF tier)
 
   /** Reference-semantics point-in-polygon (EDGE in, VTX excluded, hole

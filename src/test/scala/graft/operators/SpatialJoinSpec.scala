@@ -40,6 +40,31 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
   }
 
+  test("adaptive multi-resolution join matches fixed-res and bounds explode") {
+    import spark.implicits._
+    val pts = TpchGeo.points(spark, sfDir)
+    // mixed-size layer: one huge polygon + the 16 counties
+    val mixed = TpchGeo.counties(spark).unionByName(
+      Seq(("BIG", Seq(Seq(0.0, 0, 8000, 0, 8000, 8000, 0, 8000))))
+        .toDF("fips", "geom"))
+    val fixed = SpatialJoin.pointInPoly(pts, mixed, TpchGeo.domain, TpchGeo.zres)
+      .select("o_orderkey", "fips").collect().map(_.toString).sorted.toSeq
+    val adaptive = SpatialJoin.pointInPolyAdaptive(pts, mixed,
+        TpchGeo.domain, TpchGeo.zres)
+      .select("o_orderkey", "fips").collect().map(_.toString).sorted.toSeq
+    assert(adaptive == fixed && adaptive.nonEmpty)
+
+    // the huge polygon's adaptive cover is tiny; its fixed cover is 256 cells
+    import graft.spark.GeoFunctions._
+    val big = mixed.where($"fips" === "BIG")
+    val nFixed = big.select(explode(polyCoverCells($"geom", TpchGeo.domain,
+      TpchGeo.zres))).count()
+    val nAdaptive = big.select(explode(polyAdaptiveCoverCells($"geom",
+      TpchGeo.domain, TpchGeo.zres))).count()
+    assert(nFixed >= 256 && nAdaptive <= 4,
+      s"fixed=$nFixed adaptive=$nAdaptive")
+  }
+
   test("overlayPolys / overlayLines semi-join semantics") {
     import spark.implicits._
     val mask = Seq(Tuple1(Seq(Seq(500.0, 500, 2500, 500, 2500, 2500, 500, 2500))))
