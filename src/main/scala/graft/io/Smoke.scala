@@ -99,6 +99,23 @@ object Smoke {
       all.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
 
+  /** Distributed SMOKE sink for table-scale output: county-grouped lines
+    * (remainder/skipped logic intact) written as text part files under
+    * `dir/body/`, header in `dir/HEADER`. Counties are range-partitioned so
+    * each part file holds whole counties in (code, fips) order; global file
+    * order across parts follows the partition ranges. Consumers (Smoke.parse,
+    * merge/gapfill tools) are order-independent. */
+  def writeParts(srg: DataFrame, g: GridSpec, p: ProjInfo, dir: String,
+                 withQa: Boolean = true, numParts: Int = 0): Unit = {
+    val parts = if (numParts > 0) numParts
+                else srg.sparkSession.sparkContext.defaultParallelism
+    val ranged = srg.repartitionByRange(parts, col("srg_code"), col("fips"))
+    toLines(ranged, withQa).write.mode("overwrite").text(s"$dir/body")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/HEADER"),
+      (header(g, p) + "\n").getBytes("UTF-8"))
+  }
+
   /** SMOKE source: parse lines back to (srg_code, fips, col, row, frac
     * [, numer, denom, qasum]) — the merge/gapfill tools' input path
     * (merge/SurrogateFileReader.java). #SKIPPED/#REMAINDER/#GRID lines drop. */

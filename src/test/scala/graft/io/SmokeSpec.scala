@@ -46,6 +46,32 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("frac") == 0.5 && r.getAs[Double]("denom") == 10.0)
   }
 
+  test("distributed writeParts round-trips through Smoke.parse") {
+    import spark.implicits._
+    val srg = graft.operators.Surrogate.pointSurrogate(
+      graft.fixtures.TpchGeo.points(spark, "/root/testdata/sf0.001"),
+      graft.fixtures.TpchGeo.counties(spark),
+      graft.fixtures.TpchGeo.grid, graft.fixtures.TpchGeo.domain,
+      graft.fixtures.TpchGeo.zres, 100)
+    val dir = java.nio.file.Files.createTempDirectory("smokeparts").toString
+    Smoke.writeParts(srg, GridCatalog.TEST8, Smoke.ProjInfo(), dir)
+
+    val back = Smoke.parse(spark, spark.read.textFile(s"$dir/body"))
+    assert(back.count() == srg.count())
+    val a = srg.select("srg_code", "fips", "col", "row", "frac")
+      .orderBy("fips", "row", "col").collect().map(_.toString).toSeq
+    // parsed fracs round-trip through %10.8f — compare at that precision
+    val b = back.select("srg_code", "fips", "col", "row", "frac")
+      .orderBy("fips", "row", "col").collect().map(_.toString).toSeq
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.split(",").take(4).sameElements(y.split(",").take(4)), s"$x vs $y")
+    }
+    assert(Smoke.parseHeader(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/HEADER")), "UTF-8").trim)
+      == GridCatalog.TEST8)
+  }
+
   test("write produces a deterministically ordered file") {
     import spark.implicits._
     val srg = Seq(
