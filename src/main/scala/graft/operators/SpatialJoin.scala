@@ -113,6 +113,50 @@ object SpatialJoin {
     if (keepFragGeom) res1 else res1.drop("frag_geom")
   }
 
+  /** Multi-resolution poly×poly fragments for MIXED-SIZE layers: each side
+    * emits its adaptive cover; the A side additionally probes ancestors.
+    * Direction 1 (A probes levels ≤ its own, B builds at its own level)
+    * catches every pair where B is coarser-or-equal; direction 2 (B probes
+    * STRICT ancestors, A builds) catches B-finer pairs — no double count.
+    * Reference-point dedup runs at the matched cell's own resolution.
+    * Output schema matches polyPolyFragments. */
+  def polyPolyFragmentsAdaptive(a: DataFrame, b: DataFrame,
+                                domain: CellDomain, maxRes: Int,
+                                aGeom: String = "geom", bGeom: String = "bgeom",
+                                maxCells: Int = 4,
+                                broadcastB: Boolean = true,
+                                keepFragGeom: Boolean = true): DataFrame = {
+    val aBB = a.withColumn("__abb", polyBBoxUdf(col(aGeom)))
+    val bBB = b.withColumn("__bbb", polyBBoxUdf(col(bGeom)))
+
+    def side(df: DataFrame, geom: String, probe: Boolean, below: Int) =
+      df.withColumn("__cell", explode(
+        if (probe) adaptiveCoverAncestors(col(geom), domain, maxRes, maxCells, below)
+        else polyAdaptiveCoverCells(col(geom), domain, maxRes, maxCells)))
+
+    def direction(aE: DataFrame, bE0: DataFrame) = {
+      val bE = if (broadcastB) broadcast(bE0) else bE0
+      aE.join(bE, Seq("__cell"))
+        .where(isCanonicalCellBBAtCellRes(col("__abb"), col("__bbb"),
+          col("__cell"), domain))
+        .drop("__cell")
+    }
+
+    val paired = direction(side(aBB, aGeom, probe = true, below = 0),
+                           side(bBB, bGeom, probe = false, below = 0))
+      .unionByName(direction(side(aBB, aGeom, probe = false, below = 0),
+                             side(bBB, bGeom, probe = true, below = 1)))
+      .drop("__abb", "__bbb")
+
+    val withFrag = paired
+      .withColumn("frag_geom", polyClipGeomUdf(col(aGeom), col(bGeom)))
+      .where(size(col("frag_geom")) > 0)
+      .withColumn("frag_area", polygonAreaUdf(col("frag_geom")))
+      .where(col("frag_area") > 0)
+    val res1 = withFrag.drop(bGeom)
+    if (keepFragGeom) res1 else res1.drop("frag_geom")
+  }
+
   /** Line×polygon join with clipped sub-segments (intersect.c:274-512).
     * Output: both sides' columns + `frag_line` pieces + `frag_len`. */
   def linePolyFragments(lines: DataFrame, polys: DataFrame,

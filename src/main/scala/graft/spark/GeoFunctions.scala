@@ -86,6 +86,40 @@ object GeoFunctions {
     f(x, y)
   }
 
+  /** All ancestors (levels `lo`..cell's own level − `below`) of every cell in
+    * an adaptive cover — the probe keys of a multi-level polygon join.
+    * below=0 includes the cells themselves; below=1 strict ancestors only. */
+  def adaptiveCoverAncestors(geom: Column, d: CellDomain, maxRes: Int,
+                             maxCells: Int, below: Int): Column = {
+    val f = udf((rings: Seq[Seq[Double]]) => {
+      val cover = CellIndex.adaptiveCover(
+        Geo.bboxOfPolygon(rings.map(_.toArray).toArray), d, maxRes, maxCells)
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      cover.foreach { c =>
+        val lvl = CellIndex.resolutionOf(c)
+        val (cx, cy) = CellIndex.cellCoords(c)
+        var r = 0
+        while (r <= lvl - below) {
+          out += (r.toLong << 58) |
+            CellIndex.interleave(cx >> (lvl - r), cy >> (lvl - r))
+          r += 1
+        }
+      }
+      out.toArray
+    })
+    f(geom)
+  }
+
+  /** Reference-point dedup at the MATCHED CELL'S OWN level (multi-level
+    * joins): true only in the canonical cell at that cell's resolution. */
+  def isCanonicalCellBBAtCellRes(aBB: Column, bBB: Column, cell: Column,
+                                 d: CellDomain): Column = {
+    val f = udf((a: Seq[Double], b: Seq[Double], c: Long) =>
+      CellIndex.encode(math.max(a(0), b(0)), math.max(a(1), b(1)),
+        d, CellIndex.resolutionOf(c)) == c)
+    f(aBB, bBB, cell)
+  }
+
   // --------------------------------------------- exact kernels (UDF tier)
 
   /** Reference-semantics point-in-polygon (EDGE in, VTX excluded, hole

@@ -65,6 +65,25 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fixed=$nFixed adaptive=$nAdaptive")
   }
 
+  test("adaptive poly×poly fragments match fixed-res on a mixed-size layer") {
+    import spark.implicits._
+    val tracts = TpchGeo.tracts(spark, sfDir)
+    // mixed B side: 16 counties + one huge polygon + one tiny one
+    val mixed = TpchGeo.counties(spark).unionByName(Seq(
+        ("BIG",  Seq(Seq(0.0, 0, 8000, 0, 8000, 8000, 0, 8000))),
+        ("TINY", Seq(Seq(700.0, 700, 790, 700, 790, 790, 700, 790))))
+      .toDF("fips", "geom"))
+      .withColumnRenamed("geom", "bgeom")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("p_partkey"), col("fips"), col("frag_area"))
+      .collect().map(_.toString).sorted.toSeq
+    val fixed = key(SpatialJoin.polyPolyFragments(
+      tracts, mixed, TpchGeo.domain, TpchGeo.zres, keepFragGeom = false))
+    val adaptive = key(SpatialJoin.polyPolyFragmentsAdaptive(
+      tracts, mixed, TpchGeo.domain, TpchGeo.zres, keepFragGeom = false))
+    assert(adaptive == fixed && adaptive.nonEmpty)
+  }
+
   test("overlayPolys / overlayLines semi-join semantics") {
     import spark.implicits._
     val mask = Seq(Tuple1(Seq(Seq(500.0, 500, 2500, 500, 2500, 2500, 500, 2500))))
