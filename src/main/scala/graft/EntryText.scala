@@ -81,6 +81,36 @@ object EntryText {
       MultimodalOps.decodeImageMeta(media, "doc_id", "media").orderBy("id")
     }),
 
+    // LSH-bucketed ANN top-k (approximate scale path; rows-only check —
+    // recall vs brute force asserted in SimilaritySpec)
+    "q37_ann_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.annLshTopK(
+          e.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 10, tables = 16, planes = 6)
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF coarse-quantized ANN top-k (approximate; rows-only check)
+    "q38_ann_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.annIvfTopK(
+          e.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 10, nlist = 16, nprobe = 8)
+        .orderBy("qid", "rank")
+    }),
+
+    // document content fingerprint (64-bit md5 prefix — oracle-exact)
+    "q39_fingerprint" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextOps.contentFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
     // event table: 5-minute windowed aggregation (batch form)
     "q20_events_window" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
@@ -175,6 +205,13 @@ object EntryText {
         |  md5(text) AS contentHash,
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
         |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q37/q38: intentionally no oracle (approximate ANN — rows-only checks;
+    // recall floors vs brute force are asserted in SimilaritySpec)
+
+    "q39_fingerprint" ->
+      """SELECT doc_id, substr(md5(text), 1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q20_events_window" ->
