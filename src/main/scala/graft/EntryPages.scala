@@ -81,7 +81,8 @@ object EntryPages {
       s"""WITH pg AS (${Pages.geotaggedSql})
          |SELECT CAST(floor(x/1000.0) AS INT)+1 AS col,
          |  CAST(floor(y/1000.0) AS INT)+1 AS "row", lang,
-         |  count(*) AS n_pages, sum(octet_length(html)) AS html_bytes
+         |  count(*) AS n_pages,
+         |  CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes
          |FROM pg GROUP BY 1, 2, 3 ORDER BY "row", col, lang""".stripMargin
   )
 }

@@ -53,10 +53,13 @@ object EntryText {
           "doc_id", "text", n = 3, numHashes = 64, bands = 32, tau = 0.8)
         .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup pairs (rows-only check: simhash not SQL-expressible)
+    // SimHash near-dup pairs. Rows-only in the driver because the simhash
+    // bit-vote fingerprint is not expressible in DuckDB SQL; completeness
+    // (tables = maxHamming+1 ⇒ pigeonhole recall) is instead proven by a
+    // brute-force hamming-join parity test (SimhashParitySpec).
     "q16_simhash" -> ((s, dir) =>
       TextOps.simhashPairs(TextFixtures.nearDupCorpus(s, dir, " graftmark"),
-          "doc_id", "text", n = 3, maxHamming = 8, tables = 4)
+          "doc_id", "text", n = 3, maxHamming = 8, tables = 9)
         .orderBy("id_a", "id_b")),
 
     // brute-force cosine top-k (baseline ANN)

@@ -108,6 +108,12 @@ object SrgTool {
         lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     }
 
+    // release the per-surrogate cached intermediates (W∩D fragments,
+    // per-cell matrices) — a catalog run generates many; without this the
+    // cached DISK blocks accumulate for the whole session. Returned
+    // DataFrames stay valid (they recompute if re-used after the drain).
+    if (outDir.isDefined) graft.spark.PersistTracker.drain()
+
     Result(normalized, qaSum, qaNot1, descRows)
   }
 }

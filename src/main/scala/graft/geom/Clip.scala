@@ -221,13 +221,32 @@ object Clip {
   def isAxisRect(g: Array[Array[Double]], b: BBox): Boolean = {
     if (g.length != 1) return false
     val ring = g(0)
-    val n = ring.length / 2
-    if (n < 4 || n > 5) return false // closed duplicate tolerated
+    var n = ring.length / 2
+    if (n < 4) return false
+    // tolerate (but drop) a closing duplicate vertex
+    if (ring(0) == ring(2 * n - 2) && ring(1) == ring(2 * n - 1)) n -= 1
+    if (n != 4) return false
     if (b.xmin == b.xmax || b.ymin == b.ymax) return false
+    // the 4 distinct vertices must be exactly the 4 distinct bbox corners,
+    // each hit once (a closed triangle with all vertices on corners would
+    // otherwise slip through and clip against the FULL bbox)
+    val hits = new Array[Int](4)
     var i = 0
     while (i < n) {
       val x = ring(2 * i); val y = ring(2 * i + 1)
-      if ((x != b.xmin && x != b.xmax) || (y != b.ymin && y != b.ymax)) return false
+      val cx = if (x == b.xmin) 0 else if (x == b.xmax) 1 else return false
+      val cy = if (y == b.ymin) 0 else if (y == b.ymax) 1 else return false
+      hits(2 * cy + cx) += 1
+      i += 1
+    }
+    if (hits.exists(_ != 1)) return false
+    // consecutive vertices must share exactly one axis (reject bowtie order)
+    i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val sameX = ring(2 * i) == ring(2 * j)
+      val sameY = ring(2 * i + 1) == ring(2 * j + 1)
+      if (sameX == sameY) return false
       i += 1
     }
     true

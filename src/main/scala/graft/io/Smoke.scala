@@ -92,7 +92,10 @@ object Smoke {
     val body = toLines(srg, withQa).collect()
       .sortBy { l =>
         val t = l.replaceAll("^#(SKIPPED|REMAINDER) ", "").split("\t")
-        (t(0).trim.toInt, t(1), t(3).trim.toInt, t(2).trim.toInt)
+        // remainder rows carry col=row=0 but the reference flushes them
+        // AFTER the county's data lines (surrogate.c:291-360) — order last
+        val isRemainder = if (l.startsWith("#REMAINDER")) 1 else 0
+        (t(0).trim.toInt, t(1), isRemainder, t(3).trim.toInt, t(2).trim.toInt)
       }
     val all = header(g, p) +: body
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

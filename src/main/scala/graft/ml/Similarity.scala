@@ -60,12 +60,20 @@ object Similarity {
     * |Q|×|C| intermediate exists anywhere), then a final windowed top-k
     * merges the per-partition candidates. Deterministic tie-break
     * (cos desc, cid asc) throughout. */
-  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 maxProbes: Int = 1 << 16): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qs: Array[(Long, Array[Float])] = queries
+    // the probe set ships in the task closure — guard the contract instead
+    // of discovering it as a driver OOM; the limit bounds the collect itself
+    val collected = queries
       .select(col("qid").cast("long"), col("qvec"))
-      .collect().map(r => (r.getLong(0), floats(r.getSeq[Float](1))))
+      .limit(maxProbes + 1)
+      .collect()
+    require(collected.length <= maxProbes,
+      s"cosineTopK probe set exceeds $maxProbes rows — use annLshTopK/annIvfTopK for large query sides")
+    val qs: Array[(Long, Array[Float])] = collected
+      .map(r => (r.getLong(0), floats(r.getSeq[Float](1))))
       .sortBy(_._1)
 
     val partials = corpus
@@ -177,19 +185,45 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  /** Centroid matrices are pure functions of (nlist, dim) — memoized per
+    * executor JVM like planeCache, instead of re-hashing nlist×dim mix64
+    * calls per row. */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def centroidMatrix(nlist: Int, dim: Int): Array[Double] =
+    centCache.computeIfAbsent((nlist, dim), { key =>
+      val (n, d) = key
+      val m = new Array[Double](n * d)
+      var c = 0
+      while (c < n) {
+        var i = 0
+        while (i < d) {
+          val h = TextHash.mix64((c.toLong << 32) ^ i.toLong)
+          m(c * d + i) = (h >> 11).toDouble / (1L << 52).toDouble
+          i += 1
+        }
+        c += 1
+      }
+      m
+    })
+
   /** IVF-style coarse quantization: assign vectors to the nearest of
     * `nlist` seeded pseudo-centroids (deterministic, no training pass);
-    * search probes the query's `nprobe` nearest centroids' lists only. */
-  def ivfAssignUdf(nlist: Int, dim: Int) = udf((v: Seq[Float]) => {
+    * search probes the query's `nprobe` nearest centroids' lists only.
+    * (`dim` is ignored — centroid components derive from the vector's own
+    * length; kept for call-site compatibility.) */
+  def ivfAssignUdf(nlist: Int, dim: Int) = udf((vs: Seq[Float]) => {
+    val v = floats(vs)
+    val m = centroidMatrix(nlist, v.length)
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < nlist) {
       var d = 0.0
       var i = 0
+      val off = c * v.length
       while (i < v.length) {
-        val h = TextHash.mix64((c.toLong << 32) ^ i.toLong)
-        val cent = (h >> 11).toDouble / (1L << 52).toDouble
-        val diff = v(i) - cent
+        val diff = v(i) - m(off + i)
         d += diff * diff
         i += 1
       }
@@ -223,15 +257,15 @@ object Similarity {
   /** The query's nprobe nearest pseudo-centroids (same centroid derivation
     * as ivfAssignUdf). */
   private def ivfProbes(v: Array[Float], nlist: Int, nprobe: Int): Array[Int] = {
+    val m = centroidMatrix(nlist, v.length)
     val d2 = new Array[Double](nlist)
     var c = 0
     while (c < nlist) {
       var d = 0.0
       var i = 0
+      val off = c * v.length
       while (i < v.length) {
-        val h = TextHash.mix64((c.toLong << 32) ^ i.toLong)
-        val cent = (h >> 11).toDouble / (1L << 52).toDouble
-        val diff = v(i) - cent
+        val diff = v(i) - m(off + i)
         d += diff * diff
         i += 1
       }

@@ -44,7 +44,7 @@ object Allocate {
     // feeds every allocate mode from one polyIsect result, allocate.c:367)
     val frags = SpatialJoin.polyPolyFragments(inp, out, domain, res,
         keepFragGeom = false)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.spark.PersistTracker.persist)
     val needArea = modes.exists(_._2 == Average)
     val outAreas =
       if (needArea) output.select(col(outId),

@@ -97,10 +97,10 @@ object Filters {
     * (+ - * / parentheses, numeric literals, identifiers — no pow/unary
     * minus, SA_ch03_vector.md:597-617) then hand the string to expr(). */
   def weightFunction(df: DataFrame, exprStr: String, as: String): DataFrame = {
-    require(exprStr.matches("[A-Za-z0-9_+\\-*/(). ]+"),
-      s"weight function restricted to + - * / ( ) identifiers: $exprStr")
-    require(!exprStr.matches(".*(^|[^A-Za-z0-9_])-.*") || !exprStr.trim.startsWith("-"),
-      s"unary minus not supported by reference weight functions: $exprStr")
+    // one validator for the reference grammar everywhere: the full token
+    // scanner rejects unary minus in ANY position ("a*(-b)" included),
+    // which a leading-minus regex guard cannot
+    graft.functions.WeightExpr.validate(exprStr)
     df.withColumn(as, expr(exprStr).cast("double"))
   }
 }

@@ -76,14 +76,22 @@ object Knn {
       // within the ring: dist_k <= radius * cellEdge (any unseen site is
       // farther than that guard distance)
       val guard = (r.toDouble * cellEdge) * (r.toDouble * cellEdge)
-      val stats = ranked.groupBy("qid")
+      // ranked feeds both the done-filter and the done rows; persist it for
+      // the pass, then truncate lineage of what survives the pass — without
+      // this each pass (and the loop's isEmpty probes) re-executes every
+      // prior pass's ring join from scratch
+      val rankedP = ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = rankedP.groupBy("qid")
         .agg(count("*").as("__n"), max("dist2").as("__maxd"))
       val doneIds = stats
         .where(col("__n") === k && col("__maxd") < guard)
         .select("qid")
-      val done = ranked.join(broadcast(doneIds), "qid")
+      val done = rankedP.join(broadcast(doneIds), "qid")
+        .localCheckpoint(true)
       acc = if (acc == null) done else acc.unionByName(done)
       remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
+        .localCheckpoint(true)
+      rankedP.unpersist()
       radius *= 2
     }
     // anything left after maxRadius: emit best-effort from a full ring pass

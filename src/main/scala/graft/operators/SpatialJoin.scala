@@ -207,10 +207,19 @@ object SpatialJoin {
     * (a broadcast scalar, no join, no shuffle); a bbox pretest guards the
     * exact kernel. Output = input rows (attributes) only, like
     * reportOverlays. */
-  private def collectMask(mask: DataFrame, geom: String): Array[Array[Array[Double]]] =
-    mask.select(col(geom)).collect().map(
+  /** Masks are dimension-sized by contract (a handful of overlay regions) —
+    * enforce it rather than discover a driver OOM; bigger "masks" should go
+    * through the cell-join paths (pointInPoly/polyPolyFragments). The limit
+    * bounds the collect itself. */
+  private val MaxMaskRows = 100000
+  private def collectMask(mask: DataFrame, geom: String): Array[Array[Array[Double]]] = {
+    val rows = mask.select(col(geom)).limit(MaxMaskRows + 1).collect()
+    require(rows.length <= MaxMaskRows,
+      s"overlay mask exceeds $MaxMaskRows polygons — use the cell-join spatial join instead")
+    rows.map(
       _.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
         .map(_.toArray).toArray)
+  }
 
   def overlayPolys(polys: DataFrame, mask: DataFrame,
                    domain: CellDomain, res: Int,

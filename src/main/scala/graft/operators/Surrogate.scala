@@ -85,7 +85,7 @@ object Surrogate {
       .withColumn("col", when(onGrid, gridCol(col("x"), grid)))
       .withColumn("row", when(onGrid, gridRow(col("y"), grid)))
       .groupBy("fips", "col", "row").agg(sum("__w").as("numer"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.spark.PersistTracker.persist)
     val denom = perCell.groupBy("fips").agg(sum("numer").as("denom"))
     val numer = perCell.where(col("col").isNotNull && col("row").isNotNull)
     ratio(numer, denom, srgCode, denomThreshold, ordered)
@@ -109,7 +109,7 @@ object Surrogate {
     // (SAVE_DW_FILE/USE_DW_FILE, data_weight.c:19-160)
     val frags = SpatialJoin.polyPolyFragments(
         wts, counties.withColumnRenamed("geom", "bgeom"), domain, res)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.spark.PersistTracker.persist)
     // contribution vs ORIGINAL weight area (sumpoly.c:667,672); area mode
     // uses the fragment area itself (sumpoly.c:224-247)
     val denomContrib = weight
@@ -146,7 +146,7 @@ object Surrogate {
       .withColumn("__wval",
         weight.map(col(_).cast("double")).getOrElse(lit(0.0)))
     val frags = SpatialJoin.linePolyFragments(lns, counties, domain, res)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.spark.PersistTracker.persist)
     val denomContrib = weight
       .map(_ => col("__wval") * (col("frag_len") / col("__wlen")))
       .getOrElse(col("frag_len"))

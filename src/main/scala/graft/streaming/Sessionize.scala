@@ -28,8 +28,10 @@ object Sessionize {
     events
       .withColumn("__prev", lag("ts", 1).over(byUser))
       .withColumn("__new",
+        // millisecond precision — must match the streaming path's getTime
+        // arithmetic or sub-second gaps split differently batch vs stream
         when(col("__prev").isNull ||
-             unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapSec, 1)
+             unix_millis(col("ts")) - unix_millis(col("__prev")) > gapSec * 1000, 1)
           .otherwise(0))
       .withColumn("__sid", sum("__new").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -63,7 +65,8 @@ object Sessionize {
         val t = e.ts.getTime
         open match {
           case Some(s) if t - s.lastMs <= gapMs =>
-            open = Some(OpenSession(s.startMs, math.max(s.lastMs, t),
+            // a late event may precede the open session's start — keep min
+            open = Some(OpenSession(math.min(s.startMs, t), math.max(s.lastMs, t),
               s.n + 1, s.sum + e.value))
           case Some(s) =>
             closed += emit(s)
@@ -74,8 +77,12 @@ object Sessionize {
       }
       open.foreach { s =>
         state.update(s)
-        // fire once the watermark passes session end + gap
-        state.setTimeoutTimestamp(s.lastMs + gapMs)
+        // fire once the watermark passes session end + gap; clamp to
+        // watermark+1 — flatMapGroupsWithState does NOT drop pre-watermark
+        // late events, and a timeout at-or-before the current watermark
+        // throws IllegalArgumentException and kills the query
+        state.setTimeoutTimestamp(
+          math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
       }
       closed.result().iterator
     }

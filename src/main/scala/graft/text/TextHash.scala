@@ -115,15 +115,26 @@ object TextHash {
     out
   }
 
-  /** Split a 64-bit hash into `tables` equal bit-slices, keyed by slice
-    * index (pigeonhole LSH for hamming search). */
+  /** Split a 64-bit hash into `tables` bit-slices that PARTITION all 64
+    * bits (first `64 % tables` slices are one bit wider), keyed by slice
+    * index (pigeonhole LSH for hamming search): any two hashes with
+    * hamming distance ≤ tables-1 share at least one identical slice. */
   def bitSlices(h: Long, tables: Int): Array[Long] = {
-    val width = 64 / tables
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    Array.tabulate(tables) { t =>
-      // include slice index so different slices never collide across tables
-      mix64(((h >>> (t * width)) & mask) | (t.toLong << 56))
+    val base = 64 / tables
+    val extra = 64 % tables
+    val out = new Array[Long](tables)
+    var start = 0
+    var t = 0
+    while (t < tables) {
+      val width = if (t < extra) base + 1 else base
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      // mix the slice index in so equal slice VALUES in different slice
+      // POSITIONS never produce the same key
+      out(t) = mix64(((h >>> start) & mask) ^ mix64(t.toLong + 0x51ce5L))
+      start += width
+      t += 1
     }
+    out
   }
 
   /** Winnowing fingerprints (Schleimer et al. MOSS): Karp–Rabin rolling

@@ -136,7 +136,7 @@ object TextOps {
     val prepared = df.select(col(idCol).as("id"),
         TextHash.shingleHashSetUdf(n)(col(textCol)).as("shs"))
       .where(size(col("shs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.spark.PersistTracker.persist)
     val postings = prepared.select(col("id"), size(col("shs")).as("sz"),
       explode(col("shs")).as("sh"))
     val freq = postings.groupBy("sh").agg(count(lit(1)).as("__c"))
@@ -188,7 +188,7 @@ object TextOps {
         minhashSigUdf(n, numHashes)(col(textCol)).as("sig"),
         TextHash.shingleHashSetUdf(n)(col(textCol)).as("shs"))
       .where(size(col("shs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.spark.PersistTracker.persist)
     val bandsDf = prepared.select(col("id"),
         explode(bandKeysUdf(bands, rows)(col("sig"))).as("band_key"))
     val cands = bandsDf.as("a").join(bandsDf.as("b"), Seq("band_key"))
@@ -210,10 +210,18 @@ object TextOps {
 
   /** SimHash near-dup pairs: 64-bit fingerprint, candidates from matching
     * any of `tables` bit-slices (pigeonhole: hamming ≤ tables-1 guaranteed
-    * caught), verified by exact hamming ≤ maxHamming. */
+    * caught), verified by exact hamming ≤ maxHamming.
+    *
+    * Candidate generation is provably COMPLETE for the verify threshold
+    * only when `tables ≥ maxHamming + 1` (two fingerprints at hamming
+    * ≤ maxHamming differ in ≤ tables-1 of the tables' disjoint bit
+    * slices, so at least one slice matches) — enforced here; parity vs a
+    * brute-force hamming join is asserted in SimhashParitySpec. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxHamming: Int = 3,
                    tables: Int = 4): DataFrame = {
+    require(tables >= maxHamming + 1,
+      s"tables ($tables) must be >= maxHamming+1 (${maxHamming + 1}) for complete recall")
     val prepared = df.select(col(idCol).as("id"),
       simhashUdf(n)(col(textCol)).as("sh"))
     val sliceUdf = udf((h: Long) => TextHash.bitSlices(h, tables))

@@ -72,6 +72,23 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       == GridCatalog.TEST8)
   }
 
+  test("write flushes #REMAINDER after its county's data rows (surrogate.c order)") {
+    import spark.implicits._
+    val srg = Seq(
+      (100, "47001", 2, 1, 0.5,  5.0, 10.0, 0.5),
+      (100, "47001", 1, 2, 0.25, 2.5, 10.0, 0.75),
+      (100, "47002", 1, 1, 1.0,  4.0, 4.0, 1.0)
+    ).toDF("srg_code", "fips", "col", "row", "frac", "numer", "denom", "qasum")
+    val f = java.nio.file.Files.createTempFile("srgrem", ".txt").toString
+    Smoke.write(srg, GridCatalog.TEST8, Smoke.ProjInfo(), f)
+    val ls = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+    val body = (1 until ls.size).map(ls.get)
+    val remIdx = body.indexWhere(_.startsWith("#REMAINDER"))
+    val lastData47001 = body.lastIndexWhere(l => !l.startsWith("#") && l.contains("47001"))
+    assert(remIdx > lastData47001, body.mkString("\n"))
+    assert(remIdx < body.indexWhere(_.contains("47002")))
+  }
+
   test("write produces a deterministically ordered file") {
     import spark.implicits._
     val srg = Seq(
