@@ -106,7 +106,21 @@ object SparkEntry {
     "q10_knn" -> ((s, dir) =>
       Knn.knnJoin(TpchGeo.knnQueries(s, dir), TpchGeo.knnSites(s, dir),
           k = 5, domain, zres)
-        .orderBy("qid", "rank"))
+        .orderBy("qid", "rank")),
+
+    // --- shapefile binary front door (PolyShapeReader.c/AttachDBFAttribute.c):
+    // tracts → .shp/.dbf bytes → binary read-back → polygon surrogate.
+    // Same oracle math as q04 at a distinct srg code — proves the binary
+    // round trip is lossless end-to-end (IEEE doubles + integer DBF attrs).
+    "q40_shapefile_srg" -> ((s, dir) => {
+      import graft.sources.Shapefile
+      val base = s"/tmp/graft_shp_${dir.replaceAll("[^A-Za-z0-9]", "_")}/tracts"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base).getParent)
+      Shapefile.writePolygons(TpchGeo.tracts(s, dir), base, "geom",
+        Seq(Shapefile.DbfCol("p_partkey", 'N', 12), Shapefile.DbfCol("p_size", 'N', 8)))
+      Surrogate.polySurrogate(Shapefile.read(s, base), TpchGeo.counties(s),
+        grid, domain, zres, srgCode = 130, weight = Some("p_size"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -173,6 +187,8 @@ object SparkEntry {
     "q03_srg_point" -> srgPointStmt,
 
     "q04_srg_area" -> srgAreaStmt,
+
+    "q40_shapefile_srg" -> srgAreaStmtFor(130, "p_size"),
 
     "q05_srg_line" ->
       s"""WITH rd AS (${TpchGeo.roadsSql}),
