@@ -120,8 +120,101 @@ object SparkEntry {
         Seq(Shapefile.DbfCol("p_partkey", 'N', 12), Shapefile.DbfCol("p_size", 'N', 8)))
       Surrogate.polySurrogate(Shapefile.read(s, base), TpchGeo.counties(s),
         grid, domain, zres, srgCode = 130, weight = Some("p_size"))
+    }),
+
+    // --- all remaining projection families (GRIDDESC types 4,5,7,8,9,10,11),
+    // quantized to integer meters: round() absorbs the few-ulp libm-vs-JVM
+    // trig differences, so the closed-form DuckDB oracle hash-matches the
+    // engine's Snyder implementations exactly on this CONUS lattice.
+    "q41_projections" -> ((s, dir) => {
+      import graft.grid.Proj
+      val fams: Seq[(String, Proj)] = Seq(
+        "aea" -> Proj.Aea(29.5, 45.5, 23, -96),
+        "laea" -> Proj.Laea(45, -100),
+        "lcc" -> Proj.Lcc(33, 45, 40, -97),
+        "merc2sp" -> Proj.Merc2SP(30, -90),
+        "polar" -> Proj.PolarStere(60, -100),
+        "sinu" -> Proj.Sinu(-90),
+        "stere" -> Proj.Stere(40, -97),
+        "tmerc" -> Proj.Tmerc(-97, 0.9996, 500000, 0, 40))
+      val pts = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") <= 30)
+        .select(col("c_custkey").as("k"),
+          (lit(-120.0) + expr("(c_custkey * 7919) % 6000") / lit(100.0)).as("lon"),
+          (lit(25.0) + expr("(c_custkey * 104729) % 2400") / lit(100.0)).as("lat"))
+      fams.map { case (fam, p) =>
+        val fwd = udf((lon: Double, lat: Double) => {
+          val (x, y) = p.forward(lon, lat)
+          Array(math.round(x), math.round(y))
+        })
+        pts.withColumn("__xy", fwd(col("lon"), col("lat")))
+          .select(col("k"), lit(fam).as("family"),
+            element_at(col("__xy"), 1).as("x_m"),
+            element_at(col("__xy"), 2).as("y_m"))
+      }.reduce(_ unionByName _).orderBy("family", "k")
     })
   )
+
+  /** DuckDB twins of the Snyder spherical forward projections used by q41
+    * (same formulas as grid.Proj; round() to meters absorbs ulp noise). */
+  private def projOracleSql: String = {
+    val R = "6370997.0"
+    def fam(name: String, x: String, y: String): String =
+      s"""SELECT k, '$name' AS family,
+         |  CAST(round($x) AS BIGINT) AS x_m, CAST(round($y) AS BIGINT) AS y_m
+         |FROM pts""".stripMargin
+    val aea = {
+      val n = "((sin(radians(29.5)) + sin(radians(45.5))) / 2)"
+      val C = s"(cos(radians(29.5))*cos(radians(29.5)) + 2*$n*sin(radians(29.5)))"
+      val rho0 = s"($R*sqrt($C - 2*$n*sin(radians(23)))/$n)"
+      val rho = s"($R*sqrt($C - 2*$n*sin(radians(lat)))/$n)"
+      val th = s"($n*(radians(lon) - radians(-96)))"
+      fam("aea", s"$rho*sin($th)", s"$rho0 - $rho*cos($th)")
+    }
+    val laea = {
+      val kp = "sqrt(2/(1 + sin(radians(45))*sin(radians(lat)) + cos(radians(45))*cos(radians(lat))*cos(radians(lon) - radians(-100))))"
+      fam("laea", s"$R*$kp*cos(radians(lat))*sin(radians(lon) - radians(-100))",
+        s"$R*$kp*(cos(radians(45))*sin(radians(lat)) - sin(radians(45))*cos(radians(lat))*cos(radians(lon) - radians(-100)))")
+    }
+    val lcc = {
+      val n = "(ln(cos(radians(33))/cos(radians(45))) / ln(tan(pi()/4 + radians(45)/2)/tan(pi()/4 + radians(33)/2)))"
+      val F = s"(cos(radians(33))*pow(tan(pi()/4 + radians(33)/2), $n)/$n)"
+      val rho0 = s"($R*$F/pow(tan(pi()/4 + radians(40)/2), $n))"
+      val rho = s"($R*$F/pow(tan(pi()/4 + radians(lat)/2), $n))"
+      val th = s"($n*(radians(lon) - radians(-97)))"
+      fam("lcc", s"$rho*sin($th)", s"$rho0 - $rho*cos($th)")
+    }
+    val merc2sp = fam("merc2sp",
+      s"$R*cos(radians(30))*(radians(lon) - radians(-90))",
+      s"$R*cos(radians(30))*ln(tan(pi()/4 + radians(lat)/2))")
+    val polar = {
+      val kp = "((1 + sin(radians(60)))/2)"
+      val rho = s"(2*$R*$kp*tan(pi()/4 - radians(lat)/2))"
+      fam("polar", s"$rho*sin(radians(lon) - radians(-100))",
+        s"-($rho)*cos(radians(lon) - radians(-100))")
+    }
+    val sinu = fam("sinu",
+      s"$R*(radians(lon) - radians(-90))*cos(radians(lat))", s"$R*radians(lat)")
+    val stere = {
+      val kk = "(2/(1 + sin(radians(40))*sin(radians(lat)) + cos(radians(40))*cos(radians(lat))*cos(radians(lon) - radians(-97))))"
+      fam("stere", s"$R*$kk*cos(radians(lat))*sin(radians(lon) - radians(-97))",
+        s"$R*$kk*(cos(radians(40))*sin(radians(lat)) - sin(radians(40))*cos(radians(lat))*cos(radians(lon) - radians(-97)))")
+    }
+    val tmerc = {
+      val b = "(cos(radians(lat))*sin(radians(lon) - radians(-97)))"
+      fam("tmerc", s"$R*0.9996/2*ln((1 + $b)/(1 - $b)) + 500000",
+        s"$R*0.9996*(atan2(tan(radians(lat)), cos(radians(lon) - radians(-97))) - radians(40))")
+    }
+    val unions = Seq(aea, laea, lcc, merc2sp, polar, sinu, stere, tmerc)
+      .mkString("\nUNION ALL ")
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS k,
+       |    -120.0 + ((c_custkey * 7919) % 6000) / 100.0 AS lon,
+       |    25.0 + ((c_custkey * 104729) % 2400) / 100.0 AS lat
+       |  FROM customer WHERE c_custkey <= 30)
+       |$unions
+       |ORDER BY family, k""".stripMargin
+  }
 
   // ------------------------------------------------------------- oracles
 
@@ -189,6 +282,8 @@ object SparkEntry {
     "q04_srg_area" -> srgAreaStmt,
 
     "q40_shapefile_srg" -> srgAreaStmtFor(130, "p_size"),
+
+    "q41_projections" -> projOracleSql,
 
     "q05_srg_line" ->
       s"""WITH rd AS (${TpchGeo.roadsSql}),

@@ -207,10 +207,30 @@ object SpatialAllocator {
       case "latlon" | "latlong" => Proj.LatLon
       case "lcc" => Proj.Lcc(kv("lat_1").toDouble, kv("lat_2").toDouble,
         kv("lat_0").toDouble, kv("lon_0").toDouble)
-      case "merc" => Proj.Mercator(kv.getOrElse("lon_0", "0").toDouble)
-      case "tmerc" => Proj.Tmerc(kv("lon_0").toDouble)
+      case "merc" if kv.contains("lat_ts") =>
+        Proj.Merc2SP(kv("lat_ts").toDouble, kv.getOrElse("lon_0", "0").toDouble,
+          kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
+      case "merc" => Proj.Mercator(kv.getOrElse("lon_0", "0").toDouble,
+        kv.getOrElse("k_0", "1").toDouble,
+        kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
+      case "tmerc" => Proj.Tmerc(kv("lon_0").toDouble,
+        kv.getOrElse("k_0", "0.9996").toDouble,
+        kv.getOrElse("x_0", "500000").toDouble, kv.getOrElse("y_0", "0").toDouble,
+        kv.getOrElse("lat_0", "0").toDouble)
       case "utm" => Proj.utmZone(kv("zone").toInt)
-      case p if p == "latlon" => Proj.LatLon
+      case "stere" if kv.contains("lat_ts") =>
+        Proj.PolarStere(kv("lat_ts").toDouble, kv.getOrElse("lon_0", "0").toDouble,
+          kv.getOrElse("k_0", "1").toDouble,
+          kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
+      case "stere" => Proj.Stere(kv("lat_0").toDouble, kv("lon_0").toDouble,
+        kv.getOrElse("k_0", "1").toDouble,
+        kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
+      case "laea" => Proj.Laea(kv("lat_0").toDouble, kv("lon_0").toDouble,
+        kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
+      case "aea" => Proj.Aea(kv("lat_1").toDouble, kv("lat_2").toDouble,
+        kv("lat_0").toDouble, kv("lon_0").toDouble)
+      case "sinu" => Proj.Sinu(kv("lon_0").toDouble,
+        kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
       case other => throw new IllegalArgumentException(s"unsupported proj $other")
     }
   }
