@@ -152,8 +152,32 @@ object SparkEntry {
             element_at(col("__xy"), 1).as("x_m"),
             element_at(col("__xy"), 2).as("y_m"))
       }.reduce(_ unionByName _).orderBy("family", "k")
-    })
+    }),
+
+    // --- USE_CURVED_LINES line surrogate on the lon/lat twin fixture:
+    // every length (parent, county fragment, cell piece) is a great-circle
+    // haversine; quantization (frac×1e8, integer meters) absorbs libm/JVM
+    // trig ulps and cross-engine summation-order ulps, so the DuckDB
+    // haversine oracle hash-matches. Curved≠planar is asserted in
+    // CurvedLinesSpec.
+    "q42_srg_line_curved" -> ((s, dir) =>
+      Surrogate.lineSurrogate(TpchGeo.roadsLL(s, dir), TpchGeo.countiesLL(s),
+          TpchGeo.gridLL, TpchGeo.domainLL, zres, srgCode = 250, curved = true)
+        .select(col("srg_code"), col("fips"), col("col"), col("row"),
+          round(col("frac") * 1e8).cast("long").as("frac_q"),
+          round(col("numer")).cast("long").as("numer_m"),
+          round(col("denom")).cast("long").as("denom_m"))
+        // sub-meter numerators are clip-endpoint ulp artifacts (a piece
+        // endpoint lands ~1e-16° past a county edge) — below the quantum,
+        // excluded on both sides
+        .where(col("numer_m") >= 1)
+        .orderBy("fips", "row", "col"))
   )
+
+  /** DuckDB haversine of a constant-latitude span (the exact expression
+    * tree of Geo.haversine with dLat = 0). */
+  private def havSql(y: String, a: String, b: String): String =
+    s"2*6370997.0*asin(least(1.0, sqrt(cos(radians($y))*cos(radians($y))*pow(sin(radians(($b) - ($a))/2), 2))))"
 
   /** DuckDB twins of the Snyder spherical forward projections used by q41
     * (same formulas as grid.Proj; round() to meters absorbs ulp noise). */
@@ -284,6 +308,32 @@ object SparkEntry {
     "q40_shapefile_srg" -> srgAreaStmtFor(130, "p_size"),
 
     "q41_projections" -> projOracleSql,
+
+    "q42_srg_line_curved" ->
+      s"""WITH rd AS (${TpchGeo.roadsLLSql}),
+         |cn AS (${TpchGeo.countiesLLSql}),
+         |cl AS (${TpchGeo.cellsLLSql}),
+         |fr AS (
+         |  SELECT fips, y, greatest(x1, cx0) AS fa, least(x2, cx0 + 2.0) AS fb
+         |  FROM rd JOIN cn ON y > cy0 AND y < cy0 + 2.0
+         |  WHERE least(x2, cx0 + 2.0) > greatest(x1, cx0)),
+         |den AS (SELECT fips, sum(${havSql("y", "fa", "fb")}) AS denom
+         |        FROM fr GROUP BY 1),
+         |cf AS (
+         |  SELECT fips, col, "row", y,
+         |    greatest(fa, gx0) AS ca, least(fb, gx0 + 1.0) AS cb
+         |  FROM fr JOIN cl ON y > gy0 AND y < gy0 + 1.0
+         |  WHERE least(fb, gx0 + 1.0) > greatest(fa, gx0)),
+         |num AS (SELECT fips, col, "row", sum(${havSql("y", "ca", "cb")}) AS numer
+         |        FROM cf GROUP BY 1, 2, 3)
+         |SELECT CAST(250 AS INT) AS srg_code, fips, col, "row",
+         |  CAST(round(numer/denom*100000000.0) AS BIGINT) AS frac_q,
+         |  CAST(round(numer) AS BIGINT) AS numer_m,
+         |  CAST(round(denom) AS BIGINT) AS denom_m
+         |FROM num JOIN den USING (fips)
+         |WHERE denom >= 0.00001 AND numer <> 0
+         |  AND CAST(round(numer) AS BIGINT) >= 1
+         |ORDER BY fips, "row", col""".stripMargin,
 
     "q05_srg_line" ->
       s"""WITH rd AS (${TpchGeo.roadsSql}),

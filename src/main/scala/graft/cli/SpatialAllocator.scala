@@ -105,8 +105,11 @@ object SpatialAllocator {
             Surrogate.pointSurrogate(w, counties, grid(), domain, zres, code,
               weight, thr)
           case "Line" =>
+            // USE_CURVED_LINES=YES switches every length measure to
+            // great-circle (polyops.c:440-447, SA_ch03_vector.md:316)
             Surrogate.lineSurrogate(w, counties, grid(), domain, zres, code,
-              weight, thr)
+              weight, thr,
+              curved = cfg.getOrElse("USE_CURVED_LINES", "NO") == "YES")
           case _ =>
             Surrogate.polySurrogate(w, counties, grid(), domain, zres, code,
               weight, thr)

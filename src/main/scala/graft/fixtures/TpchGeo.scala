@@ -109,6 +109,62 @@ object TpchGeo {
       |FROM (SELECT s_suppkey, (s_suppkey * 9973) % 8000 AS yi FROM supplier)
       |WHERE yi % 1000 <> 0""".stripMargin
 
+  // ------------------------------------------- lon/lat twin (curved mode)
+
+  /** The same layout scaled 1/1000 into DEGREES ([0,8]²: counties 2° tiles,
+    * grid 1° cells) — the USE_CURVED_LINES fixture, where great-circle and
+    * planar length measures genuinely diverge (cos(lat) varies 1.0→0.99). */
+  val gridLL: GridSpec = GridSpec("TESTLL", 0, 0, 1.0, 1.0, 8, 8)
+  val domainLL: CellDomain = CellDomain(0, 0, 8.192, 8.192)
+
+  def countiesLL(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = for { cy <- 0 until 4; cx <- 0 until 4 } yield {
+      val fips = f"47${cy * 4 + cx + 1}%03d"
+      val x0 = cx * 2.0; val y0 = cy * 2.0
+      (fips, Seq(Seq(x0, y0, x0 + 2.0, y0, x0 + 2.0, y0 + 2.0, x0, y0 + 2.0)))
+    }
+    rows.toDF("fips", "geom")
+  }
+
+  /** roads() divided by 1000 — horizontal fractional-degree segments that
+    * never sit on a county (2°) or cell (1°) line. Both engines compute the
+    * SAME doubles (integer lattice / 1000.0). */
+  def roadsLL(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+      .withColumn("yi", expr("(s_suppkey * 9973) % 8000"))
+      .where(expr("yi % 1000 != 0"))
+      .withColumn("xi", expr("(s_suppkey * 48271) % 7000"))
+      .withColumn("leni", expr(
+        "CASE s_suppkey % 3 WHEN 0 THEN 512 WHEN 1 THEN 1024 ELSE 2048 END"))
+      .select(col("s_suppkey"),
+        array(col("xi").cast("double") / 1000.0,
+              col("yi").cast("double") / 1000.0,
+              (col("xi") + col("leni")).cast("double") / 1000.0,
+              col("yi").cast("double") / 1000.0).as("line"))
+
+  val roadsLLSql: String =
+    """SELECT s_suppkey, CAST(yi AS DOUBLE)/1000.0 AS y,
+      |  CAST(xi AS DOUBLE)/1000.0 AS x1,
+      |  CAST(xi + leni AS DOUBLE)/1000.0 AS x2
+      |FROM (SELECT s_suppkey, (s_suppkey * 9973) % 8000 AS yi,
+      |        (s_suppkey * 48271) % 7000 AS xi,
+      |        (CASE s_suppkey % 3 WHEN 0 THEN 512 WHEN 1 THEN 1024 ELSE 2048 END) AS leni
+      |      FROM supplier)
+      |WHERE yi % 1000 <> 0""".stripMargin
+
+  val countiesLLSql: String =
+    """SELECT '47' || lpad(CAST(i + 1 AS VARCHAR), 3, '0') AS fips,
+      |  CAST((i % 4) * 2 AS DOUBLE) AS cx0,
+      |  CAST(CAST(floor(i / 4.0) AS INT) * 2 AS DOUBLE) AS cy0
+      |FROM range(16) t(i)""".stripMargin
+
+  val cellsLLSql: String =
+    """SELECT CAST(id % 8 + 1 AS INT) AS col, CAST(floor(id / 8.0) + 1 AS INT) AS "row",
+      |  CAST(id % 8 AS DOUBLE) AS gx0,
+      |  CAST(CAST(floor(id / 8.0) AS INT) AS DOUBLE) AS gy0
+      |FROM range(64) t(id)""".stripMargin
+
   /** kNN queries from `customer` (20 rows), sites = suppliers. */
   def knnQueries(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/customer.parquet")

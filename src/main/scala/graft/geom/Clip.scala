@@ -139,6 +139,41 @@ object Clip {
     s
   }
 
+  /** Polyline ∩ rect as clipped sub-segments (exact endpoints on the
+    * axis-aligned fast path, Liang–Barsky otherwise) — used when the LENGTH
+    * MEASURE is not Euclidean (USE_CURVED_LINES great-circle mode,
+    * polyops.c:440-474: clip geometrically, then measure each piece). */
+  def lineRectClipSegs(line: Array[Double], r: BBox): Array[Array[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var i = 0
+    while (i < line.length - 3) {
+      val x1 = line(i); val y1 = line(i + 1)
+      val x2 = line(i + 2); val y2 = line(i + 3)
+      if (y1 == y2) {
+        if (y1 >= r.ymin && y1 <= r.ymax) {
+          val lo = math.max(math.min(x1, x2), r.xmin)
+          val hi = math.min(math.max(x1, x2), r.xmax)
+          if (hi > lo) out += Array(lo, y1, hi, y1)
+        }
+      } else if (x1 == x2) {
+        if (x1 >= r.xmin && x1 <= r.xmax) {
+          val lo = math.max(math.min(y1, y2), r.ymin)
+          val hi = math.min(math.max(y1, y2), r.ymax)
+          if (hi > lo) out += Array(x1, lo, x1, hi)
+        }
+      } else {
+        val ts = clipSegRectParams(x1, y1, x2, y2, r)
+        if (ts != null && ts(1) > ts(0)) {
+          val dx = x2 - x1; val dy = y2 - y1
+          out += Array(x1 + ts(0) * dx, y1 + ts(0) * dy,
+                       x1 + ts(1) * dx, y1 + ts(1) * dy)
+        }
+      }
+      i += 2
+    }
+    out.toArray
+  }
+
   // ------------------------------------------------- line vs general polygon
 
   /** Length of polyline ∩ polygon-with-holes, via the reference's line_clip

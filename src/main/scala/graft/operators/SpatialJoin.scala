@@ -158,11 +158,14 @@ object SpatialJoin {
   }
 
   /** Line×polygon join with clipped sub-segments (intersect.c:274-512).
-    * Output: both sides' columns + `frag_line` pieces + `frag_len`. */
+    * Output: both sides' columns + `frag_line` pieces + `frag_len`.
+    * `curved` switches the length MEASURE of the (geometrically identical)
+    * clipped pieces to great-circle (USE_CURVED_LINES, polyops.c:440-474). */
   def linePolyFragments(lines: DataFrame, polys: DataFrame,
                         domain: CellDomain, res: Int,
                         lineCol: String = "line", geom: String = "geom",
-                        broadcastPolys: Boolean = true): DataFrame = {
+                        broadcastPolys: Boolean = true,
+                        curved: Boolean = false): DataFrame = {
     val lE = lines.withColumn("__lbb", lineBBoxUdf(col(lineCol)))
       .withColumn("__cell", explode(lineCoverCells(col(lineCol), domain, res)))
     val pE0 = polys.withColumn("__pbb", polyBBoxUdf(col(geom)))
@@ -175,7 +178,7 @@ object SpatialJoin {
       .withColumn("frag_line", linePolyClipSegsUdf(col(lineCol), col(geom)))
       .where(size(col("frag_line")) > 0)
       .withColumn("frag_len",
-        aggregate(transform(col("frag_line"), s => lineLengthUdf(s)),
+        aggregate(transform(col("frag_line"), s => lineLengthCol(s, curved)),
                   lit(0.0), (acc, v) => acc + v))
       .where(col("frag_len") > 0)
       .drop(geom)

@@ -134,18 +134,23 @@ object Surrogate {
   }
 
   /** Line-weight surrogate (roads): length mode when weight None.
-    * lines: (line, [weight]); counties: (fips, geom). */
+    * lines: (line, [weight]); counties: (fips, geom).
+    * `curved` = the USE_CURVED_LINES env contract (polyops.c:440-474,
+    * SA_ch03_vector.md:316): all three length measures — parent line,
+    * county fragment, cell piece — switch to great-circle together. */
   def lineSurrogate(lines: DataFrame, counties: DataFrame,
                     grid: GridSpec, domain: CellDomain, res: Int,
                     srgCode: Int, weight: Option[String] = None,
-                    denomThreshold: Double = 1e-5): DataFrame = {
+                    denomThreshold: Double = 1e-5,
+                    curved: Boolean = false): DataFrame = {
     val lns = lines
       .where(weight.map(c => col(c).cast("double") =!= 0.0).getOrElse(lit(true)))
-      .withColumn("__wlen", lineLengthUdf(col("line")))
+      .withColumn("__wlen", lineLengthCol(col("line"), curved))
       .where(col("__wlen") > 0)
       .withColumn("__wval",
         weight.map(col(_).cast("double")).getOrElse(lit(0.0)))
-    val frags = SpatialJoin.linePolyFragments(lns, counties, domain, res)
+    val frags = SpatialJoin.linePolyFragments(lns, counties, domain, res,
+        curved = curved)
       .transform(graft.spark.PersistTracker.persist)
     val denomContrib = weight
       .map(_ => col("__wval") * (col("frag_len") / col("__wlen")))
@@ -155,7 +160,9 @@ object Surrogate {
     val pieces = frags.withColumn("__piece", explode(col("frag_line")))
     val cellPieces = pieces
       .withColumn("__cellid", explode(lineGridCoverCells(col("__piece"), grid)))
-      .withColumn("__clen", lineCellClipLength(col("__piece"), col("__cellid"), grid))
+      .withColumn("__clen",
+        if (curved) lineCellClipLengthCurved(col("__piece"), col("__cellid"), grid)
+        else lineCellClipLength(col("__piece"), col("__cellid"), grid))
       .where(col("__clen") > 0)
     val numContrib = weight
       .map(_ => col("__wval") * (col("__clen") / col("__wlen")))

@@ -141,6 +141,14 @@ object GeoFunctions {
 
   val lineLengthUdf = udf((l: Seq[Double]) => Geo.lineLength(l.toArray))
 
+  /** Great-circle polyline length over lon/lat degrees — USE_CURVED_LINES
+    * mode (polyops.c:440-474). */
+  val greatCircleLengthUdf = udf((l: Seq[Double]) => Geo.greatCircleLength(l.toArray))
+
+  /** Length measure selected by the USE_CURVED_LINES env contract. */
+  def lineLengthCol(line: Column, curved: Boolean): Column =
+    if (curved) greatCircleLengthUdf(line) else lineLengthUdf(line)
+
   val centroidUdf = udf((rings: Seq[Seq[Double]]) => {
     val (cx, cy) = Geo.vertexMeanCentroid(rings.map(_.toArray).toArray)
     Array(cx, cy)
@@ -187,6 +195,19 @@ object GeoFunctions {
   def lineCellClipLength(line: Column, cellId: Column, g: GridSpec): Column = {
     val f = udf((l: Seq[Double], id: Long) =>
       Clip.lineRectClipLength(l.toArray, g.cellBBox(id)))
+    f(line, cellId)
+  }
+
+  /** Great-circle length of polyline ∩ one grid cell: clip geometrically
+    * (exact endpoints), measure each span with haversine. */
+  def lineCellClipLengthCurved(line: Column, cellId: Column, g: GridSpec): Column = {
+    val f = udf((l: Seq[Double], id: Long) => {
+      val segs = Clip.lineRectClipSegs(l.toArray, g.cellBBox(id))
+      var s = 0.0
+      var i = 0
+      while (i < segs.length) { s += Geo.greatCircleLength(segs(i)); i += 1 }
+      s
+    })
     f(line, cellId)
   }
 
