@@ -28,6 +28,9 @@ object SrgTool {
 
   final case class MergeSpec(outCode: Int, name: String,
                              a: Int, fa: Double, b: Int, fb: Double)
+  /** `A;B;…` concatenation merge (SA_ch05_surrogate.md:440-450): union of
+    * the referenced surrogate tables under the output code. */
+  final case class ConcatSpec(outCode: Int, name: String, parts: Seq[Int])
   final case class GapfillSpec(outCode: Int, name: String, cascade: Seq[Int])
 
   final case class Result(srg: Map[Int, DataFrame], qaSummary: DataFrame,
@@ -41,7 +44,9 @@ object SrgTool {
           merges: Seq[MergeSpec] = Nil,
           gapfills: Seq[GapfillSpec] = Nil,
           normalizeTol: Double = 1e-6,
-          outDir: Option[String] = None): Result = {
+          outDir: Option[String] = None,
+          concats: Seq[ConcatSpec] = Nil,
+          denomThreshold: Double = 1e-5): Result = {
 
     // generation: one Spark job chain per spec, submitted concurrently
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -50,11 +55,11 @@ object SrgTool {
         Future {
           val df = s.kind match {
             case PointW => Surrogate.pointSurrogate(s.weights, counties,
-              grid, domain, res, s.code, s.weightAttr)
+              grid, domain, res, s.code, s.weightAttr, denomThreshold)
             case LineW => Surrogate.lineSurrogate(s.weights, counties,
-              grid, domain, res, s.code, s.weightAttr)
+              grid, domain, res, s.code, s.weightAttr, denomThreshold)
             case PolyW => Surrogate.polySurrogate(s.weights, counties,
-              grid, domain, res, s.code, s.weightAttr)
+              grid, domain, res, s.code, s.weightAttr, denomThreshold)
           }
           s.code -> df
         }
@@ -65,7 +70,12 @@ object SrgTool {
       m.outCode -> PostOps.merge(generated(m.a), generated(m.b), m.fa, m.fb,
         m.outCode)
     }.toMap
-    val all0 = generated ++ merged
+    val concatenated = concats.map { c =>
+      c.outCode -> c.parts.map(generated)
+        .reduce(_ unionByName _)
+        .withColumn("srg_code", lit(c.outCode))
+    }.toMap
+    val all0 = generated ++ merged ++ concatenated
     val filled = gapfills.map { g =>
       g.outCode -> PostOps.gapfill(g.cascade.map(all0), g.outCode)
     }.toMap
@@ -88,6 +98,7 @@ object SrgTool {
       normalized.toSeq.sortBy(_._1).map { case (code, df) =>
         val name = specs.find(_.code == code).map(_.name)
           .orElse(merges.find(_.outCode == code).map(_.name))
+          .orElse(concats.find(_.outCode == code).map(_.name))
           .orElse(gapfills.find(_.outCode == code).map(_.name))
           .getOrElse(s"srg_$code")
         val path = s"$dir/srg_$code.txt"

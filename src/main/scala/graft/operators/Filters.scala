@@ -91,6 +91,34 @@ object Filters {
     if (pred.isEmpty) df else df.where(pred.reduce(_ && _))
   }
 
+  /** FILTER FUNCTION cells of the SurrogateTool spec CSV
+    * (SA_ch05_surrogate.md:348-356): `;`-separated terms, each
+    * `ATTR=values` (include) or `ATTR!=values` (exclude), values a comma
+    * list of exact values, globs (`C*`), ranges (`100-200`) or relations
+    * (`<=5`). Continuous vs discrete follows the values' shape, like the
+    * reference's filter-file ATTRIBUTE_TYPE. */
+  def parseFilterFunction(s: String): Seq[AttrCond] = {
+    def looksContinuous(vals: Seq[String]): Boolean =
+      vals.forall(v => v.matches("[<>]=?\\s*-?[0-9.]+") ||
+        v.matches("-?[0-9.]+\\s*-\\s*[0-9.]+"))
+    s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { term =>
+      val (attr, vals, exclude) = term.indexOf("!=") match {
+        case i if i > 0 =>
+          (term.substring(0, i).trim, term.substring(i + 2), true)
+        case _ =>
+          val eq = term.indexOf('=')
+          require(eq > 0, s"filter term needs ATTR=values or ATTR!=values: '$term'")
+          (term.substring(0, eq).trim, term.substring(eq + 1), false)
+      }
+      val values = vals.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val cont = looksContinuous(values) &&
+        values.exists(v => v.contains("-") || v.startsWith("<") || v.startsWith(">"))
+      AttrCond(attr, discrete = !cont,
+        include = if (exclude) Nil else values,
+        exclude = if (exclude) values else Nil)
+    }
+  }
+
   /** Weight-function expressions (`0.75*urban+0.25*rural`): the reference
     * built an infix→postfix evaluator (postfix.c:24, eval.c:270-480); Spark's
     * SQL parser subsumes it. We validate the reference's operator subset
