@@ -171,7 +171,58 @@ object SparkEntry {
         // endpoint lands ~1e-16° past a county edge) — below the quantum,
         // excluded on both sides
         .where(col("numer_m") >= 1)
-        .orderBy("fips", "row", "col"))
+        .orderBy("fips", "row", "col")),
+
+    // --- EGrid (staggered WRF-NMM diamonds, EGridReader.c:36 +
+    // mims_spatial.c:282 EGrid ALLOCATE): points joined to diamond cells
+    // through the REAL cell-cover + ray-cast pipeline; the oracle is the
+    // closed diamond inequality |x−cx| + |y−cy| ≤ d/2 (edge points count
+    // into both adjacent diamonds — EDGE-in semantics on each).
+    "q43_egrid_overlay" -> ((s, dir) => {
+      val diamonds = graft.sources.Sources.eGrid(s, "EG", 0, 0, 1000, 1000, 9, 17)
+      SpatialJoin.pointInPoly(TpchGeo.points(s, dir), diamonds, domain, zres)
+        .groupBy("col", "row").agg(count(lit(1)).as("n"))
+        .orderBy("row", "col")
+    }),
+
+    // --- Variable grid (1-level nested refinement, variableGridReader.c:82):
+    // point counts per leaf cell (coarse cells + 4-way children).
+    "q44_vargrid_overlay" -> ((s, dir) => {
+      val vg = graft.sources.Sources.variableGrid(s,
+        graft.grid.GridSpec("VG", 0, 0, 2000, 2000, 4, 4), Set(0L, 5L, 10L, 15L))
+      SpatialJoin.pointInPoly(TpchGeo.points(s, dir), vg, domain, zres)
+        .groupBy("cell_id", "parent_id", "depth").agg(count(lit(1)).as("n"))
+        .orderBy("cell_id")
+    }),
+
+    // --- BELD-shaped end-to-end (beld3smk.c:40-629): a WIDE multi-variable
+    // landuse layer stored as TILE-PARTITIONED parquet; the query window
+    // touches 4 of 16 tiles (partition pruning — plan-asserted in
+    // PartitionPruningSpec) and every variable regrids onto cells in ONE
+    // fragment join (allocate Aggregate over 8 columns at once).
+    "q45_beld_allocate" -> ((s, dir) => {
+      val beldDir = s"/tmp/graft_beld_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val primes = Seq(3, 7, 11, 13, 17, 19, 23, 29)
+      val luCols = primes.zipWithIndex.map { case (p, i) =>
+        expr(s"CAST((p_partkey * $p) % 100 AS DOUBLE)").as(s"lu_$i") }
+      TpchGeo.tracts(s, dir)
+        .withColumn("tile",
+          (floor(col("geom").getItem(0).getItem(1) / 2048) * 4 +
+           floor(col("geom").getItem(0).getItem(0) / 2048)).cast("int"))
+        .select(Seq(col("p_partkey"), col("geom"), col("tile")) ++ luCols: _*)
+        .write.mode("overwrite").partitionBy("tile").parquet(beldDir)
+      val input = s.read.parquet(beldDir)
+        .where(col("tile").isin(0, 1, 4, 5)) // SW-quadrant window
+      val cells = graft.sources.Sources.regularGrid(s, grid)
+        .withColumnRenamed("cell_id", "out_id")
+      Allocate.allocate(input, cells,
+          (0 until 8).map(i => s"lu_$i" -> (Allocate.Aggregate: Allocate.Mode)),
+          domain, zres)
+        .withColumn("col", (pmod(col("out_id"), lit(8)) + 1).cast("int"))
+        .withColumn("row", (floor(col("out_id") / 8) + 1).cast("int"))
+        .select(Seq(col("col"), col("row")) ++ (0 until 8).map(i => col(s"lu_$i")): _*)
+        .orderBy("row", "col")
+    })
   )
 
   /** DuckDB haversine of a constant-latitude span (the exact expression
@@ -334,6 +385,61 @@ object SparkEntry {
          |WHERE denom >= 0.00001 AND numer <> 0
          |  AND CAST(round(numer) AS BIGINT) >= 1
          |ORDER BY fips, "row", col""".stripMargin,
+
+    "q43_egrid_overlay" ->
+      s"""WITH pts AS (${TpchGeo.pointsSql}),
+         |dm AS (SELECT CAST(id % 9 + 1 AS INT) AS col,
+         |  CAST(floor(id / 9.0) + 1 AS INT) AS "row",
+         |  CAST((id % 9) * 1000 +
+         |    (CASE WHEN (CAST(floor(id / 9.0) AS INT) + 1) % 2 = 0
+         |          THEN 500 ELSE 0 END) AS DOUBLE) AS cx,
+         |  CAST(CAST(floor(id / 9.0) AS INT) * 500 AS DOUBLE) AS cy
+         |FROM range(153) t(id))
+         |SELECT col, "row", count(*) AS n
+         |FROM dm JOIN pts ON abs(x - cx) + abs(y - cy) <= 500
+         |GROUP BY 1, 2 ORDER BY "row", col""".stripMargin,
+
+    "q44_vargrid_overlay" ->
+      s"""WITH pts AS (${TpchGeo.pointsSql}),
+         |base AS (SELECT i AS cell_id, i AS parent_id, 0 AS depth,
+         |    CAST((i % 4) * 2000 AS DOUBLE) AS x0,
+         |    CAST(CAST(floor(i / 4.0) AS INT) * 2000 AS DOUBLE) AS y0,
+         |    2000.0 AS sz
+         |  FROM range(16) t(i) WHERE i NOT IN (0, 5, 10, 15)),
+         |kids AS (SELECT i * 4 + k AS cell_id, i AS parent_id, 1 AS depth,
+         |    CAST((i % 4) * 2000 + (k % 2) * 1000 AS DOUBLE) AS x0,
+         |    CAST(CAST(floor(i / 4.0) AS INT) * 2000
+         |      + CAST(floor(k / 2.0) AS INT) * 1000 AS DOUBLE) AS y0,
+         |    1000.0 AS sz
+         |  FROM range(16) t(i) CROSS JOIN range(4) u(k) WHERE i IN (0, 5, 10, 15)),
+         |cells AS (SELECT * FROM base UNION ALL SELECT * FROM kids)
+         |SELECT cell_id, parent_id, CAST(depth AS INT) AS depth, count(*) AS n
+         |FROM cells JOIN pts
+         |  ON x > x0 AND x < x0 + sz AND y > y0 AND y < y0 + sz
+         |GROUP BY 1, 2, 3 ORDER BY cell_id""".stripMargin,
+
+    "q45_beld_allocate" -> {
+      val primes = Seq(3, 7, 11, 13, 17, 19, 23, 29)
+      val luDefs = primes.zipWithIndex.map { case (p, i) =>
+        s"CAST((p_partkey * $p) % 100 AS DOUBLE) AS lu_$i" }.mkString(",\n         |  ")
+      val luSums = (0 until 8).map(i =>
+        s"sum(lu_$i * (fa / 262144.0)) AS lu_$i").mkString(",\n         |  ")
+      s"""WITH tr AS (${TpchGeo.tractsSql}),
+         |wide AS (SELECT tx0, ty0,
+         |  CAST(floor(ty0 / 2048) * 4 + floor(tx0 / 2048) AS INT) AS tile,
+         |  $luDefs
+         |FROM tr),
+         |sel AS (SELECT * FROM wide WHERE tile IN (0, 1, 4, 5)),
+         |cl AS (${TpchGeo.cellsSql}),
+         |fr AS (
+         |  SELECT col, "row", ${(0 until 8).map(i => s"lu_$i").mkString(", ")},
+         |    greatest(0, least(tx0+512, gx0+1000) - greatest(tx0, gx0)) *
+         |    greatest(0, least(ty0+512, gy0+1000) - greatest(ty0, gy0)) AS fa
+         |  FROM sel CROSS JOIN cl)
+         |SELECT col, "row",
+         |  $luSums
+         |FROM fr WHERE fa > 0 GROUP BY 1, 2 ORDER BY "row", col""".stripMargin
+    },
 
     "q05_srg_line" ->
       s"""WITH rd AS (${TpchGeo.roadsSql}),

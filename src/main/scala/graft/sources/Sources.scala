@@ -99,8 +99,10 @@ object Sources {
       .withColumn("depth", lit(0))
     val children = refinedDf
       .crossJoin(spark.range(4).toDF("k"))
+      // integer child offsets — a bare k/2 is DOUBLE division in Spark and
+      // would displace children k=1,3 by half a cell
       .withColumn("kx", (col("k") % 2).cast("double"))
-      .withColumn("ky", (col("k") / 2).cast("double"))
+      .withColumn("ky", floor(col("k") / 2).cast("double"))
       .withColumn("x0", lit(g.xorig) + (col("col") - 1) * g.xcell + col("kx") * (g.xcell / 2))
       .withColumn("y0", lit(g.yorig) + (col("row") - 1) * g.ycell + col("ky") * (g.ycell / 2))
       .withColumn("geom", array(array(

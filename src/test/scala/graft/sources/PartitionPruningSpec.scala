@@ -45,6 +45,15 @@ class PartitionPruningSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scan not pruned to 2 columns:\n$rs")
   }
 
+  test("q45 BELD allocate's scan carries the tile partition filter") {
+    val df = graft.SparkEntry.queries("q45_beld_allocate")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[tile#\\d+ IN \\(0,1,4,5\\)\\].*"),
+      s"tile IN filter not pushed to partitions:\n$plan")
+    assert(df.count() > 0)
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
