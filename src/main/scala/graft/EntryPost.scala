@@ -61,7 +61,16 @@ object EntryPost {
     // QA no-data report: counties in the universe missing from the surrogate
     "q29_qa_nodata" -> ((s, dir) =>
       PostOps.qaNoData(srg100(s, dir).where(col("fips") >= "47009"),
-                       TpchGeo.counties(s)))
+                       TpchGeo.counties(s))),
+
+    // QA gapfill pivot: per county × gapfilled code, which source filled it
+    "q46_qa_gapfill" -> ((s, dir) => {
+      val g600 = PostOps.gapfill(Seq(
+        srg100(s, dir).where(col("fips") >= "47009"), srg120(s, dir)), 600)
+      val g610 = PostOps.gapfill(Seq(
+        srg120(s, dir).where(col("fips") <= "47008"), srg100(s, dir)), 610)
+      PostOps.qaGapfill(g600.unionByName(g610))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -133,6 +142,19 @@ object EntryPost {
     "q29_qa_nodata" ->
       s"""SELECT fips FROM (${TpchGeo.countiesSql})
          |WHERE fips NOT IN (SELECT DISTINCT fips FROM $s1 WHERE fips >= '47009')
+         |ORDER BY fips""".stripMargin,
+
+    "q46_qa_gapfill" ->
+      s"""WITH c1 AS (SELECT DISTINCT fips FROM $s1),
+         |c2 AS (SELECT DISTINCT fips FROM $s2),
+         |r AS (SELECT fips,
+         |    CASE WHEN fips IN (SELECT fips FROM c1 WHERE fips >= '47009') THEN 100
+         |         WHEN fips IN (SELECT fips FROM c2) THEN 120 END AS "600",
+         |    CASE WHEN fips IN (SELECT fips FROM c2 WHERE fips <= '47008') THEN 120
+         |         WHEN fips IN (SELECT fips FROM c1) THEN 100 END AS "610"
+         |  FROM (${TpchGeo.countiesSql}))
+         |SELECT fips, CAST("600" AS INT) AS "600", CAST("610" AS INT) AS "610"
+         |FROM r WHERE "600" IS NOT NULL OR "610" IS NOT NULL
          |ORDER BY fips""".stripMargin
   )
 }

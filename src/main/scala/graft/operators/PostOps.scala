@@ -96,6 +96,14 @@ object PostOps {
       .where(abs(col("sum_frac") - 1.0) > tol)
       .orderBy("srg_code", "fips")
 
+  /** Gapfill report (qa/QAReports.java gapfill pivot): per county × output
+    * surrogate code, WHICH source code filled it — input is gapfilled
+    * tables (PostOps.gapfill output carrying `filled_from`), unioned. */
+  def qaGapfill(filled: DataFrame): DataFrame =
+    filled.groupBy("fips").pivot("srg_code")
+      .agg(min("filled_from")) // constant per (fips, code); min = deterministic
+      .orderBy("fips")
+
   /** Rows with frac ≥ t (default 0.5, qa/Threshold.java:9). */
   def qaThreshold(srg: DataFrame, t: Double = 0.5): DataFrame =
     srg.where(col("frac") >= t)

@@ -137,6 +137,24 @@ object TextOps {
         TextHash.shingleHashSetUdf(n)(col(textCol)).as("shs"))
       .where(size(col("shs")) > 0)
       .transform(graft.spark.PersistTracker.persist)
+    ngramJaccardCandidates(prepared, tau, positional = true)
+      .join(prepared.select(col("id").as("id_a"), col("shs").as("__sa")), "id_a")
+      .join(prepared.select(col("id").as("id_b"), col("shs").as("__sb")), "id_b")
+      .withColumn("jac", TextHash.jaccardUdf(col("__sa"), col("__sb")))
+      .where(col("jac") >= tau)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** Candidate pair generation for the exact path — prefix filter plus the
+    * PPJoin+ POSITIONAL filter: a shared prefix shingle at ranks (ra, rb)
+    * bounds the total overlap by 1 + min(|a|−ra, |b|−rb) (all common
+    * shingles rank ≥ the first common one in the global order); pairs whose
+    * every shared prefix shingle fails o ≥ τ(|a|+|b|)/(1+τ) cannot reach τ
+    * and are pruned BEFORE the expensive shingle-set verification join.
+    * Safe: a true pair's first common shingle always passes (proof in the
+    * PPJoin/PPJoin+ papers; ε guards double rounding of the bound). */
+  private[text] def ngramJaccardCandidates(prepared: DataFrame, tau: Double,
+                                           positional: Boolean): DataFrame = {
     val postings = prepared.select(col("id"), size(col("shs")).as("sz"),
       explode(col("shs")).as("sh"))
     val freq = postings.groupBy("sh").agg(count(lit(1)).as("__c"))
@@ -146,19 +164,18 @@ object TextOps {
     val prefixes = postings.join(freq, "sh")
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
-      .select("id", "sz", "sh")
-    val cands = prefixes.as("a").join(prefixes.as("b"), Seq("sh"))
+      .select("id", "sz", "sh", "__rn")
+    val posBound =
+      (lit(1) + least(col("a.sz") - col("a.__rn"), col("b.sz") - col("b.__rn")))
+        .cast("double") >=
+        lit(tau / (1.0 + tau)) * (col("a.sz") + col("b.sz")) - lit(1e-9)
+    prefixes.as("a").join(prefixes.as("b"), Seq("sh"))
       .where(col("a.id") < col("b.id") &&
         col("a.sz") >= lit(tau) * col("b.sz") &&
-        col("b.sz") >= lit(tau) * col("a.sz"))
+        col("b.sz") >= lit(tau) * col("a.sz") &&
+        (if (positional) posBound else lit(true)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cands
-      .join(prepared.select(col("id").as("id_a"), col("shs").as("__sa")), "id_a")
-      .join(prepared.select(col("id").as("id_b"), col("shs").as("__sb")), "id_b")
-      .withColumn("jac", TextHash.jaccardUdf(col("__sa"), col("__sb")))
-      .where(col("jac") >= tau)
-      .select("id_a", "id_b", "jac")
   }
 
   // ------------------------------------------------------------ MinHash LSH

@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** PPJoin+ positional filter: on an adversarial sliding-window corpus
+  * (many sub-threshold pairs sharing rare prefix shingles) the positional
+  * bound must prune candidates the plain prefix filter keeps, while the
+  * final verified output stays EXACTLY equal to brute force. */
+class PPJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false").appName("ppjoin-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // sliding windows at stride 6 over a cyclic vocabulary: adjacent docs
+  // share 6 of 12 words (jac = 4/16 = 0.25 < tau) — true negatives whose
+  // shared shingles still enter prefixes; plus 3 genuine near-dups
+  private def corpus = {
+    import spark.implicits._
+    val words = (0 until 240).map(i => s"w$i")
+    val slide = (0 until 200).map { i =>
+      (i.toLong, (0 until 12).map(k => words((i * 6 + k) % 240)).mkString(" "))
+    }
+    val dups = Seq(
+      (1000L, slide(10)._2),                       // exact dup of doc 10
+      (1001L, slide(20)._2.replace("w126", "zz")), // near dup of doc 20
+      (1002L, slide(30)._2))                       // exact dup of doc 30
+    (slide ++ dups).toDF("doc_id", "text")
+  }
+
+  test("positional filter prunes candidates without changing the output") {
+    val tau = 0.5
+    val prepared = corpus.select(col("doc_id").as("id"),
+        TextHash.shingleHashSetUdf(3)(col("text")).as("shs"))
+      .where(size(col("shs")) > 0)
+    val plain = TextOps.ngramJaccardCandidates(prepared, tau, positional = false).count()
+    val pos = TextOps.ngramJaccardCandidates(prepared, tau, positional = true).count()
+    assert(pos < plain, s"positional filter pruned nothing ($pos vs $plain)")
+
+    // exact output parity vs driver-side brute force
+    val engine = TextOps.ngramJaccardPairs(corpus, "doc_id", "text", 3, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = corpus.collect()
+      .map(r => (r.getLong(0), TextHash.shingleHashes(r.getString(1), 3).toSet))
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= tau
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "fixture has no true pairs — parity check vacuous")
+    assert(engine == brute,
+      s"missed=${(brute -- engine).take(5)} extra=${(engine -- brute).take(5)}")
+  }
+}
