@@ -213,6 +213,16 @@ object Shapefile {
     (fields, rows)
   }
 
+  /** dbf2asc (dbf2asc.c:18): dump a .dbf's attribute table as CSV text
+    * lines (header + rows), using the typed parser above. */
+  def dbfToCsv(base: String): Seq[String] = {
+    val (fields, rows) = parseDbf(Files.readAllBytes(Paths.get(base + ".dbf")))
+    val header = fields.map(_.name).mkString(",")
+    header +: rows.toSeq.sortBy(_._1).map { case (_, vals) =>
+      vals.map(v => if (v == null) "" else v.toString).mkString(",")
+    }
+  }
+
   // ----------------------------------------------------------------- write
 
   /** Attribute column description for the DBF writer. */

@@ -86,6 +86,16 @@ object Sources {
         col("cx") - dx / 2, col("cy"))))
       .drop("cx", "cy")
 
+  /** Fractional-vegetation source (fractionalVegReader.c, dispatch
+    * PolyReader.c:97): delimited landuse-fraction text keyed by (x, y) —
+    * a plain CSV read with canonical coordinate columns. */
+  def fractionalVeg(spark: SparkSession, path: String,
+                    sep: String = ","): DataFrame =
+    spark.read.option("header", "true").option("sep", sep)
+      .option("inferSchema", "true").csv(path)
+      .withColumn("x", col("x").cast("double"))
+      .withColumn("y", col("y").cast("double"))
+
   /** Variable grid source (variableGridReader.c:82): a base grid whose
     * listed cells are refined into 4 children (one nesting level — the
     * reference's nested-refinement semantics over a regular parent). Child

@@ -126,6 +126,22 @@ class ShapefileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(backL(1).getAs[scala.collection.Seq[Double]]("line") == Seq(5.0, 5, 5, 9, 8, 9))
   }
 
+  test("dbf2asc dumps the attribute table as CSV") {
+    val base = tmpBase("golden2")
+    goldenPolygonBytes(base)
+    assert(Shapefile.dbfToCsv(base) == Seq("POP,NAME", "42,ward"))
+  }
+
+  test("fractionalVeg reads a landuse-fraction CSV with x/y doubles") {
+    val f = java.nio.file.Files.createTempFile("veg", ".csv")
+    java.nio.file.Files.write(f,
+      "x,y,forest,water\n100,200,0.25,0.5\n300,400,0.75,0.0\n".getBytes("UTF-8"))
+    val df = Sources.fractionalVeg(spark, f.toString)
+    assert(df.count() == 2)
+    val r = df.orderBy("x").collect().head
+    assert(r.getAs[Double]("x") == 100.0 && r.getAs[Double]("forest") == 0.25)
+  }
+
   test("bbox window skips non-intersecting shapes during scan") {
     import spark.implicits._
     val src = Seq(
