@@ -6,7 +6,7 @@ import graft.grid.GridSpec
 
 /** Non-parquet layer sources of the reference, re-expressed as Spark reads
   * or generated Datasets (PolyReader.c:50-150 dispatch). Shapefile binary
-  * I/O is out of scope (SURVEY §7.6) — layers live as parquet/CSV here. */
+  * I/O lives in `sources.Shapefile`; text/CSV/generated layers here. */
 object Sources {
 
   /** PointFile source (PointFileReader.c:34): delimited text with named X/Y
