@@ -114,6 +114,14 @@ object EntryText {
           TextOps.contentFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // near-dup GROUPS: exact Jaccard pairs → connected components →
+    // (doc_id, min-reachable rep_id) — pairs become keep/drop decisions
+    "q47_dedup_groups" -> ((s, dir) =>
+      TextOps.dedupComponents(
+          TextFixtures.nearDupCorpus(s, dir, " graftmark near dup copy"),
+          "doc_id", "text", n = 3, tau = 0.5)
+        .orderBy("doc_id")),
+
     // event table: 5-minute windowed aggregation (batch form)
     "q20_events_window" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
@@ -177,6 +185,22 @@ object EntryText {
 
     "q14_ngram_jaccard" ->
       jaccardPairsSql(TextFixtures.nearDupCorpusSql(" graftmark near dup copy"), 0.5),
+
+    // components via recursive reachability over the same exact pair set
+    "q47_dedup_groups" ->
+      s"""WITH RECURSIVE
+         |nodes AS (SELECT doc_id AS id
+         |          FROM (${TextFixtures.nearDupCorpusSql(" graftmark near dup copy")}) c0),
+         |p AS (SELECT id_a, id_b FROM (
+         |  ${jaccardPairsSql(TextFixtures.nearDupCorpusSql(" graftmark near dup copy"), 0.5)}) jp),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         |          UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+         |r AS (
+         |  SELECT id AS u, id AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, min(v) AS rep_id FROM r GROUP BY u
+         |ORDER BY doc_id""".stripMargin,
 
     "q15_minhash_dedup" ->
       jaccardPairsSql(TextFixtures.nearDupCorpusSql(" graftmark"), 0.8),

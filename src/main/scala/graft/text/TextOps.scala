@@ -178,6 +178,50 @@ object TextOps {
       .distinct()
   }
 
+  // -------------------------------------------------- dedup group canonical
+
+  /** Connected components over near-dup pairs: each doc labeled with the
+    * min id reachable through the pair graph — turning PAIRS into dedup
+    * GROUPS (keep rep_id, drop the rest), the semantics a dedup pipeline
+    * actually needs.
+    *
+    * Distributed min-label propagation: every pass joins labels across
+    * edges and keeps the elementwise min; passes ≤ the max distance from a
+    * node to its component's min. Near-dup components are dense and
+    * shallow (dup clusters, not paths), so a handful of passes suffice;
+    * every pass localCheckpoints so lineage stays flat (same discipline as
+    * Knn). Edge and label tables only carry (id, id) longs — document text
+    * never shuffles. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("rep"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var pass = 0
+    while (changed > 0 && pass < 50) {
+      val nbr = edges.join(labels.select(col("id").as("v"), col("rep")), "v")
+        .groupBy(col("u").as("id")).agg(min("rep").as("__nrep"))
+      val updated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.withColumnRenamed("rep", "__old"), "id")
+        .where(col("rep") =!= col("__old")).count()
+      labels = updated
+      pass += 1
+    }
+    labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+  }
+
+  /** End-to-end near-dup GROUPS: exact n-gram Jaccard pairs (PPJoin+
+    * filtered) → connected components → (doc_id, rep_id). */
+  def dedupComponents(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, tau: Double): DataFrame =
+    connectedComponents(df.select(col(idCol).as("id")),
+      ngramJaccardPairs(df, idCol, textCol, n, tau))
+
   // ------------------------------------------------------------ MinHash LSH
 
   /** Doc-local MinHash signature over hashed word n-gram shingles. */

@@ -33,6 +33,19 @@ class PPJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     (slide ++ dups).toDF("doc_id", "text")
   }
 
+  test("connectedComponents labels chains, cliques and singletons correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4 (worst case: propagation distance 3), clique 10-11-12,
+    // singleton 99
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+                    (10L, 11L), (10L, 12L), (11L, 12L)).toDF("id_a", "id_b")
+    val got = TextOps.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
   test("positional filter prunes candidates without changing the output") {
     val tau = 0.5
     val prepared = corpus.select(col("doc_id").as("id"),
