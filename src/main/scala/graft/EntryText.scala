@@ -128,7 +128,20 @@ object EntryText {
         .withColumn("bucket", (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long"))
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
-        .orderBy("bucket", "event_type"))
+        .orderBy("bucket", "event_type")),
+
+    // gap sessionization, batch twin (streaming parity vs this exact
+    // transform is asserted in SessionizeSpec); sum_value rounded to 1e-6
+    // to absorb cross-engine float-addition order inside a session
+    "q48_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionizeBatch(
+          s.read.parquet(s"$dir/events.parquet"), gapSec = 1800)
+        .select(col("user_id"),
+          unix_millis(col("session_start").cast("timestamp")).as("start_ms"),
+          unix_millis(col("session_end").cast("timestamp")).as("end_ms"),
+          col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("user_id", "start_ms"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -244,6 +257,21 @@ object EntryText {
     "q20_events_window" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket, event_type,
         |  count(*) AS n, min(value) AS vmin, max(value) AS vmax
-        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "q48_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev IS NULL
+        |        OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END AS nw
+        |      FROM l),
+        |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
   )
 }

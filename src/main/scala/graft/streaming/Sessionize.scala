@@ -30,8 +30,10 @@ object Sessionize {
       .withColumn("__new",
         // millisecond precision — must match the streaming path's getTime
         // arithmetic or sub-second gaps split differently batch vs stream
+        // (casts make TIMESTAMP_NTZ parquet columns work too)
         when(col("__prev").isNull ||
-             unix_millis(col("ts")) - unix_millis(col("__prev")) > gapSec * 1000, 1)
+             unix_millis(col("ts").cast("timestamp")) -
+               unix_millis(col("__prev").cast("timestamp")) > gapSec * 1000, 1)
           .otherwise(0))
       .withColumn("__sid", sum("__new").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
