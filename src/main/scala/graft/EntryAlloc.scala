@@ -44,9 +44,11 @@ object EntryAlloc {
         TpchGeo.counties(s), grid, domain, zres,
         srgCode = 130, weight = Some("__wf"))),
 
-    // CONVERT_SHAPE: counties → lon/lat → LCC; per-county projected area.
-    // Rows-only check (no DuckDB oracle: trig is not bit-stable across
-    // engines); exactness is covered by roundtrip unit tests instead.
+    // CONVERT_SHAPE: counties → lon/lat → LCC (densified at 0.1°);
+    // per-county projected area rounded to 0.001 km² — the quantization
+    // absorbs trig/summation-order ulps, so a closed-form DuckDB oracle
+    // (same 31-vertex densification, same Snyder LCC, same shoelace)
+    // hash-gates it since round 2.
     "q34_reproject" -> ((s, dir) => {
       import graft.grid.Proj
       import graft.spark.GeoFunctions.polygonAreaUdf
@@ -132,6 +134,38 @@ object EntryAlloc {
 
     "q32_srg_weight_fun" ->
       SparkEntry.srgAreaStmtFor(130, "(3*p_size - p_size/2) + 128"),
+
+    "q34_reproject" -> {
+      // Snyder LCC(33,45,40,-97) constants, identical expression trees to
+      // grid.Proj.Lcc (see q41's oracle)
+      val n = "(ln(cos(radians(33))/cos(radians(45))) / ln(tan(pi()/4 + radians(45)/2)/tan(pi()/4 + radians(33)/2)))"
+      val fF = s"(cos(radians(33))*pow(tan(pi()/4 + radians(33)/2), $n)/$n)"
+      val rho0 = s"(6370997.0*$fF/pow(tan(pi()/4 + radians(40)/2), $n))"
+      s"""WITH cn AS (${TpchGeo.countiesSql}),
+         |base AS (SELECT fips,
+         |    -92 + cx0/1000*0.5 AS lon0, 33 + cy0/1000*0.5 AS lat0 FROM cn),
+         |idx AS (SELECT i FROM range(31) t(i)),
+         |verts AS (SELECT fips, i,
+         |    CASE WHEN i = 30 THEN lon0
+         |         WHEN i < 10 THEN lon0 + 1.0 * (i % 10) / 10
+         |         WHEN i < 20 THEN lon0 + 1.0
+         |         ELSE (lon0 + 1.0) + (-1.0) * (i % 10) / 10 END AS lon,
+         |    CASE WHEN i = 30 THEN lat0 + 1.0
+         |         WHEN i < 10 THEN lat0
+         |         WHEN i < 20 THEN lat0 + 1.0 * (i % 10) / 10
+         |         ELSE lat0 + 1.0 END AS lat
+         |  FROM base CROSS JOIN idx),
+         |proj AS (SELECT fips, i,
+         |    (6370997.0*$fF/pow(tan(pi()/4 + radians(lat)/2), $n))
+         |      * sin($n*(radians(lon) - radians(-97))) AS x,
+         |    $rho0 - (6370997.0*$fF/pow(tan(pi()/4 + radians(lat)/2), $n))
+         |      * cos($n*(radians(lon) - radians(-97))) AS y
+         |  FROM verts),
+         |pairs AS (SELECT a.fips, a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj
+         |  FROM proj a JOIN proj b ON a.fips = b.fips AND b.i = (a.i + 1) % 31)
+         |SELECT fips, round(abs(sum(xi*yj - xj*yi)) / 2 / 1000000.0, 3) AS area_km2
+         |FROM pairs GROUP BY fips ORDER BY fips""".stripMargin
+    },
 
     "q35_multipart" ->
       s"""WITH tr AS (${TpchGeo.tractsSql})
