@@ -143,6 +143,9 @@ object TextOps {
       .withColumn("jac", TextHash.jaccardUdf(col("__sa"), col("__sb")))
       .where(col("jac") >= tau)
       .select("id_a", "id_b", "jac")
+      // tiny result, expensive plan: cache it so downstream consumers
+      // (dedup components, repeated actions) don't re-run the self-join
+      .transform(graft.spark.PersistTracker.persist)
   }
 
   /** Candidate pair generation for the exact path — prefix filter plus the
@@ -193,8 +196,12 @@ object TextOps {
     * Knn). Edge and label tables only carry (id, id) longs — document text
     * never shuffles. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // both edge directions from ONE pass over the (expensive) pair plan —
+    // a union of two selects would execute the pair join twice
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("rep"))
       .localCheckpoint(true)
