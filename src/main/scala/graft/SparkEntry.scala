@@ -222,6 +222,27 @@ object SparkEntry {
         .withColumn("row", (floor(col("out_id") / 8) + 1).cast("int"))
         .select(Seq(col("col"), col("row")) ++ (0 until 8).map(i => col(s"lu_$i")): _*)
         .orderBy("row", "col")
+    }),
+
+    // --- I/O API-shaped gridded allocate (allocateIoapi.c, raster→vector):
+    // a (var, tstep, row, col, value) gridded table regrids onto the tract
+    // polygons — Σ value·overlap/cellArea per (tract, var), summed across
+    // timesteps. The gridded side is generated closed-form (deterministic),
+    // so the DuckDB oracle reproduces every value.
+    "q49_ioapi_alloc" -> ((s, dir) => {
+      import s.implicits._
+      val cells = graft.sources.Sources.regularGrid(s, grid)
+        .select(col("col"), col("row"))
+      val gridded = cells
+        .crossJoin(s.range(4).toDF("tstep"))
+        .crossJoin(Seq(1, 2).toDF("vk"))
+        .withColumn("var", concat(lit("V"), col("vk")))
+        .withColumn("value",
+          expr("CAST((vk * 31 + tstep * 7 + ((row - 1) * 8 + col)) % 50 AS DOUBLE)"))
+        .select("var", "tstep", "row", "col", "value")
+      Allocate.gridToPoly(gridded, grid,
+          TpchGeo.tracts(s, dir), "p_partkey", "value", Seq("var"))
+        .orderBy("p_partkey", "var")
     })
   )
 
@@ -440,6 +461,21 @@ object SparkEntry {
          |  $luSums
          |FROM fr WHERE fa > 0 GROUP BY 1, 2 ORDER BY "row", col""".stripMargin
     },
+
+    "q49_ioapi_alloc" ->
+      s"""WITH tr AS (${TpchGeo.tractsSql}),
+         |cl AS (${TpchGeo.cellsSql}),
+         |g AS (SELECT 'V' || CAST(vk AS VARCHAR) AS var, tstep, "row", col,
+         |    CAST((vk * 31 + tstep * 7 + (("row" - 1) * 8 + col)) % 50 AS DOUBLE) AS value
+         |  FROM cl CROSS JOIN range(4) t(tstep) CROSS JOIN (VALUES (1), (2)) v(vk)),
+         |cov AS (
+         |  SELECT p_partkey, col, "row",
+         |    greatest(0, least(tx0+512, gx0+1000) - greatest(tx0, gx0)) *
+         |    greatest(0, least(ty0+512, gy0+1000) - greatest(ty0, gy0)) AS ca
+         |  FROM tr CROSS JOIN cl)
+         |SELECT p_partkey, var, sum(value * ca) / 1000000.0 AS alloc
+         |FROM cov JOIN g USING (col, "row")
+         |WHERE ca > 0 GROUP BY 1, 2 ORDER BY p_partkey, var""".stripMargin,
 
     "q05_srg_line" ->
       s"""WITH rd AS (${TpchGeo.roadsSql}),

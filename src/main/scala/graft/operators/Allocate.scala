@@ -102,6 +102,36 @@ object Allocate {
     result
   }
 
+  /** Gridded-table → polygon aggregation — the I/O API ALLOCATE /
+    * raster→vector overlay semantics (allocateIoapi.c:151-989;
+    * rasterWtoPolygons.cpp: rasterize polygons, sum raster values per
+    * polygon): per polygon and per grouping column (variable, timestep…),
+    * Σ value(cell) · area(poly ∩ cell) / cellArea.
+    *
+    * Exactness discipline: the aggregate sums value·clipArea (integer-
+    * valued doubles on lattice fixtures — order-independent), dividing by
+    * the cell area ONCE post-aggregation. Plan: the polygon side explodes
+    * its closed-form cell cover (no grid table materialized), the gridded
+    * fact table hash-joins on (col, row) — the 100 TB side never moves
+    * through a geometry kernel. */
+  def gridToPoly(gridded: DataFrame, grid: GridSpec, polys: DataFrame,
+                 polyId: String, valueCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    val cellArea = grid.xcell * grid.ycell
+    val cover = polys
+      .withColumn("__cellid", explode(polyGridCoverCells(col("geom"), grid)))
+      .withColumn("__carea", polyCellClipArea(col("geom"), col("__cellid"), grid))
+      .where(col("__carea") > 0)
+      .withColumn("col", (col("__cellid") % grid.ncols).cast("int") + 1)
+      .withColumn("row", (col("__cellid") / grid.ncols).cast("int") + 1)
+      .select(Seq(col(polyId), col("col"), col("row"), col("__carea")): _*)
+    cover.join(gridded, Seq("col", "row"))
+      .groupBy((polyId +: groupCols).map(col): _*)
+      .agg(sum(col(valueCol) * col("__carea")).as("__wsum"))
+      .withColumn("alloc", col("__wsum") / cellArea)
+      .drop("__wsum")
+  }
+
   /** typeAreaPercent (sumpoly.c:1179-1323): fraction of each grid cell
     * covered by each category of the input layer (OCEANfile / SURF_ZONE).
     * input: (geom, categoryCol). Output: (col, row, category, pct). */
