@@ -200,14 +200,29 @@ object SpatialAllocator {
   }
 
   /** "+proj=lcc,+lat_1=33,+lat_2=45,+lat_0=40,+lon_0=-97"-style minimal
-    * PROJ-ish spec (subset the engine implements). */
+    * PROJ-ish spec (subset the engine implements). An `+ellps=NAME` or
+    * non-spherical `+a=…,+b=…` pair selects the ellipsoidal forms where
+    * they exist (lcc, tmerc, utm — the families real NAD83/UTM shapefiles
+    * use); everything else stays on the reference's default sphere. */
   def projOf(spec: String): Proj = {
     val kv = spec.split(",").map(_.trim.stripPrefix("+"))
       .filter(_.contains("=")).map { s =>
         val Array(k, v) = s.split("=", 2); k -> v
       }.toMap
+    val ell: Option[graft.grid.Ellipsoid] = kv.get("ellps")
+      .map(n => graft.grid.Ellipsoid.byName.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown ellipsoid $n")))
+      .orElse(for {
+        a <- kv.get("a").map(_.toDouble)
+        b <- kv.get("b").map(_.toDouble)
+      } yield graft.grid.Ellipsoid(a, b))
+      .filter(!_.isSphere)
     spec.split(",").head.stripPrefix("+proj=") match {
       case "latlon" | "latlong" => Proj.LatLon
+      case "lcc" if ell.isDefined =>
+        graft.grid.Ellipsoidal.LccE(kv("lat_1").toDouble, kv("lat_2").toDouble,
+          kv("lat_0").toDouble, kv("lon_0").toDouble, ell.get,
+          kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
       case "lcc" => Proj.Lcc(kv("lat_1").toDouble, kv("lat_2").toDouble,
         kv("lat_0").toDouble, kv("lon_0").toDouble)
       case "merc" if kv.contains("lat_ts") =>
@@ -216,10 +231,17 @@ object SpatialAllocator {
       case "merc" => Proj.Mercator(kv.getOrElse("lon_0", "0").toDouble,
         kv.getOrElse("k_0", "1").toDouble,
         kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
+      case "tmerc" if ell.isDefined =>
+        graft.grid.Ellipsoidal.TmercE(kv("lon_0").toDouble, ell.get,
+          kv.getOrElse("k_0", "0.9996").toDouble,
+          kv.getOrElse("x_0", "500000").toDouble, kv.getOrElse("y_0", "0").toDouble,
+          kv.getOrElse("lat_0", "0").toDouble)
       case "tmerc" => Proj.Tmerc(kv("lon_0").toDouble,
         kv.getOrElse("k_0", "0.9996").toDouble,
         kv.getOrElse("x_0", "500000").toDouble, kv.getOrElse("y_0", "0").toDouble,
         kv.getOrElse("lat_0", "0").toDouble)
+      case "utm" if ell.isDefined =>
+        graft.grid.Ellipsoidal.utmZoneE(kv("zone").toInt, ell.get)
       case "utm" => Proj.utmZone(kv("zone").toInt)
       case "stere" if kv.contains("lat_ts") =>
         Proj.PolarStere(kv("lat_ts").toDouble, kv.getOrElse("lon_0", "0").toDouble,

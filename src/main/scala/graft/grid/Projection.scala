@@ -11,7 +11,7 @@ package graft.grid
   * closed forms — adequate because surrogate ratios are invariant to the
   * ellipsoid as long as both layers use the same CRS.
   */
-sealed trait Proj {
+trait Proj { // extended by grid.Ellipsoidal's forms too
   /** lon/lat degrees → projected x/y meters */
   def forward(lon: Double, lat: Double): (Double, Double)
   /** projected x/y meters → lon/lat degrees */

@@ -1,0 +1,128 @@
+package graft.grid
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ellipsoidal LCC/TMerc gates (no PROJ ships here to diff against):
+  * roundtrips at 1e-9°, sphere-limit equivalence with the exact spherical
+  * forms, LCC conformality, meridian arc vs numerical integration, and
+  * "ellipsoid actually changes the answer" sanity. */
+class EllipsoidalSpec extends AnyFunSuite {
+
+  private val lccN = Ellipsoidal.LccE(33, 45, 40, -97, Ellipsoid.GRS80)
+  private val utm16 = Ellipsoidal.utmZoneE(16, Ellipsoid.WGS84)
+
+  test("ellipsoidal LCC roundtrip at 1e-9 deg (CONUS window)") {
+    for (lon <- -125 to -66 by 7; lat <- 24 to 50 by 5) {
+      val (x, y) = lccN.forward(lon, lat)
+      val (lo, la) = lccN.inverse(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"($lon,$lat)")
+    }
+  }
+
+  test("ellipsoidal TMerc roundtrip (UTM zone width at 1e-8 deg; 2x width at 1e-5)") {
+    // the Snyder series is UTM's own: ~1 mm inside the +-3 deg zone
+    // (1e-8 deg), truncation grows past it (both directions truncate, so
+    // the roundtrip bound loosens to ~1e-5 deg at double width)
+    for (dl <- -3 to 3; lat <- -72 to 72 by 9) {
+      val lon = -87.0 + dl // zone 16 central meridian -87
+      val (x, y) = utm16.forward(lon, lat)
+      val (lo, la) = utm16.inverse(x, y)
+      assert(math.abs(lo - lon) < 1e-8 && math.abs(la - lat) < 1e-8, s"($lon,$lat)")
+    }
+    for (dl <- Seq(-6, 6); lat <- -72 to 72 by 18) {
+      val lon = -87.0 + dl
+      val (x, y) = utm16.forward(lon, lat)
+      val (lo, la) = utm16.inverse(x, y)
+      assert(math.abs(lo - lon) < 1e-5 && math.abs(la - lat) < 1e-5, s"($lon,$lat)")
+    }
+  }
+
+  test("sphere-limit: a=b ellipsoidal forms match the spherical closed forms") {
+    val eSphere = Ellipsoid.Sphere
+    val lccEll = Ellipsoidal.LccE(33, 45, 40, -97, eSphere)
+    val lccSph = Proj.Lcc(33, 45, 40, -97)
+    val tmEll = Ellipsoidal.TmercE(-87, eSphere)
+    val tmSph = Proj.Tmerc(-87)
+    for (lon <- Seq(-104.0, -97.0, -88.5); lat <- Seq(28.0, 37.25, 44.0)) {
+      val (xe, ye) = lccEll.forward(lon, lat)
+      val (xs, ys) = lccSph.forward(lon, lat)
+      assert(math.abs(xe - xs) < 1e-5 && math.abs(ye - ys) < 1e-5,
+        s"lcc sphere limit ($lon,$lat): ($xe,$ye) vs ($xs,$ys)")
+    }
+    // tmerc series vs exact spherical: series truncation grows with
+    // distance from the central meridian — ~mm at 2 deg
+    for (lon <- Seq(-88.5, -87.0, -85.5); lat <- Seq(20.0, 40.0, 60.0)) {
+      val (xe, ye) = tmEll.forward(lon, lat)
+      val (xs, ys) = tmSph.forward(lon, lat)
+      assert(math.abs(xe - xs) < 0.01 && math.abs(ye - ys) < 0.01,
+        s"tmerc sphere limit ($lon,$lat): ($xe,$ye) vs ($xs,$ys)")
+    }
+  }
+
+  test("LCC is conformal: meridian scale == parallel scale, == 1 at standard parallels") {
+    val d = 1e-7 // degrees
+    def scales(lon: Double, lat: Double): (Double, Double) = {
+      val e = Ellipsoid.GRS80
+      val phi = math.toRadians(lat)
+      val sin2 = math.sin(phi) * math.sin(phi)
+      val rM = e.a * (1 - e.e2) / math.pow(1 - e.e2 * sin2, 1.5) // meridian radius
+      val rN = e.a / math.sqrt(1 - e.e2 * sin2)                  // prime vertical
+      val (x0, y0) = lccN.forward(lon, lat)
+      val (x1, y1) = lccN.forward(lon, lat + d)
+      val (x2, y2) = lccN.forward(lon + d, lat)
+      val ds = math.toRadians(d)
+      val kMer = math.hypot(x1 - x0, y1 - y0) / (rM * ds)
+      val kPar = math.hypot(x2 - x0, y2 - y0) / (rN * math.cos(phi) * ds)
+      (kMer, kPar)
+    }
+    for (lon <- Seq(-110.0, -97.0, -80.0); lat <- Seq(30.0, 39.5, 47.0)) {
+      val (km, kp) = scales(lon, lat)
+      assert(math.abs(km / kp - 1.0) < 1e-6, s"not conformal at ($lon,$lat): $km vs $kp")
+    }
+    val (k1, _) = scales(-97, 33)
+    val (k2, _) = scales(-97, 45)
+    assert(math.abs(k1 - 1.0) < 1e-6 && math.abs(k2 - 1.0) < 1e-6,
+      s"scale at standard parallels: $k1, $k2")
+  }
+
+  test("meridian-arc series matches numerical integration to 1e-3 m") {
+    val e = Ellipsoid.WGS84
+    def integrand(phi: Double): Double =
+      e.a * (1 - e.e2) / math.pow(1 - e.e2 * math.sin(phi) * math.sin(phi), 1.5)
+    def simpson(hi: Double, n: Int): Double = {
+      val h = hi / n
+      var s = integrand(0) + integrand(hi)
+      for (i <- 1 until n)
+        s += (if (i % 2 == 1) 4 else 2) * integrand(i * h)
+      s * h / 3
+    }
+    for (latDeg <- Seq(15.0, 40.0, 75.0)) {
+      val phi = math.toRadians(latDeg)
+      val series = Ellipsoidal.meridianArc(phi, e)
+      val num = simpson(phi, 20000)
+      // Snyder 3-21 truncates at e^6: inherent error ~1e-4 m on WGS84
+      assert(math.abs(series - num) < 1e-3, s"lat $latDeg: $series vs $num")
+    }
+  }
+
+  test("projOf dispatches to ellipsoidal forms on +ellps / non-spherical +a,+b") {
+    import graft.cli.SpatialAllocator.projOf
+    assert(projOf("+proj=lcc,+lat_1=33,+lat_2=45,+lat_0=40,+lon_0=-97,+ellps=GRS80")
+      .isInstanceOf[Ellipsoidal.LccE])
+    assert(projOf("+proj=utm,+zone=16,+ellps=WGS84")
+      .isInstanceOf[Ellipsoidal.TmercE])
+    assert(projOf("+proj=tmerc,+lon_0=-87,+a=6378206.4,+b=6356583.8")
+      .isInstanceOf[Ellipsoidal.TmercE])
+    // spherical +a=+b (the reference catalogs' "+a=6370997.0,+b=6370997.0")
+    // stays on the exact spherical closed forms
+    assert(projOf("+proj=lcc,+lat_1=33,+lat_2=45,+lat_0=40,+lon_0=-97,+a=6370997.0,+b=6370997.0")
+      .isInstanceOf[Proj.Lcc])
+  }
+
+  test("the ellipsoid genuinely changes projected coordinates (not a no-op)") {
+    val sph = Ellipsoidal.LccE(33, 45, 40, -97, Ellipsoid.Sphere)
+    val (xg, yg) = lccN.forward(-90, 37)
+    val (xs, ys) = sph.forward(-90, 37)
+    assert(math.hypot(xg - xs, yg - ys) > 1000.0, "GRS80 vs sphere differ by km-scale")
+  }
+}
