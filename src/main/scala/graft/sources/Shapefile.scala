@@ -370,12 +370,16 @@ object Shapefile {
         val s = a.typ match {
           case 'N' if a.dec == 0 =>
             val t = if (v == null) "" else v.asInstanceOf[Number].longValue.toString
+            require(t.length <= a.len,
+              s"DBF field ${a.name}: value $t exceeds width ${a.len} (would truncate digits)")
             " " * (a.len - t.length) + t
           case 'N' | 'F' =>
             val t = if (v == null) ""
                     else String.format(java.util.Locale.US, s"%.${a.dec}f",
                       java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue))
-            " " * math.max(0, a.len - t.length) + t.takeRight(a.len)
+            require(t.length <= a.len,
+              s"DBF field ${a.name}: value $t exceeds width ${a.len} (would truncate digits)")
+            " " * (a.len - t.length) + t
           case 'L' => if (v == null) "?" else if (v.asInstanceOf[Boolean]) "T" else "F"
           case _ =>
             val t = if (v == null) "" else v.toString

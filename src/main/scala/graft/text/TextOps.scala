@@ -219,6 +219,9 @@ object TextOps {
       labels = updated
       pass += 1
     }
+    // no silent caps: labels at the pass limit would be WRONG, not partial
+    require(changed == 0,
+      s"connectedComponents did not converge in $pass passes ($changed labels still moving) — pathological chain topology; use small-star/large-star")
     labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
   }
 
