@@ -224,6 +224,19 @@ object SparkEntry {
         .orderBy("row", "col")
     }),
 
+    // --- OVERLAY with OVERLAY_OUT_CELLID=YES (overlay.c:155-190): q08's
+    // semi-join plus the grid COL/ROW of each surviving point
+    "q50_overlay_cellid" -> ((s, dir) => {
+      import s.implicits._
+      val mask = Seq(
+        Seq(Seq(500.0, 500, 2500, 500, 2500, 2500, 500, 2500)),
+        Seq(Seq(5000.0, 1000, 7000, 1000, 7000, 3000, 5000, 3000))
+      ).toDF("geom")
+      SpatialJoin.overlayPoints(TpchGeo.points(s, dir), mask, domain, zres,
+          cellIdGrid = Some(grid))
+        .orderBy("o_orderkey")
+    }),
+
     // --- I/O API-shaped gridded allocate (allocateIoapi.c, raster→vector):
     // a (var, tstep, row, col, value) gridded table regrids onto the tract
     // polygons — Σ value·overlap/cellArea per (tract, var), summed across
@@ -461,6 +474,16 @@ object SparkEntry {
          |  $luSums
          |FROM fr WHERE fa > 0 GROUP BY 1, 2 ORDER BY "row", col""".stripMargin
     },
+
+    "q50_overlay_cellid" ->
+      s"""WITH pts AS (${TpchGeo.pointsSql})
+         |SELECT o_orderkey, x, y,
+         |  CAST(floor(x/1000.0) AS INT)+1 AS col,
+         |  CAST(floor(y/1000.0) AS INT)+1 AS "row"
+         |FROM pts
+         |WHERE (x > 500 AND x < 2500 AND y > 500 AND y < 2500)
+         |   OR (x > 5000 AND x < 7000 AND y > 1000 AND y < 3000)
+         |ORDER BY o_orderkey""".stripMargin,
 
     "q49_ioapi_alloc" ->
       s"""WITH tr AS (${TpchGeo.tractsSql}),

@@ -188,7 +188,8 @@ object SpatialJoin {
     * mask region — output is input attributes only (overlay.c:21-250). */
   def overlayPoints(points: DataFrame, mask: DataFrame,
                     domain: CellDomain, res: Int,
-                    x: String = "x", y: String = "y", geom: String = "geom"): DataFrame = {
+                    x: String = "x", y: String = "y", geom: String = "geom",
+                    cellIdGrid: Option[graft.grid.GridSpec] = None): DataFrame = {
     val maskE = broadcast(
       mask.select(col(geom).as("__mgeom"))
         .withColumn("__cell", explode(polyCoverCells(col("__mgeom"), domain, res))))
@@ -196,11 +197,17 @@ object SpatialJoin {
     // true EXISTS semantics: left_semi with the exact test in the join
     // condition — no post-join dedup shuffle even when a point hits
     // several mask polygons
-    ptsE.join(maskE,
+    val out = ptsE.join(maskE,
         ptsE("__cell") === maskE("__cell") &&
           containsPoint(ptsE(x), ptsE(y), maskE("__mgeom")),
         "left_semi")
       .drop("__cell")
+    // OVERLAY_OUT_CELLID=YES (overlay.c:155-190): append the output grid's
+    // COL/ROW of each surviving input — closed-form column arithmetic
+    cellIdGrid.fold(out) { g =>
+      out.withColumn("col", gridCol(col(x), g))
+        .withColumn("row", gridRow(col(y), g))
+    }
   }
 
   /** OVERLAY for polygon/line inputs. The reference UNIONS the mask's
