@@ -219,10 +219,88 @@ object TextOps {
       labels = updated
       pass += 1
     }
-    // no silent caps: labels at the pass limit would be WRONG, not partial
-    require(changed == 0,
-      s"connectedComponents did not converge in $pass passes ($changed labels still moving) — pathological chain topology; use small-star/large-star")
-    labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+    if (changed == 0)
+      labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+    else
+      // pathological long-chain topology: switch to the O(log n)-round
+      // alternating star algorithm rather than truncate or fail
+      connectedComponentsStar(nodes, pairs)
+  }
+
+  /** Alternating small-star / large-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — converges in
+    * O(log n) ROUNDS on ANY topology, including the long chains that make
+    * plain label propagation take O(diameter) passes:
+    *
+    *   large-star: every node points its STRICTLY LARGER neighbors at the
+    *     minimum of its closed neighborhood;
+    *   small-star: every node points its smaller-or-equal neighbors AND
+    *     itself at that minimum.
+    *
+    * Each round is two (node)-keyed aggregations + joins over an edge set
+    * that only ever carries (long, long) pairs; rounds end when the edge
+    * set reaches a fixpoint (stars centered on component minima). */
+  def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // canonical directed edges child→parent, self-loops dropped
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+              least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def sym(e: DataFrame): DataFrame =
+      e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+
+    // m(u) = min of the closed neighborhood
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.join(mins(s), "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val withM = s.join(mins(s), "u")
+      withM.where(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withM.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // xor aggregate: order-independent and cannot overflow under ANSI
+      val r = e.agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var round = 0
+    var stable = false
+    while (!stable && round < 64) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nsig = signature(next)
+      stable = nsig == sig
+      sig = nsig
+      edges = next
+      round += 1
+    }
+    require(stable, s"connectedComponentsStar did not stabilize in $round rounds")
+    nodes.select(col("id"))
+      .join(edges.select(col("u").as("id"), col("v").as("__rep")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("__rep"), col("id")).as("rep_id"))
   }
 
   /** End-to-end near-dup GROUPS: exact n-gram Jaccard pairs (PPJoin+

@@ -46,6 +46,36 @@ class PPJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
                       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("star components match propagation on random graphs and handle 300-chains") {
+    import spark.implicits._
+    // deterministic random graphs at three densities
+    var seed = 0xfeedL
+    def next(): Long = { seed = TextHash.mix64(seed); seed }
+    for (nEdges <- Seq(40, 150, 400)) {
+      val n = 120
+      val nodes = (0L until n).toDF("id")
+      val es = (1 to nEdges).map { _ =>
+        (math.abs(next()) % n, math.abs(next()) % n)
+      }.filter(e => e._1 != e._2)
+      val pairs = es.toDF("id_a", "id_b")
+      val prop = TextOps.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = TextOps.connectedComponentsStar(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star.size == n, s"star emitted ${star.size} labels for $n nodes")
+      assert(star == prop, s"nEdges=$nEdges: " +
+        s"${star.toSeq.sorted.zip(prop.toSeq.sorted).filter(p => p._1 != p._2).take(3)}")
+    }
+    // a 300-node chain: propagation alone needs 299 passes (past its cap,
+    // triggering the star fallback); star needs O(log n) rounds
+    val chainNodes = (0L until 300L).toDF("id")
+    val chainPairs = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val viaFallback = TextOps.connectedComponents(chainNodes, chainPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback.size == 300 && viaFallback.values.forall(_ == 0L),
+      "every chain node must label to the component minimum 0")
+  }
+
   test("positional filter prunes candidates without changing the output") {
     val tau = 0.5
     val prepared = corpus.select(col("doc_id").as("id"),
