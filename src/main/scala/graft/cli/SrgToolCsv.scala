@@ -25,6 +25,23 @@ import graft.sources.{GridDesc, Shapefile}
   * shape-type dispatch. External `file|name` refs are unsupported. */
 object SrgToolCsv {
 
+  /** spark-submit parity with `java gov.epa.surrogate.SurrogateTool
+    * control_variables.csv` (SA_ch05_surrogate.md:650-656). */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: SrgToolCsv <control_variables.csv>")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .appName("srgtool-csv").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val r = run(spark, args(0))
+      println(s"[srgtool] generated ${r.srg.size} surrogates: " +
+        r.srgdesc.map { case (c, n, _) => s"$c=$n" }.mkString(", "))
+    } finally spark.stop()
+  }
+
   // ------------------------------------------------------------ CSV reader
 
   /** RFC-4180-ish line splitter (quoted fields may contain commas). */
