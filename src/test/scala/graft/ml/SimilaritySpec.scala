@@ -56,4 +56,13 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketSizes.length > 1, "all vectors fell into one IVF list")
     assert(bucketSizes.sum == c.count())
   }
+
+  test("cosineTopK probe guard rejects oversized query sides") {
+    val (_, c) = layers()
+    val bigQ = c.select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(bigQ, c, k = 5, maxProbes = 10)
+    }
+    assert(ex.getMessage.contains("annLshTopK"))
+  }
 }

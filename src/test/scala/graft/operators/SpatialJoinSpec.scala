@@ -106,4 +106,19 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("lid").collect().map(_.getString(0)).toSeq
     assert(lhits == Seq("cross"))
   }
+
+  test("overlay mask guard rejects fact-table-sized masks") {
+    import spark.implicits._
+    // 100001 tiny rects exceed the dimension contract; the limit bounds the
+    // collect itself, so this fails fast rather than OOMing the driver
+    val huge = spark.range(100001)
+      .select(org.apache.spark.sql.functions.expr(
+        "array(array(CAST(id AS DOUBLE), 0.0D, CAST(id+1 AS DOUBLE), 0.0D," +
+        " CAST(id+1 AS DOUBLE), 1.0D, CAST(id AS DOUBLE), 1.0D))").as("geom"))
+    val polys = Seq(Seq(Seq(0.0, 0, 4, 0, 4, 4, 0, 4))).toDF("geom")
+    val ex = intercept[IllegalArgumentException] {
+      SpatialJoin.overlayPolys(polys, huge, graft.fixtures.TpchGeo.domain, 4)
+    }
+    assert(ex.getMessage.contains("cell-join"))
+  }
 }

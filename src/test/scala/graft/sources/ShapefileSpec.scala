@@ -126,6 +126,35 @@ class ShapefileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(backL(1).getAs[scala.collection.Seq[Double]]("line") == Seq(5.0, 5, 5, 9, 8, 9))
   }
 
+  test("property: random multi-ring polygons round-trip bit-exactly") {
+    import spark.implicits._
+    var seed = 0xabcdefL
+    def next(): Double = {
+      seed = graft.text.TextHash.mix64(seed)
+      (seed >>> 11).toDouble / (1L << 53).toDouble * 1000.0
+    }
+    // 40 polygons: CCW outer rect + a CW hole, arbitrary double coords
+    val src = (0 until 40).map { i =>
+      val x0 = next(); val y0 = next(); val w = next() / 10 + 1; val h = next() / 10 + 1
+      val outer = Seq(x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h)
+      val hole = Seq(x0 + w / 4, y0 + h / 4, x0 + w / 4, y0 + h / 2,
+                     x0 + w / 2, y0 + h / 2, x0 + w / 2, y0 + h / 4)
+      (i.toLong, Seq(outer, hole))
+    }.toDF("id", "geom")
+    val base = tmpBase("prop")
+    Shapefile.writePolygons(src, base, "geom", Seq(Shapefile.DbfCol("id", 'N', 10)))
+    val back = Shapefile.read(spark, base)
+      .select("id", "geom").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](1).map(_.toSeq))
+      .toMap
+    val orig = src.collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](1).map(_.toSeq))
+      .toMap
+    assert(back == orig, "IEEE doubles must survive the binary round trip untouched")
+  }
+
   test("dbf2asc dumps the attribute table as CSV") {
     val base = tmpBase("golden2")
     goldenPolygonBytes(base)
