@@ -69,7 +69,7 @@ object EntryPost {
         srg100(s, dir).where(col("fips") >= "47009"), srg120(s, dir)), 600)
       val g610 = PostOps.gapfill(Seq(
         srg120(s, dir).where(col("fips") <= "47008"), srg100(s, dir)), 610)
-      PostOps.qaGapfill(g600.unionByName(g610))
+      PostOps.qaGapfill(g600.unionByName(g610), codes = Seq(600, 610))
     })
   )
 

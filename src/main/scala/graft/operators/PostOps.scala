@@ -98,11 +98,15 @@ object PostOps {
 
   /** Gapfill report (qa/QAReports.java gapfill pivot): per county × output
     * surrogate code, WHICH source code filled it — input is gapfilled
-    * tables (PostOps.gapfill output carrying `filled_from`), unioned. */
-  def qaGapfill(filled: DataFrame): DataFrame =
-    filled.groupBy("fips").pivot("srg_code")
-      .agg(min("filled_from")) // constant per (fips, code); min = deterministic
+    * tables (PostOps.gapfill output carrying `filled_from`), unioned.
+    * Passing the known output `codes` skips the pivot's distinct-values
+    * job (one less pass over the union). */
+  def qaGapfill(filled: DataFrame, codes: Seq[Int] = Nil): DataFrame = {
+    val p = if (codes.isEmpty) filled.groupBy("fips").pivot("srg_code")
+            else filled.groupBy("fips").pivot("srg_code", codes)
+    p.agg(min("filled_from")) // constant per (fips, code); min = deterministic
       .orderBy("fips")
+  }
 
   /** Rows with frac ≥ t (default 0.5, qa/Threshold.java:9). */
   def qaThreshold(srg: DataFrame, t: Double = 0.5): DataFrame =
