@@ -184,6 +184,52 @@ object SpatialJoin {
       .drop(geom)
   }
 
+  /** Multi-resolution line×polygon fragments for MIXED-SIZE polygon layers
+    * (same two-direction scheme as polyPolyFragmentsAdaptive: lines probing
+    * ancestors catch coarser-or-equal polygons, polygons probing STRICT
+    * ancestors catch finer ones — no double count; reference-point dedup
+    * at the matched cell's own resolution). Output schema matches
+    * linePolyFragments. */
+  def linePolyFragmentsAdaptive(lines: DataFrame, polys: DataFrame,
+                                domain: CellDomain, maxRes: Int,
+                                lineCol: String = "line", geom: String = "geom",
+                                maxCells: Int = 4,
+                                broadcastPolys: Boolean = true,
+                                curved: Boolean = false): DataFrame = {
+    val lBB = lines.withColumn("__lbb", lineBBoxUdf(col(lineCol)))
+    val pBB = polys.withColumn("__pbb", polyBBoxUdf(col(geom)))
+
+    def lineSide(probe: Boolean, below: Int) = lBB.withColumn("__cell", explode(
+      if (probe) lineAdaptiveCoverAncestors(col(lineCol), domain, maxRes, maxCells, below)
+      else lineAdaptiveCoverCells(col(lineCol), domain, maxRes, maxCells)))
+    def polySide(probe: Boolean, below: Int) = pBB.withColumn("__cell", explode(
+      if (probe) adaptiveCoverAncestors(col(geom), domain, maxRes, maxCells, below)
+      else polyAdaptiveCoverCells(col(geom), domain, maxRes, maxCells)))
+
+    def direction(lE: DataFrame, pE0: DataFrame) = {
+      val pE = if (broadcastPolys) broadcast(pE0) else pE0
+      lE.join(pE, Seq("__cell"))
+        .where(isCanonicalCellBBAtCellRes(col("__lbb"), col("__pbb"),
+          col("__cell"), domain))
+        .drop("__cell")
+    }
+
+    val paired = direction(lineSide(probe = true, below = 0),
+                           polySide(probe = false, below = 0))
+      .unionByName(direction(lineSide(probe = false, below = 0),
+                             polySide(probe = true, below = 1)))
+      .drop("__lbb", "__pbb")
+
+    paired
+      .withColumn("frag_line", linePolyClipSegsUdf(col(lineCol), col(geom)))
+      .where(size(col("frag_line")) > 0)
+      .withColumn("frag_len",
+        aggregate(transform(col("frag_line"), s => lineLengthCol(s, curved)),
+                  lit(0.0), (acc, v) => acc + v))
+      .where(col("frag_len") > 0)
+      .drop(geom)
+  }
+
   /** OVERLAY mode (mims_spatial.c:468-565): semi-join of inputs against a
     * mask region — output is input attributes only (overlay.c:21-250). */
   def overlayPoints(points: DataFrame, mask: DataFrame,

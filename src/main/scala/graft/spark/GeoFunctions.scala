@@ -86,28 +86,54 @@ object GeoFunctions {
     f(x, y)
   }
 
+  /** Ancestor expansion of an adaptive bbox cover (shared by the polygon
+    * and line multi-level joins). below=0 includes the cells themselves;
+    * below=1 strict ancestors only. */
+  private def bboxCoverAncestors(b: graft.geom.Geo.BBox, d: CellDomain,
+                                 maxRes: Int, maxCells: Int,
+                                 below: Int): Array[Long] = {
+    val cover = CellIndex.adaptiveCover(b, d, maxRes, maxCells)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    cover.foreach { c =>
+      val lvl = CellIndex.resolutionOf(c)
+      val (cx, cy) = CellIndex.cellCoords(c)
+      var r = 0
+      while (r <= lvl - below) {
+        out += (r.toLong << 58) |
+          CellIndex.interleave(cx >> (lvl - r), cy >> (lvl - r))
+        r += 1
+      }
+    }
+    out.toArray
+  }
+
   /** All ancestors (levels `lo`..cell's own level − `below`) of every cell in
     * an adaptive cover — the probe keys of a multi-level polygon join.
     * below=0 includes the cells themselves; below=1 strict ancestors only. */
   def adaptiveCoverAncestors(geom: Column, d: CellDomain, maxRes: Int,
                              maxCells: Int, below: Int): Column = {
-    val f = udf((rings: Seq[Seq[Double]]) => {
-      val cover = CellIndex.adaptiveCover(
-        Geo.bboxOfPolygon(rings.map(_.toArray).toArray), d, maxRes, maxCells)
-      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-      cover.foreach { c =>
-        val lvl = CellIndex.resolutionOf(c)
-        val (cx, cy) = CellIndex.cellCoords(c)
-        var r = 0
-        while (r <= lvl - below) {
-          out += (r.toLong << 58) |
-            CellIndex.interleave(cx >> (lvl - r), cy >> (lvl - r))
-          r += 1
-        }
-      }
-      out.toArray
-    })
+    val f = udf((rings: Seq[Seq[Double]]) =>
+      bboxCoverAncestors(Geo.bboxOfPolygon(rings.map(_.toArray).toArray),
+        d, maxRes, maxCells, below))
     f(geom)
+  }
+
+  /** Adaptive cover of a polyline's bbox (line twin of
+    * polyAdaptiveCoverCells). */
+  def lineAdaptiveCoverCells(line: Column, d: CellDomain, maxRes: Int,
+                             maxCells: Int = 4): Column = {
+    val f = udf((l: Seq[Double]) =>
+      CellIndex.adaptiveCover(Geo.bboxOfRing(l.toArray), d, maxRes, maxCells))
+    f(line)
+  }
+
+  /** Ancestor probe keys of a polyline's adaptive cover (line twin of
+    * adaptiveCoverAncestors). */
+  def lineAdaptiveCoverAncestors(line: Column, d: CellDomain, maxRes: Int,
+                                 maxCells: Int, below: Int): Column = {
+    val f = udf((l: Seq[Double]) =>
+      bboxCoverAncestors(Geo.bboxOfRing(l.toArray), d, maxRes, maxCells, below))
+    f(line)
   }
 
   /** Reference-point dedup at the MATCHED CELL'S OWN level (multi-level

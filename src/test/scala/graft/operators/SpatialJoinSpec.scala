@@ -121,4 +121,19 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("cell-join"))
   }
+
+  test("adaptive line-poly fragments match the fixed-resolution join exactly") {
+    import graft.fixtures.TpchGeo
+    val roads = TpchGeo.roads(spark, sfDir)
+    val counties = TpchGeo.counties(spark)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("s_suppkey", "fips", "frag_len").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val fixed = keys(SpatialJoin.linePolyFragments(
+      roads, counties, TpchGeo.domain, TpchGeo.zres))
+    val adaptive = keys(SpatialJoin.linePolyFragmentsAdaptive(
+      roads, counties, TpchGeo.domain, TpchGeo.zres))
+    assert(fixed.nonEmpty && adaptive == fixed,
+      s"missing=${(fixed -- adaptive).take(3)} extra=${(adaptive -- fixed).take(3)}")
+  }
 }
