@@ -15,6 +15,12 @@ object Bench {
     // making per-query numbers incomparable across rounds
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query cache isolation: operators persist canonically-equal
+      // intermediates, and Spark's CacheManager would silently warm later
+      // queries with earlier queries' caches — timings must not depend on
+      // run order (BENCH.md's cache pitfall)
+      graft.spark.PersistTracker.drain()
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

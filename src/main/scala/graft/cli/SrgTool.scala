@@ -65,19 +65,30 @@ object SrgTool {
         }
       }, Duration.Inf).toMap
 
+    // a post-pass referencing a surrogate that wasn't generated (e.g. its
+    // generation row says GENERATE=NO) must fail naming the spec, not as a
+    // bare 'key not found: <code>'
+    def resolve(pool: Map[Int, DataFrame], code: Int, kind: String,
+                spec: String): DataFrame =
+      pool.getOrElse(code, throw new IllegalArgumentException(
+        s"$kind '$spec' references surrogate code $code, which was not " +
+          s"generated (available: ${pool.keys.toSeq.sorted.mkString(", ")})"))
+
     // post-passes over generated tables
     val merged = merges.map { m =>
-      m.outCode -> PostOps.merge(generated(m.a), generated(m.b), m.fa, m.fb,
-        m.outCode)
+      m.outCode -> PostOps.merge(
+        resolve(generated, m.a, "merge", m.name),
+        resolve(generated, m.b, "merge", m.name), m.fa, m.fb, m.outCode)
     }.toMap
     val concatenated = concats.map { c =>
-      c.outCode -> c.parts.map(generated)
+      c.outCode -> c.parts.map(resolve(generated, _, "concat", c.name))
         .reduce(_ unionByName _)
         .withColumn("srg_code", lit(c.outCode))
     }.toMap
     val all0 = generated ++ merged ++ concatenated
     val filled = gapfills.map { g =>
-      g.outCode -> PostOps.gapfill(g.cascade.map(all0), g.outCode)
+      g.outCode -> PostOps.gapfill(
+        g.cascade.map(resolve(all0, _, "gapfill", g.name)), g.outCode)
     }.toMap
     val all = all0 ++ filled
 

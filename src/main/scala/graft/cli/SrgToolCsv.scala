@@ -182,11 +182,18 @@ object SrgToolCsv {
 
     // one data (county) layer per run — the reference's per-row variation is
     // a multi-domain feature our single-domain engine scopes out
-    val dataNames = toRun.filter(_.mergeFunction.isEmpty).map(_.dataShapefile).distinct
+    val nonMerge = toRun.filter(_.mergeFunction.isEmpty)
+    val dataNames = nonMerge.map(_.dataShapefile).distinct
     require(dataNames.size == 1,
       s"all generated surrogates must share one DATA SHAPEFILE (got $dataNames)")
+    // the DATA ATTRIBUTE comes from the same non-merge rows: a merge-
+    // equation row legally leaves it empty, and renaming "" would silently
+    // no-op and fail later with a confusing missing-fips error
+    val dataAttrs = nonMerge.map(_.dataAttr).distinct
+    require(dataAttrs.size == 1 && dataAttrs.head.nonEmpty,
+      s"all generated surrogates must share one non-empty DATA ATTRIBUTE (got $dataAttrs)")
     val counties = layer(dataNames.head)
-      .withColumnRenamed(toRun.head.dataAttr, "fips")
+      .withColumnRenamed(dataAttrs.head, "fips")
 
     val srgSpecs = toRun.filter(_.mergeFunction.isEmpty).map { s =>
       var w = layer(s.weightShapefile)

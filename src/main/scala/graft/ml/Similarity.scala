@@ -276,17 +276,23 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cos ≥ tau via LSH candidates +
-    * exact verification (the embedding-cosine near-dup dedup mode). */
+    * exact verification (the embedding-cosine near-dup dedup mode).
+    * The candidate dedup shuffle carries (id_a, id_b) ONLY — embeddings
+    * re-join for verification afterwards (same shape as minHashLshPairs;
+    * at 10^9 × 768-dim the id-only exchange is GBs instead of TBs). */
   def embeddingNearDupPairs(df: DataFrame, tau: Double,
                             tables: Int = 8, planes: Int = 10): DataFrame = {
     val keys = lshKeysUdf(tables, planes)
-    val b = df.select(col("vec_id"), col("embedding"))
-      .withColumn("__key", explode(keys(col("embedding"))))
-    b.as("a").join(b.as("b"), Seq("__key"))
+    val vecs = df.select(col("vec_id"), col("embedding"))
+    val b = vecs.withColumn("__key", explode(keys(col("embedding"))))
+      .select("vec_id", "__key")
+    val candidates = b.as("a").join(b.as("b"), Seq("__key"))
       .where(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
       .withColumn("cos", cosineUdf(col("va"), col("vb")))
       .where(col("cos") >= tau)
       .select("id_a", "id_b", "cos")

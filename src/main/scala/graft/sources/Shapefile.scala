@@ -198,7 +198,15 @@ object Shapefile {
         fo += f.len
         val t = raw.trim
         f.typ match {
-          case 'N' if f.dec == 0 => if (t.isEmpty) null else java.lang.Long.valueOf(t.toLong)
+          case 'N' if f.dec == 0 =>
+            if (t.isEmpty) null
+            else try java.lang.Long.valueOf(t.toLong) catch {
+              // lenient like shapelib's atof-based parse: foreign writers
+              // may store integral N fields as '42.' or use widths > 18
+              case _: NumberFormatException =>
+                try java.lang.Long.valueOf(t.toDouble.toLong)
+                catch { case _: NumberFormatException => null }
+            }
           case 'N' | 'F'         => if (t.isEmpty) null else java.lang.Double.valueOf(t.toDouble)
           case 'L' => t.headOption match {
             case Some(c) if "TtYy".indexOf(c) >= 0 => java.lang.Boolean.TRUE
@@ -232,8 +240,7 @@ object Shapefile {
     * base.shp, base.shx, base.dbf. Engine-CCW outers become ESRI-CW. */
   def writePolygons(df: DataFrame, base: String, geomCol: String,
                     attrs: Seq[DbfCol]): Unit = {
-    val rows = df.collect()
-    require(rows.length <= MaxRecords, s"writePolygons: > $MaxRecords rows")
+    val rows = guardedCollect(df, "writePolygons")
     val shapes = rows.map { r =>
       val rings = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](
         r.fieldIndex(geomCol)).map(_.toArray).toArray
@@ -251,8 +258,7 @@ object Shapefile {
     * per row. */
   def writeLines(df: DataFrame, base: String, lineCol: String,
                  attrs: Seq[DbfCol]): Unit = {
-    val rows = df.collect()
-    require(rows.length <= MaxRecords, s"writeLines: > $MaxRecords rows")
+    val rows = guardedCollect(df, "writeLines")
     val shapes = rows.map { r =>
       Array(r.getAs[scala.collection.Seq[Double]](r.fieldIndex(lineCol)).toArray)
     }
@@ -263,13 +269,24 @@ object Shapefile {
   /** Write points: df(x, y, attr cols). */
   def writePoints(df: DataFrame, base: String, x: String, y: String,
                   attrs: Seq[DbfCol]): Unit = {
-    val rows = df.collect()
-    require(rows.length <= MaxRecords, s"writePoints: > $MaxRecords rows")
+    val rows = guardedCollect(df, "writePoints")
     val shapes = rows.map(r => Array(Array(
       r.getAs[Number](r.fieldIndex(x)).doubleValue,
       r.getAs[Number](r.fieldIndex(y)).doubleValue)))
     writeShp(base, 1, shapes)
     writeDbf(base, rows, attrs)
+  }
+
+  /** limit-before-collect: the dimension-layer contract must fail BEFORE
+    * the driver materializes a mistakenly-huge DataFrame (same pattern as
+    * SpatialJoin.collectMask). `max` is package-visible so the guard spec
+    * can prove fail-fast behavior without building 5M rows. */
+  private[sources] def guardedCollect(df: DataFrame, who: String,
+                                      max: Int = MaxRecords): Array[Row] = {
+    val rows = df.limit(max + 1).collect()
+    require(rows.length <= max,
+      s"$who: > $max rows — shapefiles are dimension outputs; use parquet for fact tables")
+    rows
   }
 
   private def writeShp(base: String, shapeType: Int,
@@ -343,6 +360,15 @@ object Shapefile {
   }
 
   private def writeDbf(base: String, rows: Array[Row], attrs: Seq[DbfCol]): Unit = {
+    // dBASE caps field names at 10 bytes; silent truncation could collide
+    // two columns into one field — same no-silent-truncation discipline as
+    // the numeric widths below
+    attrs.foreach { a =>
+      require(a.name.getBytes("US-ASCII").length <= 10,
+        s"DBF field name '${a.name}' exceeds the 10-byte dBASE limit")
+    }
+    require(attrs.map(_.name).distinct.length == attrs.length,
+      s"duplicate DBF field names: ${attrs.map(_.name).diff(attrs.map(_.name).distinct).distinct.mkString(", ")}")
     val headerSize = 32 + 32 * attrs.length + 1
     val recSize = 1 + attrs.map(_.len).sum
     val out = ByteBuffer.allocate(headerSize + recSize * rows.length + 1)

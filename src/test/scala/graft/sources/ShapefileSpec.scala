@@ -200,4 +200,73 @@ class ShapefileSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = direct.collect().map(_.toString).sorted.toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("writer guard fails fast: limit runs BEFORE collect") {
+    import spark.implicits._
+    // 100M lazily-generated rows: if the guard collected first this would
+    // OOM/stall; limit-first means only max+1 rows ever materialize
+    val huge = spark.range(100000000L).toDF("id")
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      Shapefile.guardedCollect(huge, "spec", max = 5)
+    }
+    assert(e.getMessage.contains("> 5 rows"))
+    assert((System.nanoTime() - t0) / 1e9 < 30.0,
+      "guard must not materialize the full DataFrame")
+    // at-the-limit succeeds
+    assert(Shapefile.guardedCollect(huge.limit(5), "spec", max = 5).length == 5)
+  }
+
+  test("DBF writer rejects >10-byte and duplicate field names") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a_very_long_name", "b")
+    val base = tmpBase("badnames")
+    val e1 = intercept[IllegalArgumentException] {
+      Shapefile.writePoints(df.withColumn("x", lit(0.0)).withColumn("y", lit(0.0)),
+        base, "x", "y", Seq(Shapefile.DbfCol("a_very_long_name", 'N', 10)))
+    }
+    assert(e1.getMessage.contains("10-byte"))
+    val e2 = intercept[IllegalArgumentException] {
+      Shapefile.writePoints(df.withColumn("x", lit(0.0)).withColumn("y", lit(0.0)),
+        base, "x", "y",
+        Seq(Shapefile.DbfCol("b", 'N', 10), Shapefile.DbfCol("b", 'N', 8)))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
+  test("lenient DBF numeric parse: '42.' and overflow degrade, not crash") {
+    // hand-build a dbf with one N(20,0) field and three records:
+    // '42.' (foreign integral-with-dot), a 20-digit overflow, plain '7'
+    val base = tmpBase("lenient")
+    val headerSize = 32 + 32 + 1
+    val recSize = 1 + 20
+    val vals = Seq("42.", "99999999999999999999", "7")
+    val d = ByteBuffer.allocate(headerSize + recSize * 3 + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    d.put(0, 0x03.toByte); d.putInt(4, 3)
+    d.putShort(8, headerSize.toShort); d.putShort(10, recSize.toShort)
+    val nm = "VAL".getBytes("US-ASCII")
+    nm.indices.foreach(i => d.put(32 + i, nm(i)))
+    d.put(32 + 11, 'N'.toByte); d.put(32 + 16, 20.toByte); d.put(32 + 17, 0.toByte)
+    d.put(64, 0x0d.toByte)
+    vals.zipWithIndex.foreach { case (v, r) =>
+      val off = headerSize + r * recSize
+      d.put(off, ' '.toByte)
+      val padded = " " * (20 - v.length) + v
+      padded.getBytes("US-ASCII").zipWithIndex.foreach { case (bb, i) =>
+        d.put(off + 1 + i, bb) }
+    }
+    d.put(headerSize + recSize * 3, 0x1a.toByte)
+    Files.write(Paths.get(base + ".dbf"), d.array())
+    // pair it with a 3-point shp so read() attaches the attributes
+    import spark.implicits._
+    val pts = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    val shpSrc = tmpBase("lenient_shp")
+    Shapefile.writePoints(pts, shpSrc, "x", "y", Nil)
+    Files.copy(Paths.get(shpSrc + ".shp"), Paths.get(base + ".shp"))
+    val got = Shapefile.read(spark, base).orderBy("rid")
+      .select("VAL").collect().map(r => Option(r.get(0)))
+    // '42.' degrades via the double path; 20 nines saturate to Long.MaxValue
+    assert(got.toSeq == Seq(Some(42L), Some(Long.MaxValue), Some(7L)))
+  }
 }
