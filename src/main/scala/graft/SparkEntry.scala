@@ -154,6 +154,37 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("family", "k")
     }),
 
+    // --- ellipsoidal projection families (GRS80), quantized to integer
+    // meters like q41: AEA (the NAD83 CONUS workhorse), LAEA, oblique and
+    // polar stereographic, Mercator-2SP — each against a DuckDB oracle
+    // that recomputes the full Snyder ellipsoidal series (q/t/m/χ kernels)
+    // from first principles.
+    "q54_proj_ellipsoidal" -> ((s, dir) => {
+      import graft.grid.{Ellipsoid, Ellipsoidal, Proj}
+      val g = Ellipsoid.GRS80
+      val fams: Seq[(String, Proj)] = Seq(
+        "aea_e" -> Ellipsoidal.AeaE(29.5, 45.5, 23, -96, g),
+        "laea_e" -> Ellipsoidal.LaeaE(45, -100, g),
+        "merc_e" -> Ellipsoidal.MercE.atTs(30, -90, g),
+        "polar_e" -> Ellipsoidal.PolarStereE(60, -100, g),
+        "stere_e" -> Ellipsoidal.StereE(40, -97, g))
+      val pts = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") <= 30)
+        .select(col("c_custkey").as("k"),
+          (lit(-120.0) + expr("(c_custkey * 7919) % 6000") / lit(100.0)).as("lon"),
+          (lit(25.0) + expr("(c_custkey * 104729) % 2400") / lit(100.0)).as("lat"))
+      fams.map { case (fam, p) =>
+        val fwd = udf((lon: Double, lat: Double) => {
+          val (x, y) = p.forward(lon, lat)
+          Array(math.round(x), math.round(y))
+        })
+        pts.withColumn("__xy", fwd(col("lon"), col("lat")))
+          .select(col("k"), lit(fam).as("family"),
+            element_at(col("__xy"), 1).as("x_m"),
+            element_at(col("__xy"), 2).as("y_m"))
+      }.reduce(_ unionByName _).orderBy("family", "k")
+    }),
+
     // --- USE_CURVED_LINES line surrogate on the lon/lat twin fixture:
     // every length (parent, county fragment, cell piece) is a great-circle
     // haversine; quantization (frac×1e8, integer meters) absorbs libm/JVM
@@ -235,6 +266,78 @@ object SparkEntry {
       SpatialJoin.overlayPoints(TpchGeo.points(s, dir), mask, domain, zres,
           cellIdGrid = Some(grid))
         .orderBy("o_orderkey")
+    }),
+
+    // --- NetCDF-3 I/O API BINARY round trip (IoapiInputReader.c:1-387 /
+    // allocateIoapi.c:151-989): a deterministic gridded table is written as
+    // a real .ncf (CDF classic + FDESC3 convention), read BACK through the
+    // binary parser, and regridded onto tract polygons. Values are integral
+    // doubles (exact in REAL storage), so the closed-form DuckDB oracle
+    // hash-matches — proving the whole binary envelope is lossless.
+    "q51_ncf_alloc" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Ioapi
+      val cells = graft.sources.Sources.regularGrid(s, grid)
+        .select(col("col"), col("row"))
+      val gridded = cells
+        .crossJoin(s.range(3).toDF("tstep"))
+        .crossJoin(Seq(1, 2).toDF("vk"))
+        .withColumn("var", concat(lit("W"), col("vk")))
+        .withColumn("value",
+          expr("CAST((vk * 41 + tstep * 13 + ((row - 1) * 8 + col)) % 45 AS DOUBLE)"))
+        .select("var", "tstep", "row", "col", "value")
+      val path = s"/tmp/graft_ncf_${dir.replaceAll("[^A-Za-z0-9]", "_")}.ncf"
+      Ioapi.write(gridded, Ioapi.headerFor(grid,
+        Seq(Ioapi.VarDef("W1", "units1"), Ioapi.VarDef("W2", "units2"))), path)
+      val (_, back) = Ioapi.read(s, path, dropZeros = true)
+      Allocate.gridToPoly(back, grid,
+          TpchGeo.tracts(s, dir), "p_partkey", "value", Seq("var"))
+        .orderBy("p_partkey", "var")
+    }),
+
+    // --- diffioapi (diffioapi.c:9-298): two gridded files — the second
+    // with a closed-form +50% perturbation on every 5th diagonal — written
+    // to .ncf, read back, and diffed per cell at the C default 0.01%
+    // tolerance. orig=0 cells are never flagged (diffioapi.c:264).
+    "q52_diffioapi" -> ((s, dir) => {
+      import graft.sources.Ioapi
+      val cells = graft.sources.Sources.regularGrid(s, grid)
+        .select(col("col"), col("row"))
+      val base = cells
+        .crossJoin(s.range(2).toDF("tstep"))
+        .withColumn("var", lit("D1"))
+        .withColumn("layer", lit(1))
+        .withColumn("value",
+          expr("CAST((tstep * 17 + (row - 1) * 8 + col) % 30 AS DOUBLE)"))
+        .select("var", "tstep", "layer", "row", "col", "value")
+      val perturbed = base.withColumn("value",
+        when(pmod(col("row") + col("col") + col("tstep"), lit(5)) === 0,
+          col("value") * 1.5).otherwise(col("value")))
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val pOrig = s"/tmp/graft_diff_orig_$tag.ncf"
+      val pNew = s"/tmp/graft_diff_new_$tag.ncf"
+      val hdr = Ioapi.headerFor(grid, Seq(Ioapi.VarDef("D1")))
+      Ioapi.write(base, hdr, pOrig)
+      Ioapi.write(perturbed, hdr, pNew)
+      val (hA, dfA) = Ioapi.read(s, pOrig)
+      val (hB, dfB) = Ioapi.read(s, pNew)
+      require(Ioapi.headerDiff(hA, hB, 2, 2).isEmpty, "headers must match")
+      Ioapi.diffCells(dfA, dfB, tolerance = 0.01)
+    }),
+
+    // --- srg2ncf (util/srg2ncf/convert_txt2ncf.f): the q03 point surrogate
+    // becomes a one-variable FRACTION gridded file (M3DBLE so the dyadic-
+    // free ratios stay bit-exact through the file), read back sparse.
+    // Cells nest inside counties on this lattice, so each cell carries
+    // exactly one county's frac — the accumulation is trivially exact.
+    "q53_srg2ncf" -> ((s, dir) => {
+      import graft.sources.Ioapi
+      val srg = Surrogate.pointSurrogate(TpchGeo.points(s, dir),
+        TpchGeo.counties(s), grid, domain, zres, srgCode = 100)
+      val path = s"/tmp/graft_srg2ncf_${dir.replaceAll("[^A-Za-z0-9]", "_")}.ncf"
+      Ioapi.srg2ncf(srg, grid, path, vtype = graft.sources.NetCDF.NC_DOUBLE)
+      val (_, back) = Ioapi.read(s, path, dropZeros = true)
+      back.select("col", "row", "value").orderBy("row", "col")
     }),
 
     // --- I/O API-shaped gridded allocate (allocateIoapi.c, raster→vector):
@@ -325,6 +428,77 @@ object SparkEntry {
        |ORDER BY family, k""".stripMargin
   }
 
+  /** DuckDB twins of the Snyder ELLIPSOIDAL forward projections used by
+    * q54 (GRS80; the q/t/m/χ kernels recomputed from first principles in
+    * SQL; round() to meters absorbs libm-vs-JVM ulps). */
+  private def projEllOracleSql: String = {
+    val a = "6378137.0"
+    // e² and e exactly as Ellipsoid computes them: f=(a−b)/a, e²=f(2−f)
+    val b = s"($a*(1.0 - 1.0/298.257222101))"
+    val f = s"(($a - $b)/$a)"
+    val e2 = s"($f*(2.0 - $f))"
+    val e = s"sqrt($e2)"
+    def mOf(phi: String) = s"(cos($phi)/sqrt(1.0 - $e2*sin($phi)*sin($phi)))"
+    def tOf(phi: String) =
+      s"(tan(pi()/4 - ($phi)/2) / pow((1.0 - $e*sin($phi))/(1.0 + $e*sin($phi)), $e/2))"
+    def qOf(phi: String) =
+      s"((1.0 - $e2)*(sin($phi)/(1.0 - $e2*sin($phi)*sin($phi)) - (1.0/(2.0*$e))*ln((1.0 - $e*sin($phi))/(1.0 + $e*sin($phi)))))"
+    def chiOf(phi: String) = s"(pi()/2 - 2*atan(${tOf(phi)}))"
+    def fam(name: String, x: String, y: String): String =
+      s"""SELECT k, '$name' AS family,
+         |  CAST(round($x) AS BIGINT) AS x_m, CAST(round($y) AS BIGINT) AS y_m
+         |FROM pts""".stripMargin
+    val phi = "radians(lat)"
+
+    val aea = {
+      val m1 = mOf("radians(29.5)"); val m2 = mOf("radians(45.5)")
+      val q1 = qOf("radians(29.5)"); val q2 = qOf("radians(45.5)")
+      val n = s"(($m1*$m1 - $m2*$m2)/($q2 - $q1))"
+      val cC = s"($m1*$m1 + $n*$q1)"
+      val rho0 = s"($a*sqrt($cC - $n*${qOf("radians(23)")})/$n)"
+      val rho = s"($a*sqrt($cC - $n*${qOf(phi)})/$n)"
+      val th = s"($n*(radians(lon) - radians(-96)))"
+      fam("aea_e", s"$rho*sin($th)", s"$rho0 - $rho*cos($th)")
+    }
+    val laea = {
+      val qp = qOf("radians(90)")
+      val beta = s"asin(${qOf(phi)}/$qp)"
+      val b0 = s"asin(${qOf("radians(45)")}/$qp)"
+      val rq = s"($a*sqrt($qp/2.0))"
+      val dD = s"($a*${mOf("radians(45)")}/($rq*cos($b0)))"
+      val dl = "(radians(lon) - radians(-100))"
+      val bB = s"($rq*sqrt(2.0/(1.0 + sin($b0)*sin($beta) + cos($b0)*cos($beta)*cos($dl))))"
+      fam("laea_e", s"$bB*$dD*cos($beta)*sin($dl)",
+        s"($bB/$dD)*(cos($b0)*sin($beta) - sin($b0)*cos($beta)*cos($dl))")
+    }
+    val merc = {
+      val k0 = mOf("radians(30)")
+      fam("merc_e", s"$a*$k0*(radians(lon) - radians(-90))",
+        s"-($a*$k0*ln(${tOf(phi)}))")
+    }
+    val polar = {
+      val rho = s"($a*${mOf("radians(60)")}*${tOf(phi)}/${tOf("radians(60)")})"
+      val dl = "(radians(lon) - radians(-100))"
+      fam("polar_e", s"$rho*sin($dl)", s"-($rho)*cos($dl)")
+    }
+    val stere = {
+      val x0 = chiOf("radians(40)"); val m0 = mOf("radians(40)")
+      val x = chiOf(phi)
+      val dl = "(radians(lon) - radians(-97))"
+      val aA = s"(2.0*$a*$m0/(cos($x0)*(1.0 + sin($x0)*sin($x) + cos($x0)*cos($x)*cos($dl))))"
+      fam("stere_e", s"$aA*cos($x)*sin($dl)",
+        s"$aA*(cos($x0)*sin($x) - sin($x0)*cos($x)*cos($dl))")
+    }
+    val unions = Seq(aea, laea, merc, polar, stere).mkString("\nUNION ALL ")
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS k,
+       |    -120.0 + ((c_custkey * 7919) % 6000) / 100.0 AS lon,
+       |    25.0 + ((c_custkey * 104729) % 2400) / 100.0 AS lat
+       |  FROM customer WHERE c_custkey <= 30)
+       |$unions
+       |ORDER BY family, k""".stripMargin
+  }
+
   // ------------------------------------------------------------- oracles
 
   private[graft] def srgSelect(code: Int): String =
@@ -393,6 +567,8 @@ object SparkEntry {
     "q40_shapefile_srg" -> srgAreaStmtFor(130, "p_size"),
 
     "q41_projections" -> projOracleSql,
+
+    "q54_proj_ellipsoidal" -> projEllOracleSql,
 
     "q42_srg_line_curved" ->
       s"""WITH rd AS (${TpchGeo.roadsLLSql}),
@@ -484,6 +660,42 @@ object SparkEntry {
          |WHERE (x > 500 AND x < 2500 AND y > 500 AND y < 2500)
          |   OR (x > 5000 AND x < 7000 AND y > 1000 AND y < 3000)
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q51_ncf_alloc" ->
+      s"""WITH tr AS (${TpchGeo.tractsSql}),
+         |cl AS (${TpchGeo.cellsSql}),
+         |g AS (SELECT 'W' || CAST(vk AS VARCHAR) AS var, tstep, "row", col,
+         |    CAST((vk * 41 + tstep * 13 + (("row" - 1) * 8 + col)) % 45 AS DOUBLE) AS value
+         |  FROM cl CROSS JOIN range(3) t(tstep) CROSS JOIN (VALUES (1), (2)) v(vk)),
+         |cov AS (
+         |  SELECT p_partkey, col, "row",
+         |    greatest(0, least(tx0+512, gx0+1000) - greatest(tx0, gx0)) *
+         |    greatest(0, least(ty0+512, gy0+1000) - greatest(ty0, gy0)) AS ca
+         |  FROM tr CROSS JOIN cl)
+         |SELECT p_partkey, var, sum(value * ca) / 1000000.0 AS alloc
+         |FROM cov JOIN g USING (col, "row")
+         |WHERE ca > 0 GROUP BY 1, 2 ORDER BY p_partkey, var""".stripMargin,
+
+    "q52_diffioapi" ->
+      s"""WITH cl AS (${TpchGeo.cellsSql}),
+         |base AS (SELECT 'D1' AS var, CAST(tstep AS INT) AS tstep,
+         |    1 AS layer, "row", col,
+         |    CAST((tstep * 17 + (("row" - 1) * 8 + col)) % 30 AS DOUBLE) AS orig_val
+         |  FROM cl CROSS JOIN range(2) t(tstep)),
+         |d AS (SELECT var, tstep, layer, "row", col, orig_val,
+         |    CASE WHEN ("row" + col + tstep) % 5 = 0 THEN orig_val * 1.5
+         |         ELSE orig_val END AS new_val
+         |  FROM base)
+         |SELECT var, tstep, layer, "row", col, orig_val, new_val,
+         |  100.0 * (new_val - orig_val) / orig_val AS pctdiff
+         |FROM d
+         |WHERE orig_val <> 0 AND abs(100.0 * (new_val - orig_val) / orig_val) > 0.01
+         |ORDER BY var, tstep, layer, "row", col""".stripMargin,
+
+    "q53_srg2ncf" ->
+      s"""SELECT col, "row", sum(frac) AS value
+         |FROM ($srgPointStmt)
+         |GROUP BY 1, 2 ORDER BY "row", col""".stripMargin,
 
     "q49_ioapi_alloc" ->
       s"""WITH tr AS (${TpchGeo.tractsSql}),

@@ -200,24 +200,23 @@ object SpatialAllocator {
   }
 
   /** "+proj=lcc,+lat_1=33,+lat_2=45,+lat_0=40,+lon_0=-97"-style minimal
-    * PROJ-ish spec (subset the engine implements). An `+ellps=NAME` or
-    * non-spherical `+a=…,+b=…` pair selects the ellipsoidal forms where
-    * they exist (lcc, tmerc, utm — the families real NAD83/UTM shapefiles
-    * use); everything else stays on the reference's default sphere. */
+    * PROJ-ish spec (subset the engine implements). An `+ellps=NAME`,
+    * `+datum=NAME`, or non-spherical `+a=…,+b=…`/`+a=…,+rf=…` selects the
+    * ellipsoidal forms (lcc, tmerc, utm, merc, stere, polar stere, laea,
+    * aea — every family with a published Snyder ellipsoidal series);
+    * everything else stays on the reference's default sphere. Datum SHIFT
+    * (towgs84/nadgrids) stays out of scope per SURVEY §7.6 — the docs
+    * themselves do no sphere↔NAD83/WGS84 transformation. */
   def projOf(spec: String): Proj = {
     val kv = spec.split(",").map(_.trim.stripPrefix("+"))
       .filter(_.contains("=")).map { s =>
         val Array(k, v) = s.split("=", 2); k -> v
       }.toMap
-    val ell: Option[graft.grid.Ellipsoid] = kv.get("ellps")
-      .map(n => graft.grid.Ellipsoid.byName.getOrElse(n,
-        throw new IllegalArgumentException(s"unknown ellipsoid $n")))
-      .orElse(for {
-        a <- kv.get("a").map(_.toDouble)
-        b <- kv.get("b").map(_.toDouble)
-      } yield graft.grid.Ellipsoid(a, b))
-      .filter(!_.isSphere)
-    spec.split(",").head.stripPrefix("+proj=") match {
+    val ell: Option[graft.grid.Ellipsoid] =
+      (if (kv.contains("ellps") || kv.contains("datum") || kv.contains("a"))
+         Some(graft.grid.Ellipsoid.parse(spec))
+       else None).filter(!_.isSphere)
+    spec.split(",").head.trim.stripPrefix("+").stripPrefix("proj=") match {
       case "latlon" | "latlong" => Proj.LatLon
       case "lcc" if ell.isDefined =>
         graft.grid.Ellipsoidal.LccE(kv("lat_1").toDouble, kv("lat_2").toDouble,
@@ -225,6 +224,14 @@ object SpatialAllocator {
           kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
       case "lcc" => Proj.Lcc(kv("lat_1").toDouble, kv("lat_2").toDouble,
         kv("lat_0").toDouble, kv("lon_0").toDouble)
+      case "merc" if ell.isDefined && kv.contains("lat_ts") =>
+        graft.grid.Ellipsoidal.MercE.atTs(kv("lat_ts").toDouble,
+          kv.getOrElse("lon_0", "0").toDouble, ell.get,
+          kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
+      case "merc" if ell.isDefined =>
+        graft.grid.Ellipsoidal.MercE(kv.getOrElse("lon_0", "0").toDouble, ell.get,
+          kv.getOrElse("k_0", "1").toDouble,
+          kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
       case "merc" if kv.contains("lat_ts") =>
         Proj.Merc2SP(kv("lat_ts").toDouble, kv.getOrElse("lon_0", "0").toDouble,
           kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
@@ -243,6 +250,15 @@ object SpatialAllocator {
       case "utm" if ell.isDefined =>
         graft.grid.Ellipsoidal.utmZoneE(kv("zone").toInt, ell.get)
       case "utm" => Proj.utmZone(kv("zone").toInt)
+      case "stere" if ell.isDefined && kv.contains("lat_ts") =>
+        graft.grid.Ellipsoidal.PolarStereE(kv("lat_ts").toDouble,
+          kv.getOrElse("lon_0", "0").toDouble, ell.get,
+          kv.getOrElse("k_0", "1").toDouble,
+          kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
+      case "stere" if ell.isDefined =>
+        graft.grid.Ellipsoidal.StereE(kv("lat_0").toDouble, kv("lon_0").toDouble,
+          ell.get, kv.getOrElse("k_0", "1").toDouble,
+          kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
       case "stere" if kv.contains("lat_ts") =>
         Proj.PolarStere(kv("lat_ts").toDouble, kv.getOrElse("lon_0", "0").toDouble,
           kv.getOrElse("k_0", "1").toDouble,
@@ -250,8 +266,16 @@ object SpatialAllocator {
       case "stere" => Proj.Stere(kv("lat_0").toDouble, kv("lon_0").toDouble,
         kv.getOrElse("k_0", "1").toDouble,
         kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
+      case "laea" if ell.isDefined =>
+        graft.grid.Ellipsoidal.LaeaE(kv("lat_0").toDouble, kv("lon_0").toDouble,
+          ell.get, kv.getOrElse("x_0", "0").toDouble,
+          kv.getOrElse("y_0", "0").toDouble)
       case "laea" => Proj.Laea(kv("lat_0").toDouble, kv("lon_0").toDouble,
         kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
+      case "aea" if ell.isDefined =>
+        graft.grid.Ellipsoidal.AeaE(kv("lat_1").toDouble, kv("lat_2").toDouble,
+          kv("lat_0").toDouble, kv("lon_0").toDouble, ell.get,
+          kv.getOrElse("x_0", "0").toDouble, kv.getOrElse("y_0", "0").toDouble)
       case "aea" => Proj.Aea(kv("lat_1").toDouble, kv("lat_2").toDouble,
         kv("lat_0").toDouble, kv("lon_0").toDouble)
       case "sinu" => Proj.Sinu(kv("lon_0").toDouble,

@@ -89,11 +89,12 @@ object SrgToolCsv {
     }.toMap
 
   /** shapefile_catalog.csv: SHAPEFILE NAME,DIRECTORY,ELLIPSOID,PROJECTION,… */
-  final case class CatalogEntry(name: String, dir: String, projection: String)
+  final case class CatalogEntry(name: String, dir: String, projection: String,
+                                ellipsoid: String = "")
   def readCatalog(path: Path): Map[String, CatalogEntry] =
     readCsvRows(path).map { r =>
       val e = CatalogEntry(r("SHAPEFILE NAME"), r("DIRECTORY"),
-        r.getOrElse("PROJECTION", ""))
+        r.getOrElse("PROJECTION", ""), r.getOrElse("ELLIPSOID", ""))
       e.name -> e
     }.toMap
 
@@ -158,15 +159,41 @@ object SrgToolCsv {
 
     val gridName = req("OUTPUT_GRID_NAME")
     val gdText = new String(Files.readAllBytes(resolve(req("GRIDDESC"))), "UTF-8")
-    val grid: GridSpec = GridDesc.parse(gdText).grids(gridName).grid
+    val gdEntry = GridDesc.parse(gdText).grids(gridName)
+    val grid: GridSpec = gdEntry.grid
+    // OUTPUT_FILE_ELLIPSOID (SA_ch05_surrogate.md control variables)
+    // selects the ellipsoidal GRIDDESC forms; default is the I/O API sphere
+    val outEll = ctl.get("OUTPUT_FILE_ELLIPSOID")
+      .map(graft.grid.Ellipsoid.parse)
+      .getOrElse(graft.grid.Ellipsoid.Sphere)
+    val gridProj: graft.grid.Proj = graft.grid.Proj.fromGriddesc(gdEntry.coord, outEll)
+    val maxSeg = ctl.get("MAX_LINE_SEG").map(_.toDouble).getOrElse(0.0)
 
     def layer(name: String): DataFrame = {
       val e = catalog.getOrElse(name,
         throw new IllegalArgumentException(s"shapefile '$name' not in catalog"))
       val dir = resolve(e.dir)
       val shp = dir.resolve(name + ".shp")
-      if (Files.exists(shp)) Shapefile.read(spark, dir.resolve(name).toString)
-      else spark.read.parquet(dir.resolve(name + ".parquet").toString)
+      val raw =
+        if (Files.exists(shp)) Shapefile.read(spark, dir.resolve(name).toString)
+        else spark.read.parquet(dir.resolve(name + ".parquet").toString)
+      // CONVERT_SHAPE into the grid CRS when the catalog declares the
+      // layer's projection/ellipsoid (the reference reprojects every layer
+      // before intersecting, mims_spatial.c:427-467); an empty PROJECTION
+      // column means "already in grid coordinates" (the engine's native
+      // contract, unchanged)
+      if (e.projection.isEmpty) raw
+      else {
+        val spec = e.projection +
+          (if (e.ellipsoid.nonEmpty) "," + e.ellipsoid else "")
+        val from = SpatialAllocator.projOf(spec)
+        if (from == gridProj) raw
+        else if (raw.columns.contains("geom"))
+          graft.operators.Reproject.polygons(raw, from, gridProj, maxSeg)
+        else if (raw.columns.contains("line"))
+          graft.operators.Reproject.lines(raw, from, gridProj, maxSeg)
+        else graft.operators.Reproject.points(raw, from, gridProj)
+      }
     }
 
     def codeOf(ref: MergeEquation.Ref): Int =

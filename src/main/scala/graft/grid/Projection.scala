@@ -271,6 +271,32 @@ object Proj {
     case t  => throw new IllegalArgumentException(s"GRIDDESC ctype $t not supported (1-11)")
   }
 
+  /** GRIDDESC dispatch with an explicit ellipsoid (the CLI's
+    * OUTPUT_FILE_ELLIPSOID / catalog ELLIPSOID column): non-spherical
+    * ellipsoids select the Snyder ellipsoidal forms for every family that
+    * has one; the sphere stays on the exact spherical closed forms. */
+  def fromGriddesc(c: graft.sources.GridDesc.CoordSys, ell: Ellipsoid): Proj =
+    if (ell.isSphere) fromGriddesc(c)
+    else c.ctype match {
+      case 1  => LatLon
+      case 2  => Ellipsoidal.LccE(c.alpha, c.beta, c.ycent, c.xcent, ell)
+      case 3  => Ellipsoidal.MercE(c.alpha, ell,
+                   if (c.beta == 0.0) 1.0 else c.beta, c.gamma, c.xcent)
+      case 4  => Ellipsoidal.MercE.atTs(c.alpha, c.beta, ell, c.gamma, c.xcent)
+      case 5  => Ellipsoidal.StereE(c.alpha, c.beta, ell, 1.0, c.gamma, c.xcent)
+      case 6  => Ellipsoidal.TmercE(-183.0 + 6.0 * c.alpha, ell, 0.9996,
+                   c.beta, c.gamma)
+      case 7  => Ellipsoidal.PolarStereE(c.alpha, c.beta, ell,
+                   if (c.gamma == 0.0) 1.0 else c.gamma, c.xcent, c.ycent)
+      case 8  => Ellipsoidal.TmercE(c.beta, ell,
+                   if (c.gamma == 0.0) 1.0 else c.gamma, c.xcent, c.ycent, c.alpha)
+      case 9  => Ellipsoidal.LaeaE(c.alpha, c.beta, ell, c.gamma, c.xcent)
+      case 10 => Ellipsoidal.AeaE(c.alpha, c.beta, c.ycent, c.xcent, ell)
+      case 11 => throw new IllegalArgumentException(
+        "sinusoidal has no ellipsoidal form here — use the sphere (the I/O API default)")
+      case t  => throw new IllegalArgumentException(s"GRIDDESC ctype $t not supported (1-11)")
+    }
+
   /** CONVERT_SHAPE semantics: reproject every vertex (mims_spatl_proj.c:363,570). */
   def reprojectRing(ring: Array[Double], from: Proj, to: Proj): Array[Double] = {
     val out = new Array[Double](ring.length)

@@ -149,4 +149,80 @@ class SrgToolCsvSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.textFile(out.resolve("srg_100.txt").toString))
     assert(back.count() > 0)
   }
+
+  test("NAD83 catalog: lat-lon layers reproject through ellipsoidal LCC") {
+    import graft.grid.{Ellipsoid, Ellipsoidal, Proj}
+    import graft.operators.Reproject
+    val lccE = Ellipsoidal.LccE(33, 45, 40, -97, Ellipsoid.GRS80)
+
+    def writeRun(dir: java.nio.file.Path, catalogProj: String,
+                 outputEllipsoid: String, planar: Boolean): Unit = {
+      def write(name: String, text: String): Unit =
+        Files.write(dir.resolve(name), text.getBytes("UTF-8"))
+      val counties = TpchGeo.counties(spark)
+      val points = TpchGeo.points(spark, sfDir)
+      // the NAD83 twin stores every layer in geographic NAD83 coordinates;
+      // the tool must CONVERT_SHAPE them back through ellipsoidal LCC
+      val (cn, pt) =
+        if (planar) (counties, points)
+        else (Reproject.polygons(counties, lccE, Proj.LatLon),
+              Reproject.points(points, lccE, Proj.LatLon))
+      Shapefile.writePolygons(cn, dir.resolve("counties").toString,
+        "geom", Seq(Shapefile.DbfCol("fips", 'C', 5)))
+      pt.write.mode("overwrite").parquet(dir.resolve("points.parquet").toString)
+      write("control_variables.csv",
+        s"""VARIABLE,VALUE,DESCRIPTION
+           |GENERATION CONTROL FILE,./surrogate_generation.csv,gen list
+           |SURROGATE SPECIFICATION FILE,./surrogate_specification.csv,spec
+           |SHAPEFILE CATALOG,./shapefile_catalog.csv,catalog
+           |SURROGATE CODE FILE,./surrogate_codes.csv,codes
+           |OUTPUT_GRID_NAME,TEST8,grid
+           |GRIDDESC,./GRIDDESC.txt,griddesc
+           |OUTPUT_FILE_ELLIPSOID,$outputEllipsoid,datum
+           |""".stripMargin)
+      write("shapefile_catalog.csv",
+        s"""SHAPEFILE NAME,DIRECTORY,ELLIPSOID,PROJECTION,DESCRIPTION
+           |counties,.,"+datum=NAD83","$catalogProj",counties
+           |points,.,"+datum=NAD83","$catalogProj",points
+           |""".stripMargin)
+      write("surrogate_codes.csv", "#CODE,NAME\n#SRGDESC=100,Population\n")
+      write("surrogate_specification.csv",
+        """REGION,SURROGATE,SURROGATE CODE,DATA SHAPEFILE,DATA ATTRIBUTE,WEIGHT SHAPEFILE,WEIGHT ATTRIBUTE,WEIGHT FUNCTION,FILTER FUNCTION,MERGE FUNCTION,SECONDARY SURROGATE,TERTIARY SURROGATE,QUARTERNARY SURROGATE,DETAILS
+          |USA,Population,100,counties,fips,points,NONE,,,,,,,page count
+          |""".stripMargin)
+      write("surrogate_generation.csv",
+        """REGION,SURROGATE,SURROGATE CODE,GENERATE,QUALITY ASSURANCE
+          |USA,Population,100,YES,YES
+          |""".stripMargin)
+      // grid is the SAME TEST8 window, declared as NAD83 LCC via
+      // OUTPUT_FILE_ELLIPSOID
+      write("GRIDDESC.txt",
+        """! coords
+          |'LAM'
+          |2, 33, 45, -97, -97, 40
+          |' '
+          |'TEST8'
+          |'LAM', 0, 0, 1000, 1000, 8, 8, 1
+          |' '""".stripMargin)
+    }
+
+    def fracs(r: SrgTool.Result): Map[(String, Int, Int), Double] =
+      r.srg(100).collect().map(row => (row.getAs[String]("fips"),
+        row.getAs[Int]("col"), row.getAs[Int]("row")) -> row.getAs[Double]("frac")).toMap
+
+    val dPlanar = Files.createTempDirectory("srgnad83_planar")
+    writeRun(dPlanar, "", "+datum=NAD83", planar = true)
+    val rPlanar = SrgToolCsv.run(spark,
+      dPlanar.resolve("control_variables.csv").toString, TpchGeo.domain, TpchGeo.zres)
+
+    val dNad = Files.createTempDirectory("srgnad83_ll")
+    writeRun(dNad, "proj=latlong", "+datum=NAD83", planar = false)
+    val rNad = SrgToolCsv.run(spark,
+      dNad.resolve("control_variables.csv").toString, TpchGeo.domain, TpchGeo.zres)
+
+    val a = fracs(rPlanar); val b = fracs(rNad)
+    assert(a.nonEmpty && a.keySet == b.keySet,
+      s"cells differ: ${(a.keySet diff b.keySet) ++ (b.keySet diff a.keySet)}")
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-9, s"$k: $v vs ${b(k)}") }
+  }
 }
