@@ -12,7 +12,49 @@ import graft.operators.{Surrogate, SpatialJoin}
   * invariant (text/html unchanged per url through every shuffle). */
 object EntryPages {
 
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- the flagship surrogate through STRUCTURED STREAMING: pages arrive
+    // as an unbounded stream (two micro-batches here), the SAME geotag +
+    // spatial join + one-pass (fips, cell) aggregation runs incrementally
+    // in complete mode, and the batch ratio tail joins the streamed state —
+    // one codepath, driver-gated against the q21 batch oracle.
+    "q57_pages_srg_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.spark.GeoFunctions._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val pages = Pages.pages(s, dir)
+      val mem = MemoryStream[String](s)
+      val qname = s"q57_percell_${streamSeq.incrementAndGet()}"
+      val onGrid = inGrid(gridCol(col("x"), grid), gridRow(col("y"), grid), grid)
+      val perCell = SpatialJoin.pointInPoly(Pages.geotag(mem.toDF().toDF("url")),
+          TpchGeo.counties(s), domain, zres)
+        .withColumn("col", when(onGrid, gridCol(col("x"), grid)))
+        .withColumn("row", when(onGrid, gridRow(col("y"), grid)))
+        .groupBy("fips", "col", "row")
+        .agg(count(lit(1)).cast("double").as("numer"))
+      val q = perCell.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      val urls = pages.select("url").collect().map(_.getString(0))
+      val (first, second) = urls.splitAt(urls.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // the memory sink's view pins attribute ids, which breaks the
+      // numer⋈denom self-join — materialize the (tiny) streamed aggregate
+      // into fresh local relations per side
+      def fresh() = s.createDataFrame(
+        java.util.Arrays.asList(s.table(qname).collect(): _*),
+        s.table(qname).schema)
+      val denom = fresh().groupBy("fips").agg(sum("numer").as("denom"))
+      val out = Surrogate.ratio(
+        fresh().where(col("col").isNotNull && col("row").isNotNull), denom, 300)
+      q.stop()
+      out
+    }),
+
     // flagship: page-count surrogate (srgcreate count mode over pages)
     "q21_pages_srg" -> ((s, dir) =>
       Surrogate.pointSurrogate(Pages.geotag(Pages.pages(s, dir)),
@@ -55,17 +97,22 @@ object EntryPages {
        |WHERE denom >= 0.00001 AND numer <> 0
        |ORDER BY fips, "row", col""".stripMargin
 
+  private lazy val pagesSrgOracle: String =
+    s"""WITH pg AS (${Pages.geotaggedSql}),
+       |tagged AS (SELECT ${TpchGeo.fipsOfSql("x", "y")} AS fips,
+       |  CAST(floor(x/1000.0) AS INT)+1 AS col,
+       |  CAST(floor(y/1000.0) AS INT)+1 AS "row" FROM pg),
+       |num AS (SELECT fips, col, "row", CAST(count(*) AS DOUBLE) AS numer
+       |        FROM tagged GROUP BY 1, 2, 3),
+       |den AS (SELECT fips, CAST(count(*) AS DOUBLE) AS denom
+       |        FROM tagged GROUP BY 1)
+       |${srgSelect(300)}""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q21_pages_srg" ->
-      s"""WITH pg AS (${Pages.geotaggedSql}),
-         |tagged AS (SELECT ${TpchGeo.fipsOfSql("x", "y")} AS fips,
-         |  CAST(floor(x/1000.0) AS INT)+1 AS col,
-         |  CAST(floor(y/1000.0) AS INT)+1 AS "row" FROM pg),
-         |num AS (SELECT fips, col, "row", CAST(count(*) AS DOUBLE) AS numer
-         |        FROM tagged GROUP BY 1, 2, 3),
-         |den AS (SELECT fips, CAST(count(*) AS DOUBLE) AS denom
-         |        FROM tagged GROUP BY 1)
-         |${srgSelect(300)}""".stripMargin,
+    "q21_pages_srg" -> pagesSrgOracle,
+
+    // the streaming twin must land on the SAME table as the batch oracle
+    "q57_pages_srg_stream" -> pagesSrgOracle,
 
     "q22_pages_fidelity" ->
       s"""WITH pg AS (${Pages.geotaggedSql})

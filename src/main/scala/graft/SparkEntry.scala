@@ -255,6 +255,34 @@ object SparkEntry {
         .orderBy("row", "col")
     }),
 
+    // --- beld3smk 3-file merge at FULL 230-variable width (beld3smk.c:
+    // 40-629): per-tile _a (vars 0-119) / _b (120-229) / _tot (FOREST)
+    // wide tables merge across 3 tiles in ONE (col,row) hash agg each —
+    // width rides in columns, never rows. Output unpivots to long form
+    // only for the oracle compare. Var 229 tops every cell to exactly
+    // 100 (or 100.5 on the QA-failing diagonal), so q56 exercises the
+    // 100%-landuse warning path with real flagged cells.
+    "q55_beld_merge" -> ((s, dir) => {
+      val (a, b, tot) = beld230(s, dir)
+      val m = Beld.merge3(a, b, tot,
+        (0 to 119).map(i => s"v_$i"), (120 to 229).map(i => s"v_$i"))
+      val wide = m.a.join(m.b, Seq("col", "row"))
+      val stackArgs = (0 to 229).map(i => s"'v_$i', v_$i").mkString(", ")
+      wide.selectExpr("col", "row",
+          s"stack(230, $stackArgs) AS (var, value)")
+        .orderBy("var", "row", "col")
+    }),
+
+    // --- beld3smk QA report (beld3smk.c:496-509): cells whose summed
+    // landuse differs from 100% by > 0.01, with the merged FOREST total
+    "q56_beld_qa" -> ((s, dir) => {
+      val (a, b, tot) = beld230(s, dir)
+      val m = Beld.merge3(a, b, tot,
+        (0 to 119).map(i => s"v_$i"), (120 to 229).map(i => s"v_$i"))
+      m.qa.join(m.tot.withColumnRenamed("FOREST", "forest_tot"), Seq("col", "row"))
+        .orderBy("row", "col")
+    }),
+
     // --- OVERLAY with OVERLAY_OUT_CELLID=YES (overlay.c:155-190): q08's
     // semi-join plus the grid COL/ROW of each surviving point
     "q50_overlay_cellid" -> ((s, dir) => {
@@ -361,6 +389,39 @@ object SparkEntry {
         .orderBy("p_partkey", "var")
     })
   )
+
+  /** Shared q55/q56 fixture: three per-tile BELD-shaped wide tables at the
+    * reference's full 230-variable width. Vars 0-228 are a sparse 0/2
+    * landuse pattern; var 229 (in tile 1) tops each cell's total to
+    * exactly 100, or 100.5 on the (col+row)%3 diagonal so the QA check
+    * has real failures. All values stay on the integer/half lattice —
+    * bit-exact under any summation order. */
+  private def beld230(s: SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.sources.Sources.regularGrid(s, grid)
+      .select(col("col"), col("row"))
+      .crossJoin(s.range(1, 4).toDF("tile"))
+      .withColumn("cellid", (col("row") - 1) * 8 + col("col"))
+    val v228 = (0 to 228).map(i => expr(
+      s"CAST(CASE WHEN (($i * 31) + tile * 5 + cellid) % 40 = 0 THEN 2.0 ELSE 0.0 END AS DOUBLE)"
+    ).as(s"v_$i"))
+    val wide = base.select(
+      Seq(col("tile"), col("col"), col("row"), col("cellid")) ++ v228: _*)
+    val rowSum = (0 to 228).map(i => col(s"v_$i")).reduce(_ + _)
+    val cellSum = sum(rowSum).over(Window.partitionBy("col", "row"))
+    val target = when(pmod(col("col") + col("row"), lit(3)) === 0, 100.5)
+      .otherwise(100.0)
+    val full = wide
+      .withColumn("v_229", when(col("tile") === 1, target - cellSum).otherwise(0.0))
+      .drop("cellid")
+    val a = full.select(
+      Seq(col("tile"), col("col"), col("row")) ++ (0 to 119).map(i => col(s"v_$i")): _*)
+    val b = full.select(
+      Seq(col("tile"), col("col"), col("row")) ++ (120 to 229).map(i => col(s"v_$i")): _*)
+    val tot = full.select(col("tile"), col("col"), col("row"),
+      col("v_0").as("FOREST"))
+    (a, b, tot)
+  }
 
   /** DuckDB haversine of a constant-latitude span (the exact expression
     * tree of Geo.haversine with dLat = 0). */
@@ -650,6 +711,35 @@ object SparkEntry {
          |  $luSums
          |FROM fr WHERE fa > 0 GROUP BY 1, 2 ORDER BY "row", col""".stripMargin
     },
+
+    "q55_beld_merge" ->
+      s"""WITH cl AS (${TpchGeo.cellsSql}),
+         |cc AS (SELECT col, "row", ("row" - 1) * 8 + col AS cellid FROM cl),
+         |v AS (SELECT col, "row", i,
+         |    sum(CASE WHEN (i * 31 + t * 5 + cellid) % 40 = 0 THEN 2.0 ELSE 0.0 END) AS value
+         |  FROM cc CROSS JOIN range(1, 4) r(t) CROSS JOIN range(229) vi(i)
+         |  GROUP BY 1, 2, 3),
+         |s AS (SELECT col, "row", sum(value) AS s228 FROM v GROUP BY 1, 2),
+         |v229 AS (SELECT col, "row", CAST(229 AS BIGINT) AS i,
+         |    (CASE WHEN (col + "row") % 3 = 0 THEN 100.5 ELSE 100.0 END) - s228 AS value
+         |  FROM s)
+         |SELECT 'v_' || CAST(i AS VARCHAR) AS var, col, "row", value
+         |FROM (SELECT * FROM v UNION ALL SELECT * FROM v229)
+         |ORDER BY var, "row", col""".stripMargin,
+
+    "q56_beld_qa" ->
+      s"""WITH cl AS (${TpchGeo.cellsSql}),
+         |cc AS (SELECT col, "row", ("row" - 1) * 8 + col AS cellid FROM cl),
+         |tot AS (SELECT col, "row",
+         |    sum(CASE WHEN (t * 5 + cellid) % 40 = 0 THEN 2.0 ELSE 0.0 END) AS forest_tot
+         |  FROM cc CROSS JOIN range(1, 4) r(t) GROUP BY 1, 2),
+         |q AS (SELECT col, "row",
+         |    CASE WHEN (col + "row") % 3 = 0 THEN 100.5 ELSE 100.0 END AS total
+         |  FROM cc)
+         |SELECT col, "row", total, total - 100.0 AS pctdiff, forest_tot
+         |FROM q JOIN tot USING (col, "row")
+         |WHERE abs(total - 100.0) > 0.01
+         |ORDER BY "row", col""".stripMargin,
 
     "q50_overlay_cellid" ->
       s"""WITH pts AS (${TpchGeo.pointsSql})

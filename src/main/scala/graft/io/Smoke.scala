@@ -86,10 +86,10 @@ object Smoke {
     * coalesce is for byte-exact parity at test scale; at 100 TB callers keep
     * the Dataset[String] distributed (`toLines`) and write part files. */
   def write(srg: DataFrame, g: GridSpec, p: ProjInfo, path: String,
-            withQa: Boolean = true): Unit = {
+            withQa: Boolean = true, denomThreshold: Double = 1e-5): Unit = {
     val spark = srg.sparkSession
     import spark.implicits._
-    val body = toLines(srg, withQa).collect()
+    val body = toLines(srg, withQa, denomThreshold).collect()
       .sortBy { l =>
         val t = l.replaceAll("^#(SKIPPED|REMAINDER) ", "").split("\t")
         // remainder rows carry col=row=0 but the reference flushes them
@@ -109,11 +109,12 @@ object Smoke {
     * order across parts follows the partition ranges. Consumers (Smoke.parse,
     * merge/gapfill tools) are order-independent. */
   def writeParts(srg: DataFrame, g: GridSpec, p: ProjInfo, dir: String,
-                 withQa: Boolean = true, numParts: Int = 0): Unit = {
+                 withQa: Boolean = true, numParts: Int = 0,
+                 denomThreshold: Double = 1e-5): Unit = {
     val parts = if (numParts > 0) numParts
                 else srg.sparkSession.sparkContext.defaultParallelism
     val ranged = srg.repartitionByRange(parts, col("srg_code"), col("fips"))
-    toLines(ranged, withQa).write.mode("overwrite").text(s"$dir/body")
+    toLines(ranged, withQa, denomThreshold).write.mode("overwrite").text(s"$dir/body")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/HEADER"),
       (header(g, p) + "\n").getBytes("UTF-8"))

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** beld3smk (beld3smk.c:40-629; docs SA_ch03_vector.md:684-710): merge
+  * per-tile BELD3 landuse files into domain-wide tables. The reference
+  * reads three netCDF files per tile — "_a" carries variables 0-119, "_b"
+  * variables 120-229, "_tot" the FOREST total — sums each variable across
+  * tiles per cell, warns when a cell's summed landuse differs from 100%
+  * by more than 0.01 (beld3smk.c:496-509), and writes merged _a/_b/_tot.
+  *
+  * Spark-first shape: each input is a TILE-PARTITIONED wide table
+  * (tile, col, row, vars…). Every merge is ONE hash aggregation on
+  * (col, row) with map-side partial sums — the 230-variable width rides
+  * in columns, never in rows, so the shuffle moves each cell once no
+  * matter how many variables exist. At 100 TB the tile partitioning
+  * prunes to the requested window before any aggregation (plan-asserted
+  * in PartitionPruningSpec for the q45 layout).
+  */
+object Beld {
+
+  final case class Merged(a: DataFrame, b: DataFrame, tot: DataFrame,
+                          qa: DataFrame)
+
+  private def sumVars(df: DataFrame, vars: Seq[String]): DataFrame = {
+    require(vars.nonEmpty, "beld merge needs at least one variable")
+    val aggs = vars.map(v => sum(col(v)).as(v))
+    df.groupBy(col("col"), col("row")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge the three per-tile tables. `qa` holds the cells failing the
+    * 100% landuse check: (col, row, total, pctdiff) with
+    * pctdiff = total − 100 exactly like the C warning. */
+  def merge3(a: DataFrame, b: DataFrame, tot: DataFrame,
+             varsA: Seq[String], varsB: Seq[String], totVar: String = "FOREST",
+             qaTol: Double = 0.01): Merged = {
+    val outA = sumVars(a, varsA)
+    val outB = sumVars(b, varsB)
+    val outTot = sumVars(tot, Seq(totVar))
+    val all = outA.join(outB, Seq("col", "row"))
+    val totalExpr = (varsA ++ varsB).map(col).reduce(_ + _)
+    val qa = all.withColumn("total", totalExpr)
+      .withColumn("pctdiff", col("total") - 100.0)
+      .where(abs(col("pctdiff")) > qaTol)
+      .select("col", "row", "total", "pctdiff")
+    Merged(outA, outB, outTot, qa)
+  }
+}

@@ -40,12 +40,18 @@ object Surrogate {
   /** Shared tail: numerators ⋈ denominators → frac, threshold skip, qasum.
     * numer: (fips, col, row, numer); denom: (fips, denom). */
   def ratio(numer: DataFrame, denom: DataFrame, srgCode: Int,
-            denomThreshold: Double = 1e-5, ordered: Boolean = true): DataFrame = {
+            denomThreshold: Double = 1e-5, ordered: Boolean = true,
+            keepSkipped: Boolean = false): DataFrame = {
+    // #SKIPPED semantics (surrogate.c:434-452): below-threshold counties
+    // normally never emit rows; with keepSkipped they flow through — frac
+    // and all — so Smoke.toLines can render them with the `#SKIPPED `
+    // prefix exactly like the reference's file. Zero-numerator rows are
+    // skipped either way (PG: WHERE numer != 0 AND denom != 0).
+    val denomPass =
+      if (keepSkipped) col("denom") =!= 0.0
+      else col("denom") >= denomThreshold
     val joined = numer.join(broadcast(denom), "fips")
-      // #SKIPPED path: denom below threshold never emits rows
-      // (surrogate.c:72,434-452); zero-numerator rows are skipped too
-      // (PG: WHERE numer != 0 AND denom != 0)
-      .where(col("denom") >= denomThreshold && col("numer") =!= 0.0)
+      .where(denomPass && col("numer") =!= 0.0)
       .withColumn("frac", col("numer") / col("denom"))
     val w = Window.partitionBy("fips").orderBy("row", "col")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -65,7 +71,8 @@ object Surrogate {
                      grid: GridSpec, domain: CellDomain, res: Int,
                      srgCode: Int, weight: Option[String] = None,
                      denomThreshold: Double = 1e-5,
-                     saltFactor: Int = 1, ordered: Boolean = true): DataFrame = {
+                     saltFactor: Int = 1, ordered: Boolean = true,
+                     keepSkipped: Boolean = false): DataFrame = {
     val w = weight.map(col(_).cast("double")).getOrElse(lit(1.0))
     val tagged = SpatialJoin.pointInPoly(points, counties, domain, res,
         saltFactor = saltFactor)
@@ -88,7 +95,7 @@ object Surrogate {
       .transform(graft.spark.PersistTracker.persist)
     val denom = perCell.groupBy("fips").agg(sum("numer").as("denom"))
     val numer = perCell.where(col("col").isNotNull && col("row").isNotNull)
-    ratio(numer, denom, srgCode, denomThreshold, ordered)
+    ratio(numer, denom, srgCode, denomThreshold, ordered, keepSkipped)
   }
 
   /** Polygon-weight surrogate (census tracts): area mode when weight None.
@@ -96,7 +103,8 @@ object Surrogate {
   def polySurrogate(weights: DataFrame, counties: DataFrame,
                     grid: GridSpec, domain: CellDomain, res: Int,
                     srgCode: Int, weight: Option[String] = None,
-                    denomThreshold: Double = 1e-5): DataFrame = {
+                    denomThreshold: Double = 1e-5,
+                    keepSkipped: Boolean = false): DataFrame = {
     val wexpr = weight.map(col(_).cast("double")).getOrElse(lit(0.0))
     val wts = weights
       .where(weight.map(c => col(c).cast("double") =!= 0.0).getOrElse(lit(true)))
@@ -130,7 +138,7 @@ object Surrogate {
       .withColumn("col", (col("__cellid") % grid.ncols).cast("int") + 1)
       .withColumn("row", (col("__cellid") / grid.ncols).cast("int") + 1)
       .groupBy("fips", "col", "row").agg(sum(numContrib).as("numer"))
-    ratio(numer, denom, srgCode, denomThreshold)
+    ratio(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
   }
 
   /** Line-weight surrogate (roads): length mode when weight None.
@@ -142,7 +150,8 @@ object Surrogate {
                     grid: GridSpec, domain: CellDomain, res: Int,
                     srgCode: Int, weight: Option[String] = None,
                     denomThreshold: Double = 1e-5,
-                    curved: Boolean = false): DataFrame = {
+                    curved: Boolean = false,
+                    keepSkipped: Boolean = false): DataFrame = {
     val lns = lines
       .where(weight.map(c => col(c).cast("double") =!= 0.0).getOrElse(lit(true)))
       .withColumn("__wlen", lineLengthCol(col("line"), curved))
@@ -171,6 +180,6 @@ object Surrogate {
       .withColumn("col", (col("__cellid") % grid.ncols).cast("int") + 1)
       .withColumn("row", (col("__cellid") / grid.ncols).cast("int") + 1)
       .groupBy("fips", "col", "row").agg(sum(numContrib).as("numer"))
-    ratio(numer, denom, srgCode, denomThreshold)
+    ratio(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
   }
 }

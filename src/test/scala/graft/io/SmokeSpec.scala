@@ -101,4 +101,48 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ls.get(0).startsWith("#GRID\tTEST8"))
     assert(ls.get(1).contains("47001") && ls.get(2).contains("47002"))
   }
+
+  test("#SKIPPED rows flow end-to-end from the pipeline (surrogate.c:434-452)") {
+    import graft.fixtures.TpchGeo
+    import graft.operators.Surrogate
+    val sf = "/root/testdata/sf0.001"
+    // pick a threshold strictly between the smallest and largest county
+    // point count so the run has BOTH skipped and kept counties
+    val counts = graft.operators.SpatialJoin
+      .pointInPoly(TpchGeo.points(spark, sf), TpchGeo.counties(spark),
+        TpchGeo.domain, TpchGeo.zres)
+      .groupBy("fips").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresh = counts.values.min + 0.5
+    assert(counts.values.max > thresh, "fixture needs a spread of county sizes")
+    val expectSkipped = counts.filter(_._2 < thresh).keySet
+    assert(expectSkipped.nonEmpty)
+
+    val srg = Surrogate.pointSurrogate(TpchGeo.points(spark, sf),
+      TpchGeo.counties(spark), TpchGeo.grid, TpchGeo.domain, TpchGeo.zres,
+      srgCode = 100, denomThreshold = thresh, keepSkipped = true)
+    val f = java.nio.file.Files.createTempDirectory("skipped")
+      .resolve("srg.txt").toString
+    Smoke.write(srg, GridCatalog.TEST8, Smoke.ProjInfo(), f, withQa = true,
+      denomThreshold = thresh)
+
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))).asScala.toSeq
+    val skippedLines = lines.filter(_.startsWith("#SKIPPED "))
+    assert(skippedLines.nonEmpty, "file must contain visible #SKIPPED rows")
+    // every below-threshold county renders ALL its rows with the prefix;
+    // kept counties render none
+    val fipsOf = (l: String) =>
+      l.replaceAll("^#(SKIPPED|REMAINDER) ", "").split("\t")(1).trim
+    assert(skippedLines.map(fipsOf).toSet == expectSkipped)
+    val keptData = lines.filter(l => !l.startsWith("#") && l.contains("\t"))
+    assert(keptData.map(fipsOf).toSet.intersect(expectSkipped).isEmpty)
+
+    // round trip: the SMOKE reader drops #SKIPPED like the reference's
+    // merge/gapfill readers (SurrogateFileReader.java)
+    val back = Smoke.parse(spark, spark.read.textFile(f))
+    val backFips = back.select("fips").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(backFips == counts.keySet -- expectSkipped)
+  }
 }
