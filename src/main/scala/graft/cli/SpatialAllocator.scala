@@ -68,7 +68,14 @@ object SpatialAllocator {
           cfg.getOrElse("INPUT_FILE_XCOL", "x"),
           cfg.getOrElse("INPUT_FILE_YCOL", "y"),
           cfg.getOrElse("INPUT_FILE_DELIMITER", "COMMA"))
-      case _ => spark.read.parquet(path)
+      // gridded I/O API netCDF (IoapiInputReader.c) — sparse gridded frame
+      case "IoapiFile" => graft.sources.Ioapi.read(spark, path, dropZeros = true)._2
+      case _ =>
+        // binary shapefile front door when `path`.shp exists (the
+        // reference's universal input); parquet otherwise
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".shp")))
+          graft.sources.Shapefile.read(spark, path)
+        else spark.read.parquet(path)
     }
 
     def weightLayer(): DataFrame = {
@@ -92,7 +99,7 @@ object SpatialAllocator {
 
     val result: Option[DataFrame] = req("MIMS_PROCESSING") match {
       case "SURROGATE" =>
-        val counties = spark.read.parquet(req("DATA_FILE_NAME"))
+        val counties = readLayer(req("DATA_FILE_NAME"), "Polygon")
           .withColumnRenamed(cfg.getOrElse("DATA_ID_ATTR", "fips"), "fips")
         val code = cfg.getOrElse("SURROGATE_ID", "100").toInt
         val thr = cfg.getOrElse("DENOMINATOR_THRESHOLD", "0.00001").toDouble
@@ -116,9 +123,27 @@ object SpatialAllocator {
         }
         cfg.get("SURROGATE_FILE").foreach { out =>
           Smoke.write(srg, grid(), Smoke.ProjInfo(), out,
-            withQa = cfg.getOrElse("WRITE_QASUM", "YES") == "YES")
+            withQa = cfg.getOrElse("WRITE_QASUM", "YES") == "YES",
+            denomThreshold = thr)
         }
+        // srg2ncf in one pass (util/srg2ncf/convert_txt2ncf.f)
+        cfg.get("SURROGATE_NETCDF_FILE").foreach(p =>
+          graft.sources.Ioapi.srg2ncf(srg, grid(), p))
         Some(srg)
+
+      case "ALLOCATE" if cfg.get("INPUT_FILE_TYPE").contains("IoapiFile") =>
+        // allocateIoapi.c: gridded I/O API data regrids onto the output
+        // polygons — the gridded side hash-joins on (col, row), no
+        // geometry kernel ever touches it
+        val (hdr, gridded) = graft.sources.Ioapi.read(spark,
+          req("INPUT_FILE_NAME"), dropZeros = true)
+        val output = readLayer(req("OUTPUT_POLY_FILE"), "Polygon")
+          .withColumnRenamed(cfg.getOrElse("OUTPUT_POLY_ATTRS", "out_id"), "out_id")
+        val out = Allocate.gridToPoly(gridded, hdr.grid, output,
+          "out_id", "value", Seq("var"))
+        cfg.get("OUTPUT_FILE_NAME").foreach(p =>
+          out.coalesce(1).write.mode("overwrite").parquet(p))
+        Some(out)
 
       case "ALLOCATE" =>
         val input = applyFilter(readLayer(req("INPUT_FILE_NAME"),

@@ -105,4 +105,65 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(desc.get(0) == "#SRGDESC" && desc.size() == 6)
     assert(Files.exists(java.nio.file.Paths.get(s"$outDir/srg_500.txt")))
   }
+
+  test("ALLOCATE mode reads a real I/O API .ncf input (allocateIoapi path)") {
+    import spark.implicits._
+    import graft.sources.Ioapi
+    val dir = tmp("cli-ioapi")
+    // gridded input file over TEST8
+    val gridded = (for (t <- 0 to 1; r <- 1 to 8; c <- 1 to 8)
+      yield ("PM", t, 1, r, c, ((t * 7 + (r - 1) * 8 + c) % 20).toDouble))
+      .toDF("var", "tstep", "layer", "row", "col", "value")
+    val ncf = s"$dir/gridded.ncf"
+    Ioapi.write(gridded, Ioapi.headerFor(TpchGeo.grid, Seq(Ioapi.VarDef("PM"))), ncf)
+    TpchGeo.tracts(spark, sfDir)
+      .withColumnRenamed("p_partkey", "out_id")
+      .write.mode("overwrite").parquet(s"$dir/tracts")
+
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "ALLOCATE",
+      "INPUT_FILE_TYPE" -> "IoapiFile",
+      "INPUT_FILE_NAME" -> ncf,
+      "OUTPUT_POLY_FILE" -> s"$dir/tracts",
+      "OUTPUT_GRID_NAME" -> "TEST8")).get
+
+    val direct = graft.operators.Allocate.gridToPoly(gridded, TpchGeo.grid,
+      TpchGeo.tracts(spark, sfDir).withColumnRenamed("p_partkey", "out_id"),
+      "out_id", "value", Seq("var"))
+    assert(out.collect().map(_.toString).sorted.toSeq ==
+           direct.collect().map(_.toString).sorted.toSeq)
+    assert(out.count() > 0)
+  }
+
+  test("SURROGATE mode writes srg2ncf output; shapefile front door works") {
+    import graft.sources.{Ioapi, Shapefile}
+    val dir = tmp("cli-ncfout")
+    // counties as a REAL shapefile — readLayer must take the .shp branch
+    Shapefile.writePolygons(TpchGeo.counties(spark), s"$dir/counties",
+      "geom", Seq(Shapefile.DbfCol("fips", 'C', 5)))
+    TpchGeo.points(spark, sfDir).write.mode("overwrite").parquet(s"$dir/points")
+    val ncf = s"$dir/srg100.ncf"
+
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "SURROGATE",
+      "OUTPUT_GRID_NAME" -> "TEST8",
+      "DATA_FILE_NAME" -> s"$dir/counties",
+      "DATA_ID_ATTR" -> "fips",
+      "WEIGHT_FILE_NAME" -> s"$dir/points",
+      "WEIGHT_FILE_TYPE" -> "Point",
+      "SURROGATE_ID" -> "100",
+      "SURROGATE_NETCDF_FILE" -> ncf)).get
+
+    val (h, back) = Ioapi.read(spark, ncf, dropZeros = true)
+    assert(h.vars.map(_.name) == Seq("FRACTION"))
+    // per-cell FRACTION equals the surrogate's per-cell frac sum
+    val want = out.groupBy("col", "row")
+      .agg(sum("frac").as("s")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val got = back.collect()
+      .map(r => (r.getInt(4), r.getInt(3)) -> r.getDouble(5)).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-6, s"$k") } // float32 storage
+  }
 }
