@@ -46,4 +46,18 @@ object Beld {
       .select("col", "row", "total", "pctdiff")
     Merged(outA, outB, outTot, qa)
   }
+
+  /** convert_beld's negative-reset rule (convert_beld.c:140-150): the BELD
+    * conversion is "very similar to, but not the same as, the surrogate
+    * calculations" — when a numerator or denominator is negative (BELD
+    * missing-data sentinels), the row resets to frac = −numer, numer = 0,
+    * denom = 0 instead of reporting a bogus ratio. Input: surrogate-shaped
+    * rows carrying (frac, numer, denom); narrow projection, no shuffle. */
+  def convertResetRule(srg: DataFrame): DataFrame = {
+    val bad = col("numer") < 0.0 || col("denom") < 0.0
+    srg.withColumn("frac", when(bad, -col("numer")).otherwise(col("frac")))
+      .withColumn("__numer2", when(bad, 0.0).otherwise(col("numer")))
+      .withColumn("denom", when(bad, 0.0).otherwise(col("denom")))
+      .drop("numer").withColumnRenamed("__numer2", "numer")
+  }
 }
