@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fixtures.TextFixtures
+import graft.text.{TextOps, PipelineOps}
+
+/** Corpus-cleaning pipeline queries (round 3): paragraph-level dedup,
+  * benchmark decontamination, sequence packing, URL canonicalization, and
+  * repetition quality signals — the C4/Gopher/CCNet-style passes between
+  * raw crawl and training shards. Same oracle discipline as EntryText:
+  * every ratio derives from integer counts, every column aliased
+  * identically in Spark and SQL. */
+object EntryPipeline {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // paragraph-level exact dedup: per-doc (total, globally-first) counts
+    "q58_paragraph_dedup" -> ((s, dir) =>
+      PipelineOps.paragraphDedupStats(
+          TextFixtures.paraCorpus(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"))
+        .orderBy("doc_id")),
+
+    // test-set leakage: 8-gram collision vs a broadcast benchmark set
+    "q59_decontaminate" -> ((s, dir) =>
+      PipelineOps.decontaminate(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          TextFixtures.benchmarkNgrams(s, dir), n = 8)
+        .select(col("id").as("doc_id"), col("n_hits"),
+          col("contaminated").cast("int").as("contaminated"))
+        .orderBy("doc_id")),
+
+    // GPT-style concat-and-chop sequence packing (T = 256 tokens)
+    "q60_seq_pack" -> ((s, dir) =>
+      PipelineOps.packSequences(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"),
+              TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 256)
+        .select("doc_id", "n_tokens", "tok_start", "seq_first", "seq_last", "n_seqs")
+        .orderBy("doc_id")),
+
+    // URL canonicalization + per-canonical-form dup counts
+    "q61_url_canon" -> ((s, dir) => {
+      val u = TextFixtures.urlCorpus(s, dir)
+        .select(col("doc_id"),
+          PipelineOps.canonicalizeUrl(col("url")).as("canon"),
+          PipelineOps.urlDomain(col("url")).as("domain"))
+      u.withColumn("canon_dups",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("canon")))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals over word bigrams (doc-local)
+    "q62_repetition" -> ((s, dir) =>
+      PipelineOps.repetitionSignals(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("n_distinct_bigrams"), col("top_bigram_cnt"),
+          col("dup_bigram_frac"), col("top_bigram_frac"))
+        .orderBy("doc_id")),
+
+    // composite C4-style cleaning with first-fail audit: lang → quality →
+    // repetition → exact dedup (among survivors) → decontamination
+    "q63_clean_corpus" -> ((s, dir) =>
+      PipelineOps.cleanCorpusAudit(
+          TextFixtures.dupCorpus(s, dir), "doc_id", "text",
+          TextFixtures.benchmarkNgrams(s, dir),
+          TextFixtures.langProfiles, TextFixtures.qualityStopwords,
+          keepLang = "en", minQuality = 0.48, maxDupFrac = 0.06, n = 8)
+        .orderBy("stage"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q58_paragraph_dedup" ->
+      s"""WITH corpus AS (${TextFixtures.paraCorpusSql}),
+         |p AS (SELECT doc_id,
+         |        unnest(string_split(text, chr(10)||chr(10))) AS para,
+         |        unnest(range(len(string_split(text, chr(10)||chr(10))))) AS idx
+         |      FROM corpus),
+         |r AS (SELECT doc_id, idx,
+         |        row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+         |      FROM p)
+         |SELECT doc_id, count(*) AS n_paras,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q59_decontaminate" ->
+      s"""WITH b AS (SELECT DISTINCT ngram AS g FROM (${TextFixtures.benchmarkNgramsSql}) bb),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)]) AS g
+         |       FROM w),
+         |h AS (SELECT doc_id, count(*) AS c FROM sh JOIN b USING (g) GROUP BY 1)
+         |SELECT doc_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+         |  CAST(CASE WHEN coalesce(h.c, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+         |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q60_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |      FROM t)
+        |SELECT doc_id, n_tokens, tok_start,
+        |  tok_start // 256 AS seq_first,
+        |  (tok_start + n_tokens - 1) // 256 AS seq_last,
+        |  (tok_start + n_tokens - 1) // 256 - tok_start // 256 + 1 AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q61_url_canon" ->
+      s"""WITH u AS (${TextFixtures.urlCorpusSql}),
+         |s AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
+         |e AS (SELECT doc_id, url, nofrag,
+         |        regexp_extract(nofrag, '^([a-zA-Z]+://[^/]*)', 1) AS shraw
+         |      FROM s),
+         |c AS (SELECT doc_id,
+         |        regexp_replace(lower(shraw), ':(80|443)$$', '') ||
+         |        regexp_replace(
+         |          regexp_replace(substr(nofrag, length(shraw) + 1),
+         |            '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+         |          '[?&]+$$', '', 'g') AS canon,
+         |        regexp_replace(
+         |          lower(regexp_extract(url, '^[a-zA-Z]+://([^/:]*)', 1)),
+         |          '^www\\.', '', 'g') AS domain
+         |      FROM e)
+         |SELECT doc_id, canon, domain,
+         |  count(*) OVER (PARTITION BY canon) AS canon_dups
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q62_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bl FROM w),
+        |u AS (SELECT doc_id, unnest(bl) AS bg FROM b),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM u GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |        CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |        CAST(max(c) AS BIGINT) AS top_bigram_cnt
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams, top_bigram_cnt,
+        |  CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
+        |  CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q63_clean_corpus" -> {
+      val langScores = TextFixtures.langProfiles.zipWithIndex.map {
+        case ((lang, words), pos) =>
+          s"SELECT doc_id, '$lang' AS lang, $pos AS pos, " +
+            s"len(list_filter(string_split(text, ' '), x -> x IN (${
+              words.map(w => s"'$w'").mkString(", ")}))) AS score FROM corpus"
+      }.mkString("\nUNION ALL ")
+      val sw = TextFixtures.qualityStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH corpus AS (${TextFixtures.dupCorpusSql}),
+         |ls AS ($langScores),
+         |lr AS (SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pos) AS rn
+         |       FROM ls),
+         |lang AS (SELECT doc_id, lang AS lp FROM lr WHERE rn = 1),
+         |qx AS (SELECT doc_id,
+         |        CAST(len(list_filter(string_split(text, ' '), x -> x IN ($sw))) AS DOUBLE) AS swc,
+         |        CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |        CAST(length(text) AS DOUBLE) AS nc
+         |      FROM corpus),
+         |q AS (SELECT doc_id,
+         |        0.5 * (swc / nt) + 0.5 * (1.0 - abs((nc - (nt - 1)) / nt - 5.0) / 10.0) AS quality
+         |      FROM qx),
+         |bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         |bb AS (SELECT doc_id, [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bl FROM bw),
+         |rep AS (SELECT doc_id,
+         |          CAST(len(bl) - len(list_distinct(bl)) AS DOUBLE) / CAST(len(bl) AS DOUBLE) AS df
+         |        FROM bb),
+         |f AS (SELECT c.doc_id, c.text,
+         |        (lang.lp = 'en') AS lang_ok,
+         |        (q.quality >= 0.48) AS q_ok,
+         |        (rep.df <= 0.06) AS r_ok
+         |      FROM corpus c
+         |      JOIN lang USING (doc_id) JOIN q USING (doc_id) JOIN rep USING (doc_id)),
+         |reps AS (SELECT md5(text) AS th, min(doc_id) AS rid FROM f
+         |         WHERE lang_ok AND q_ok AND r_ok GROUP BY 1),
+         |d AS (SELECT f.*, (f.doc_id = r.rid) AS dd_ok
+         |      FROM f LEFT JOIN reps r ON md5(f.text) = r.th),
+         |b8 AS (SELECT DISTINCT ngram AS g FROM (${TextFixtures.benchmarkNgramsSql}) bn),
+         |sh8 AS (SELECT DISTINCT doc_id,
+         |          unnest([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)]) AS g
+         |        FROM bw),
+         |h8 AS (SELECT doc_id, count(*) AS c FROM sh8 JOIN b8 USING (g) GROUP BY 1),
+         |lab AS (SELECT d.doc_id,
+         |          CASE WHEN NOT lang_ok THEN '1_lang'
+         |               WHEN NOT q_ok THEN '2_quality'
+         |               WHEN NOT r_ok THEN '3_repetition'
+         |               WHEN NOT dd_ok THEN '4_exact_dup'
+         |               WHEN coalesce(h8.c, 0) > 0 THEN '5_contaminated'
+         |               ELSE '6_kept' END AS stage
+         |        FROM d LEFT JOIN h8 USING (doc_id))
+         |SELECT stage, count(*) AS n_docs FROM lab GROUP BY 1 ORDER BY stage""".stripMargin
+    }
+  )
+}

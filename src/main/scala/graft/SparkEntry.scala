@@ -24,11 +24,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ EntryText.queries ++ EntryPages.queries ++
-      EntryPost.queries ++ EntryAlloc.queries
+      EntryPost.queries ++ EntryAlloc.queries ++ EntryPipeline.queries
 
   def oracleSql: Map[String, String] =
     baseOracles ++ EntryText.oracles ++ EntryPages.oracles ++
-      EntryPost.oracles ++ EntryAlloc.oracles
+      EntryPost.oracles ++ EntryAlloc.oracles ++ EntryPipeline.oracles
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scan/agg sanity (classic TPC-H-style shape)

@@ -46,6 +46,68 @@ object TextFixtures {
     """SELECT vec_id, embedding FROM embeddings
       |UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
+  /** documents with engineered multi-paragraph text: every even doc gains a
+    * shared "subscribe" boilerplate paragraph, every third doc a shared
+    * "rights" footer — so paragraph-level dedup has real cross-document
+    * repeats while each doc's own body stays unique. */
+  def paraCorpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\n\nsubscribe to the newsletter and share this page"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\n\nall rights reserved contact us terms of service"))
+            .otherwise(lit(""))).as("text"))
+
+  // NB: no continuation line may START with '||' — these strings are
+  // re-embedded inside outer stripMargin oracle blocks (SparkEntry
+  // discipline), which would strip the first pipe of a leading '||'.
+  val paraCorpusSql: String =
+    """SELECT doc_id, text ||
+      |  (CASE WHEN doc_id % 2 = 0
+      |      THEN chr(10)||chr(10)||'subscribe to the newsletter and share this page'
+      |      ELSE '' END) ||
+      |  (CASE WHEN doc_id % 3 = 0
+      |      THEN chr(10)||chr(10)||'all rights reserved contact us terms of service'
+      |      ELSE '' END) AS text
+      |FROM documents""".stripMargin
+
+  /** Benchmark n-gram set for decontamination: every 25th doc contributes
+    * its first 8 tokens as one "eval set" n-gram (every doc has ≥ 10
+    * tokens, so the window always exists). */
+  def benchmarkNgrams(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 25 === 0)
+      .select(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("ngram"))
+
+  val benchmarkNgramsSql: String =
+    """SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS ngram
+      |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
+  /** Synthetic URL per doc with the classic canonicalization noise: upper
+    * case scheme/host, explicit default port, tracking params, fragment.
+    * Path uses doc_id % 50 so distinct raw URLs collapse to shared
+    * canonical forms. */
+  def urlCorpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+          lit(".COM:443/p/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=feed&id="), (col("doc_id") % 4).cast("string")))
+            .otherwise(concat(lit("?ref="), (col("doc_id") % 13).cast("string"))),
+          lit("#s"), (col("doc_id") % 5).cast("string")).as("url"))
+
+  val urlCorpusSql: String =
+    """SELECT doc_id, 'HTTPS://WWW.Example' || (doc_id % 7) ||
+      |  '.COM:443/p/' || (doc_id % 50) ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || (doc_id % 4)
+      |      ELSE '?ref=' || (doc_id % 13) END) ||
+      |  '#s' || (doc_id % 5) AS url
+      |FROM documents""".stripMargin
+
   /** Ordered language-ID profiles drawn from the documents vocabulary so
     * the argmax is non-degenerate on this corpus. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

@@ -1,0 +1,252 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond pair-level dedup: paragraph-level
+  * dedup, benchmark decontamination, sequence packing, URL canonicalization,
+  * and repetition-based quality signals (the C4/Gopher/CCNet-style cleaning
+  * steps a pretraining corpus actually goes through).
+  *
+  * Scale design notes per operator are on each method; the shared rules:
+  * document text never rides a shuffle (only hashes/ids/integers move), all
+  * per-doc work is codegen'd column expressions (no Python, no RDDs), and
+  * every ratio is derived from integer counts so results are bit-identical
+  * across engines and cluster sizes.
+  */
+object PipelineOps {
+
+  // ------------------------------------------------------- paragraph dedup
+
+  /** Paragraph-level exact dedup (the "remove boilerplate repeated across
+    * pages" pass): split each doc on `sepRegex`, hash each paragraph, and
+    * keep only the globally-first occurrence of each distinct paragraph —
+    * "first" = min (doc id, paragraph index), deterministic under any
+    * partitioning.
+    *
+    * Returns one row per paragraph: (id, idx, ph, keep).
+    *
+    * Scale: the only shuffle is the groupBy on the 128-bit paragraph hash,
+    * carrying (ph, id, idx) — paragraph TEXT is hashed map-side and never
+    * moves. Output joins back on ph with the same key, so AQE coalesces the
+    * two exchanges into one stage. At 10^12 paragraphs this is the same
+    * plan shape as exact doc dedup (TextOps.exactDedupGroups). */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sepRegex: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("idx", "para")))
+      .select(col("id"), col("idx"), md5(col("para")).as("ph"))
+    val reps = paras.groupBy("ph")
+      .agg(min(struct(col("id"), col("idx"))).as("__rep"))
+    paras.join(reps, "ph")
+      .withColumn("keep", struct(col("id"), col("idx")) === col("__rep"))
+      .select("id", "idx", "ph", "keep")
+  }
+
+  /** Per-doc paragraph-dedup stats: (id, n_paras, n_kept). */
+  def paragraphDedupStats(df: DataFrame, idCol: String, textCol: String,
+                          sepRegex: String = "\n\n"): DataFrame =
+    paragraphDedup(df, idCol, textCol, sepRegex)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+
+  /** Reconstruct each doc's text with dropped paragraphs removed (empty
+    * string when every paragraph was a repeat). Paragraph text re-joins the
+    * keep decisions on (id, idx) — the wide text column stays out of the
+    * hash aggregation above. */
+  def dedupParagraphText(df: DataFrame, idCol: String, textCol: String,
+                         sepRegex: String = "\n\n", sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), sepRegex)).as(Seq("idx", "para")))
+    val kept = paragraphDedup(df, idCol, textCol, sepRegex)
+      .where(col("keep")).select("id", "idx")
+    paras.join(kept, Seq("id", "idx"))
+      .groupBy("id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+        p => p.getField("para")), sep).as("text"))
+  }
+
+  // -------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag every document sharing at least one
+    * word n-gram with the benchmark set (the standard "n-gram collision"
+    * test-set-leakage check). `benchmark` carries one distinct n-gram per
+    * row in column `ngram`.
+    *
+    * Returns (id, n_hits = distinct benchmark n-grams present, contaminated).
+    *
+    * Scale: the benchmark side is a dimension (thousands of eval documents)
+    * and is explicitly broadcast — the corpus side explodes its distinct
+    * n-grams map-side and the join is shuffle-free; the per-doc count is a
+    * partial-aggregated groupBy on (id). The corpus text itself never
+    * shuffles. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(TextOps.shingleUdf(n)(col(textCol))).as("g"))
+    val hits = grams
+      .join(broadcast(benchmark.select(col("ngram").as("g")).distinct()), "g")
+      .groupBy("id").agg(count(lit(1)).as("__h"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__h"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  // ------------------------------------------------------- sequence packing
+
+  /** GPT-style sequence packing: concatenate documents in `idCol` order and
+    * chop the token stream into fixed `seqLen`-token training sequences
+    * (documents may span a boundary). Adds per-doc columns
+    * (tok_start, seq_first, seq_last, n_seqs) — all exact integer math.
+    *
+    * Scale: packing is inherently a prefix sum over an order. Global order
+    * (shardCol = None) needs a range exchange + running sum — correct for
+    * one shard's worth of data. At 100 TB, pass a `shardCol`: packing then
+    * runs independently per shard (the real pipelines pack per input shard
+    * anyway), the window is partition-local, and no global sort exists in
+    * the plan. */
+  def packSequences(df: DataFrame, idCol: String, tokCol: String,
+                    seqLen: Int, shardCol: Option[String] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
+    val base = shardCol.map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
+    val w = base.orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tok_start",
+        coalesce(sum(col(tokCol).cast("long")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"tok_start div $seqLen"))
+      .withColumn("seq_last",
+        expr(s"(tok_start + ${tokCol} - 1) div $seqLen"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+
+  // ---------------------------------------------------- URL canonicalization
+
+  /** Canonicalize a URL for dedup (the CCNet/C4-style normalization):
+    * lowercase scheme+host, strip a default :80/:443 port, drop the
+    * fragment, drop tracking parameters (utm_*, ref) keeping the rest in
+    * order, and clean dangling '?'/'&'. Pure codegen'd string expressions —
+    * no UDF, no shuffle; patterns restricted to RE2-compatible syntax so
+    * external engines normalize identically. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val shRaw = regexp_extract(noFrag, "^([a-zA-Z]+://[^/]*)", 1)
+    val sh = regexp_replace(lower(shRaw), ":(80|443)$", "")
+    val rest = noFrag.substr(length(shRaw) + 1, lit(1000000))
+    val noTrack = regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*&?", "")
+    concat(sh, regexp_replace(noTrack, "[?&]+$", ""))
+  }
+
+  /** Registered-domain extraction (host minus a leading www.). */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z]+://([^/:]*)", 1)), "^www\\.", "")
+
+  // --------------------------------------------------- composite clean pass
+
+  /** End-to-end C4-style corpus cleaning with first-fail attribution: each
+    * document is labeled with the FIRST stage that rejects it (sequential
+    * semantics — later stages only see survivors), or `6_kept`:
+    *
+    *   1_lang          language-ID != keepLang
+    *   2_quality       composite quality score < minQuality
+    *   3_repetition    duplicate-bigram fraction > maxDupFrac
+    *   4_exact_dup     not the min-id representative of its exact-text
+    *                   group AMONG stage-3 survivors
+    *   5_contaminated  shares an n-gram with the benchmark set
+    *
+    * Returns one row per doc: (id, stage). `stage` prefixes order
+    * lexicographically so audits sort correctly.
+    *
+    * Scale: stages 1-3 are narrow codegen'd maps over the text column; the
+    * dedup stage shuffles only (md5, id); decontamination broadcasts the
+    * benchmark. One wide exchange total (the dedup groupBy) — the audit
+    * aggregation downstream is counts over a string key. */
+  def cleanCorpusStages(docs: DataFrame, idCol: String, textCol: String,
+                        benchmark: DataFrame,
+                        langProfiles: Seq[(String, Seq[String])],
+                        stopwords: Seq[String],
+                        keepLang: String, minQuality: Double,
+                        maxDupFrac: Double, n: Int): DataFrame = {
+    val rep = repetitionSignals(docs, idCol, textCol)
+      .select(col("id"), col("dup_bigram_frac"))
+    val flagged = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__lang_ok",
+        TextOps.langId(col("__text"), langProfiles) === keepLang)
+      .withColumn("__quality_ok",
+        TextOps.qualityScore(col("__text"), length(col("__text")), stopwords)
+          >= minQuality)
+      .join(rep, "id")
+      .withColumn("__rep_ok", col("dup_bigram_frac") <= maxDupFrac)
+    val survivors3 = flagged
+      .where(col("__lang_ok") && col("__quality_ok") && col("__rep_ok"))
+    val reps = survivors3
+      .select(md5(col("__text")).as("__th"), col("id"))
+      .groupBy("__th").agg(min("id").as("__rep_id"))
+    val withDedup = flagged
+      .withColumn("__th", md5(col("__text")))
+      .join(reps, Seq("__th"), "left")
+      .withColumn("__dedup_ok", col("id") === col("__rep_id"))
+    val decon = decontaminate(docs, idCol, textCol, benchmark, n)
+      .select(col("id"), (col("n_hits") === 0).as("__decon_ok"))
+    withDedup.join(decon, "id")
+      .select(col("id"),
+        when(!col("__lang_ok"), "1_lang")
+          .when(!col("__quality_ok"), "2_quality")
+          .when(!col("__rep_ok"), "3_repetition")
+          .when(!col("__dedup_ok"), "4_exact_dup")
+          .when(!col("__decon_ok"), "5_contaminated")
+          .otherwise("6_kept").as("stage"))
+  }
+
+  /** Audit table for `cleanCorpusStages`: (stage, n_docs). */
+  def cleanCorpusAudit(docs: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame,
+                       langProfiles: Seq[(String, Seq[String])],
+                       stopwords: Seq[String],
+                       keepLang: String, minQuality: Double,
+                       maxDupFrac: Double, n: Int): DataFrame =
+    cleanCorpusStages(docs, idCol, textCol, benchmark, langProfiles,
+      stopwords, keepLang, minQuality, maxDupFrac, n)
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+
+  // ------------------------------------------------------ repetition signals
+
+  /** Gopher-style repetition quality signals over word bigrams, computed
+    * entirely doc-locally (zero shuffle — the counts come from higher-order
+    * array functions inside whole-stage codegen, not from an explode +
+    * groupBy that would shuffle text fragments):
+    *
+    *   n_bigrams           total bigram occurrences (= tokens - 1)
+    *   n_distinct_bigrams  distinct bigrams
+    *   top_bigram_cnt      occurrences of the most frequent bigram
+    *   dup_bigram_frac     (n - distinct) / n  — "how much is repeated"
+    *   top_bigram_frac     top / n             — "how dominated by one phrase"
+    *
+    * Fractions are single divisions of exact integers → bit-identical
+    * everywhere. Per-doc cost is O(distinct × n) — bounded by doc length,
+    * the standard trade for keeping the hot path shuffle-free. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val bigrams = when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+    df.select(col(idCol).as("id"), bigrams.as("__b"))
+      .select(col("id"),
+        size(col("__b")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("__b"))).cast("long").as("n_distinct_bigrams"),
+        coalesce(array_max(transform(array_distinct(col("__b")),
+            d => size(filter(col("__b"), x => x === d)))), lit(0))
+          .cast("long").as("top_bigram_cnt"))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise((col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
+            / col("n_bigrams").cast("double")))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("top_bigram_cnt").cast("double")
+            / col("n_bigrams").cast("double")))
+  }
+}

@@ -1,0 +1,216 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .appName("pipeline-ops-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------- paragraph dedup
+
+  test("paragraphDedup keeps the globally-first (id, idx) per distinct paragraph") {
+    val df = docs(
+      1L -> "alpha\n\nshared",
+      2L -> "shared\n\nbeta",
+      3L -> "shared\n\nshared")
+    val out = PipelineOps.paragraphDedup(df, "doc_id", "text")
+      .orderBy("id", "idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3)))
+    // "shared" first occurs at (1, 1); every later occurrence drops
+    assert(out.toSeq === Seq(
+      (1L, 0, true), (1L, 1, true),
+      (2L, 0, false), (2L, 1, true),
+      (3L, 0, false), (3L, 1, false)))
+  }
+
+  test("paragraphDedupStats counts per doc") {
+    val df = docs(1L -> "a\n\nb", 2L -> "a\n\na\n\nc")
+    val out = PipelineOps.paragraphDedupStats(df, "doc_id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 3L, 1L)))
+  }
+
+  test("dedupParagraphText reconstructs cleaned text in paragraph order") {
+    val df = docs(1L -> "keep one\n\nboiler", 2L -> "boiler\n\nkeep two")
+    val out = PipelineOps.dedupParagraphText(df, "doc_id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      (1L, "keep one\n\nboiler"), // first occurrence of both
+      (2L, "keep two")))          // boiler dropped, order preserved
+  }
+
+  // -------------------------------------------------------- decontamination
+
+  test("decontaminate counts distinct benchmark n-gram hits, zero for clean docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = docs(
+      1L -> "the quick brown fox jumps",
+      2L -> "totally clean document here now",
+      3L -> "quick brown fox seen twice quick brown fox again")
+    val bench = Seq("quick brown fox", "seen twice quick").toDF("ngram")
+    val out = PipelineOps.decontaminate(corpus, "doc_id", "text", bench, n = 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((1L, 1L, true), (2L, 0L, false), (3L, 2L, true)))
+  }
+
+  test("decontaminate broadcasts the benchmark side") {
+    val s = spark
+    import s.implicits._
+    val corpus = docs(1L -> "a b c d")
+    val bench = Seq("a b c").toDF("ngram")
+    val plan = PipelineOps.decontaminate(corpus, "doc_id", "text", bench, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark join should broadcast:\n$plan")
+  }
+
+  // ------------------------------------------------------- sequence packing
+
+  test("packSequences: concat-and-chop boundaries, docs span sequences") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("doc_id", "n_tokens")
+    val out = PipelineOps.packSequences(df, "doc_id", "n_tokens", seqLen = 256)
+      .orderBy("doc_id")
+      .select("doc_id", "tok_start", "seq_first", "seq_last", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 0L, 1L),     // tokens 0-99 in seq 0
+      (2L, 100L, 0L, 1L, 2L),   // tokens 100-299 span seqs 0-1
+      (3L, 300L, 1L, 2L, 2L)))  // tokens 300-599 span seqs 1-2
+  }
+
+  test("packSequences with shardCol packs per shard independently") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 300L), (2L, "a", 100L), (1L, "b", 50L), (2L, "b", 300L))
+      .toDF("doc_id", "shard", "n_tokens")
+    val out = PipelineOps.packSequences(df, "doc_id", "n_tokens",
+        seqLen = 256, shardCol = Some("shard"))
+      .orderBy("shard", "doc_id")
+      .select("shard", "doc_id", "tok_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("a", 1L, 0L), ("a", 2L, 300L),
+      ("b", 1L, 0L), ("b", 2L, 50L)))
+  }
+
+  // ---------------------------------------------------- URL canonicalization
+
+  test("canonicalizeUrl: case, default port, fragment, tracking params") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // tracking-only query collapses entirely, default port stripped
+      "HTTPS://WWW.Site.COM:443/A/B?utm_source=x&ref=1#frag" ->
+        "https://www.site.com/A/B",
+      // non-tracking params survive in order
+      "http://Host.org:80/p?a=1&utm_medium=m&b=2" ->
+        "http://host.org/p?a=1&b=2",
+      // tracking param last leaves no dangling separator
+      "https://x.io/p?id=4&ref=9" -> "https://x.io/p?id=4",
+      // nothing to do
+      "https://y.dev/clean" -> "https://y.dev/clean",
+      // non-default port kept
+      "https://z.net:8443/p" -> "https://z.net:8443/p")
+    val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val out = df.select(col("id"), PipelineOps.canonicalizeUrl(col("url")).as("c"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out.toSeq === cases.map(_._2))
+  }
+
+  test("urlDomain lowercases and strips www") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "HTTPS://WWW.Example3.COM:443/p"),
+                 (2L, "http://plain.org/x")).toDF("id", "url")
+    val out = df.select(PipelineOps.urlDomain(col("url")))
+      .orderBy("id").collect().map(_.getString(0))
+    assert(out.toSeq === Seq("example3.com", "plain.org"))
+  }
+
+  // ------------------------------------------------------ repetition signals
+
+  test("repetitionSignals: exact integer counts and fractions") {
+    val df = docs(
+      1L -> "a b a b a",      // bigrams: ab,ba,ab,ba -> 4 total, 2 distinct, top 2
+      2L -> "x y z w",        // 3 distinct bigrams, no repeats
+      3L -> "solo")           // no bigrams
+    val out = PipelineOps.repetitionSignals(df, "doc_id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out(0) === ((1L, 4L, 2L, 2L, 0.5, 0.5)))
+    assert(out(1) === ((2L, 3L, 3L, 1L, 0.0, 1.0 / 3.0)))
+    assert(out(2) === ((3L, 0L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  // --------------------------------------------------- composite clean pass
+
+  test("cleanCorpusStages: first-fail attribution, dedup sees only survivors") {
+    val s = spark
+    import s.implicits._
+    // profiles: "en" wins when 'the' dominates, else "xx"
+    val profiles = Seq("en" -> Seq("the"), "xx" -> Seq("zz"))
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over it",   // kept
+      2L -> "zz zz yy zz yy zz yy yy zz yy",       // fails lang AND repetition → labeled 1_lang
+      3L -> "the quick brown fox jumps over it",   // exact dup of 1 → 4_exact_dup
+      4L -> "the the the the the the the the")     // repetition fail
+    val bench = Seq("no match here").toDF("ngram")
+    val out = PipelineOps.cleanCorpusStages(corpus, "doc_id", "text", bench,
+        profiles, Seq("the"), keepLang = "en", minQuality = 0.0,
+        maxDupFrac = 0.5, n = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      (1L, "6_kept"), (2L, "1_lang"), (3L, "4_exact_dup"), (4L, "3_repetition")))
+  }
+
+  test("cleanCorpusStages: a dup whose survivor-representative was filtered is kept") {
+    val s = spark
+    import s.implicits._
+    val profiles = Seq("en" -> Seq("the"), "xx" -> Seq("zz"))
+    // doc 1 and doc 5 share text BUT doc 1 fails repetition (dup bigrams);
+    // doc 5 must then become its group's representative and be kept — the
+    // dedup stage must run over survivors, not the raw corpus
+    val rep = "the the the the the the"
+    val corpus = docs(1L -> rep, 5L -> "the quick fox", 6L -> "the quick fox")
+    val bench = Seq("no match here").toDF("ngram")
+    val out = PipelineOps.cleanCorpusStages(corpus, "doc_id", "text", bench,
+        profiles, Seq("the"), keepLang = "en", minQuality = 0.0,
+        maxDupFrac = 0.3, n = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      (1L, "3_repetition"), (5L, "6_kept"), (6L, "4_exact_dup")))
+  }
+
+  test("repetitionSignals plan is shuffle-free (doc-local)") {
+    val df = docs(1L -> "a b c")
+    val plan = PipelineOps.repetitionSignals(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
+}
