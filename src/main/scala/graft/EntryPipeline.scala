@@ -69,7 +69,25 @@ object EntryPipeline {
           TextFixtures.benchmarkNgrams(s, dir),
           TextFixtures.langProfiles, TextFixtures.qualityStopwords,
           keepLang = "en", minQuality = 0.48, maxDupFrac = 0.06, n = 8)
-        .orderBy("stage"))
+        .orderBy("stage")),
+
+    // PII scrub: count + redact emails/phones/IPv4s (narrow codegen map)
+    "q64_pii_redact" -> ((s, dir) =>
+      PipelineOps.redactPii(TextFixtures.piiCorpus(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), substring(md5(col("redacted")), 1, 16).as("red_fp"))
+        .orderBy("doc_id")),
+
+    // deterministic stratified sampling: per-source mixture rates
+    "q65_data_mix" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val rate = (substring(col("source"), 4, 10).cast("long") % 3 + 1) * 10
+      PipelineOps.deterministicSample(d, "doc_id", rate)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("source")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -196,6 +214,30 @@ object EntryPipeline {
          |               ELSE '6_kept' END AS stage
          |        FROM d LEFT JOIN h8 USING (doc_id))
          |SELECT stage, count(*) AS n_docs FROM lab GROUP BY 1 ORDER BY stage""".stripMargin
-    }
+    },
+
+    "q64_pii_redact" ->
+      s"""WITH corpus AS (${TextFixtures.piiCorpusSql})
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+         |  substr(md5(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text,
+         |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+         |      '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')), 1, 16) AS red_fp
+         |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "q65_data_mix" ->
+      """WITH r AS (SELECT doc_id, source,
+        |        (CAST(substr(source, 4) AS BIGINT) % 3 + 1) * 10 AS rate
+        |      FROM documents)
+        |SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN (doc_id * 131 + 7) % 100 < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

@@ -108,6 +108,41 @@ object TextFixtures {
       |  '#s' || (doc_id % 5) AS url
       |FROM documents""".stripMargin
 
+  /** documents with deterministic PII appended: every 4th doc an email,
+    * every 5th a phone, every 7th an IPv4 — overlapping moduli give docs
+    * with multiple PII kinds. */
+  def piiCorpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example"), (col("doc_id") % 3).cast("string"), lit(".com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), (col("doc_id") % 100).cast("string")))
+            .otherwise(lit(""))).as("text"))
+
+  val piiCorpusSql: String =
+    """SELECT doc_id, text ||
+      |  (CASE WHEN doc_id % 4 = 0
+      |      THEN ' contact user' || doc_id || '@example' || (doc_id % 3) || '.com'
+      |      ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 = 0
+      |      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      |           '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 0
+      |      THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+      |      ELSE '' END) AS text
+      |FROM documents""".stripMargin
+
   /** Ordered language-ID profiles drawn from the documents vocabulary so
     * the argmax is non-degenerate on this corpus. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

@@ -144,6 +144,49 @@ object PipelineOps {
     regexp_replace(
       lower(regexp_extract(url, "^[a-zA-Z]+://([^/:]*)", 1)), "^www\\.", "")
 
+  // ---------------------------------------------------------- PII redaction
+
+  /** RE2-compatible PII patterns (no lookarounds — identical semantics in
+    * Java regex and RE2-based engines). Deliberately simple canonical
+    * forms; real deployments extend the list, the plan shape is the point. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrub: count and redact emails / phone numbers / IPv4 addresses.
+    * Returns (id, n_emails, n_phones, n_ips, redacted). Counts are taken
+    * BEFORE redaction; replacements run email → phone → ip (disjoint
+    * patterns, so order only matters for nested text).
+    *
+    * Scale: a narrow codegen'd map — regexp count + replace per row, no
+    * UDF, no shuffle; rides the page scan like the quality signals. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("redacted"))
+
+  // ----------------------------------------------------- data-mix sampling
+
+  /** Deterministic stratified sampling for data-mixture construction: a doc
+    * is selected iff `(id·131 + 7) mod 100 < rate` where `rate` is the
+    * stratum's percentage (0-100). Pure integer arithmetic on the id —
+    * reproducible across engines, partitionings, and cluster sizes (the
+    * property random() samplers lack), and cheap enough to ride any scan.
+    * The multiplier decorrelates the selection from id-sequential layouts;
+    * ids up to ~7·10^16 stay clear of Long overflow. */
+  def deterministicSample(df: DataFrame, idCol: String, rateCol: Column): DataFrame =
+    df.withColumn("sampled",
+      (col(idCol) * 131L + 7L) % 100L < rateCol)
+
   // --------------------------------------------------- composite clean pass
 
   /** End-to-end C4-style corpus cleaning with first-fail attribution: each

@@ -168,6 +168,48 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2) === ((3L, 0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  // ---------------------------------------------------------- PII redaction
+
+  test("redactPii counts and redacts emails, phones, IPv4s") {
+    val df = docs(
+      1L -> "write bob.smith+x@mail-host.org or sue@a.io today",
+      2L -> "call 555-123-4567 or 555-000-1111 from 10.0.3.44",
+      3L -> "nothing sensitive here")
+    val out = PipelineOps.redactPii(df, "doc_id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out(0) === ((1L, 2L, 0L, 0L, "write <EMAIL> or <EMAIL> today")))
+    assert(out(1) === ((2L, 0L, 2L, 1L, "call <PHONE> or <PHONE> from <IP>")))
+    assert(out(2) === ((3L, 0L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("redactPii plan is shuffle-free") {
+    val df = docs(1L -> "a@b.co")
+    val plan = PipelineOps.redactPii(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
+
+  // ----------------------------------------------------- data-mix sampling
+
+  test("deterministicSample is reproducible and rate-respecting") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) 10L else 90L))
+      .toDF("doc_id", "rate")
+    val out = PipelineOps.deterministicSample(df, "doc_id", col("rate"))
+    val again = PipelineOps.deterministicSample(
+        df.repartition(7), "doc_id", col("rate"))
+      .orderBy("doc_id").select("sampled").collect().map(_.getBoolean(0))
+    val first = out.orderBy("doc_id").select("sampled").collect().map(_.getBoolean(0))
+    assert(first.toSeq === again.toSeq) // partitioning-independent
+    val lowRate = out.where(col("rate") === 10 && col("sampled")).count()
+    val highRate = out.where(col("rate") === 90 && col("sampled")).count()
+    // (id*131+7) mod 100 is near-uniform over 500 ids per stratum
+    assert(lowRate > 20 && lowRate < 80, s"10% stratum selected $lowRate of 500")
+    assert(highRate > 420 && highRate < 480, s"90% stratum selected $highRate of 500")
+  }
+
   // --------------------------------------------------- composite clean pass
 
   test("cleanCorpusStages: first-fail attribution, dedup sees only survivors") {
