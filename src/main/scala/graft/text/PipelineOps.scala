@@ -95,6 +95,19 @@ object PipelineOps {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Narrow decontamination variant for streams and small benchmark sets:
+    * the n-gram set rides the closure as a literal array and the check is
+    * one `arrays_overlap` per row — zero shuffle, zero aggregation, so it
+    * runs unchanged in append-mode Structured Streaming (the broadcast-join
+    * variant's per-doc hit COUNT needs an aggregation and thus
+    * update/complete mode). Use `decontaminate` when the benchmark is too
+    * big for a closure literal or exact hit counts are needed. */
+  def decontaminateNarrow(docs: DataFrame, idCol: String, textCol: String,
+                          benchmark: Seq[String], n: Int): DataFrame =
+    docs.withColumn("contaminated",
+      arrays_overlap(TextOps.shingleUdf(n)(col(textCol)),
+        typedLit(benchmark.distinct)))
+
   // ------------------------------------------------------- sequence packing
 
   /** GPT-style sequence packing: concatenate documents in `idCol` order and
@@ -154,25 +167,30 @@ object PipelineOps {
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   /** PII scrub: count and redact emails / phone numbers / IPv4 addresses.
-    * Returns (id, n_emails, n_phones, n_ips, redacted). Counts are taken
+    * Adds (n_emails, n_phones, n_ips, redacted), renames `idCol` to `id`,
+    * drops the raw text, and PRESERVES any other input columns (so it
+    * composes with upstream gates in one narrow map). Counts are taken
     * BEFORE redaction; replacements run email → phone → ip (disjoint
     * patterns, so order only matters for nested text).
     *
     * Scale: a narrow codegen'd map — regexp count + replace per row, no
-    * UDF, no shuffle; rides the page scan like the quality signals. */
+    * UDF, no shuffle, no aggregation — runs unchanged in append-mode
+    * streams (CleanStreamSpec). */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
-          .cast("long").as("n_phones"),
-        size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0)))
-          .cast("long").as("n_ips"),
+    df.withColumnRenamed(idCol, "id")
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("redacted",
         regexp_replace(
           regexp_replace(
             regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
             PhoneRe, "<PHONE>"),
-          Ipv4Re, "<IP>").as("redacted"))
+          Ipv4Re, "<IP>"))
+      .drop(textCol)
 
   // ----------------------------------------------------- data-mix sampling
 

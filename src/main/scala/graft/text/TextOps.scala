@@ -327,30 +327,103 @@ object TextOps {
     *
     * Wide plan: docs → (sig, shingle-set hash array) map-side; bucket join
     * on band key; dedup pairs; verify by joining the two shingle arrays.
-    * Only candidate pairs ever pay the verification cost. */
+    * Only candidate pairs ever pay the verification cost.
+    *
+    * Skew hardening for web scale:
+    *
+    *   - `preDedupExact` (default true): EXACT duplicates are the dominant
+    *     LSH hot-bucket cause at crawl scale (boilerplate pages repeated
+    *     10^5-10^6×, identical signatures → every band collides → the
+    *     self-join goes quadratic in the duplicate count). Identical texts
+    *     collapse to their min-id representative BEFORE banding —
+    *     signatures are computed once per distinct text, the bucket join
+    *     runs over representatives, and member pairs expand back
+    *     afterwards (intra-group pairs at jac = 1.0 exactly, cross-group
+    *     pairs inherit the verified rep-pair jac). Output is IDENTICAL to
+    *     the naive path (identical texts have identical sig/shs, so the
+    *     rep candidate set equals the member candidate set collapsed).
+    *   - `maxBucketSize`: optional fail-fast contract on the residual
+    *     near-identical skew (10^5 docs differing by one token still
+    *     collide on most bands). When set, the worst band bucket is
+    *     counted before the self-join and the operator throws with a
+    *     diagnostic instead of silently attempting a quadratic join. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64,
-                      bands: Int = 16, tau: Double = 0.8): DataFrame = {
+                      bands: Int = 16, tau: Double = 0.8,
+                      preDedupExact: Boolean = true,
+                      maxBucketSize: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val prepared = df.select(col(idCol).as("id"),
-        minhashSigUdf(n, numHashes)(col(textCol)).as("sig"),
-        TextHash.shingleHashSetUdf(n)(col(textCol)).as("shs"))
-      .where(size(col("shs")) > 0)
-      .transform(graft.spark.PersistTracker.persist)
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+
+    // (rep-id keyed) doc set the banding runs over + member expansion map
+    val (prepared, memberMap) =
+      if (!preDedupExact) {
+        (base.select(col("id"),
+            minhashSigUdf(n, numHashes)(col("__text")).as("sig"),
+            TextHash.shingleHashSetUdf(n)(col("__text")).as("shs"))
+          .where(size(col("shs")) > 0)
+          .transform(graft.spark.PersistTracker.persist), None)
+      } else {
+        // signatures once per DISTINCT text; the only payload shuffled to
+        // collapse groups is (md5, sig, shs) — the same arrays the verify
+        // joins move anyway, divided by the duplicate multiplicity
+        val reps = base.select(md5(col("__text")).as("__th"), col("id"),
+            minhashSigUdf(n, numHashes)(col("__text")).as("sig"),
+            TextHash.shingleHashSetUdf(n)(col("__text")).as("shs"))
+          .where(size(col("shs")) > 0)
+          .groupBy("__th")
+          .agg(min("id").as("id"), first("sig").as("sig"), first("shs").as("shs"))
+          .transform(graft.spark.PersistTracker.persist)
+        // (rep, member) pairs: md5 recomputed map-side on a second narrow
+        // pass (cheaper than persisting text); only (hash, id) longs shuffle
+        val thin = base.select(md5(col("__text")).as("__th"), col("id"))
+        val members = thin
+          .join(reps.select(col("__th"), col("id").as("rep")), "__th")
+          .select(col("rep"), col("id").as("member"))
+          .transform(graft.spark.PersistTracker.persist)
+        (reps.drop("__th"), Some(members))
+      }
+
     val bandsDf = prepared.select(col("id"),
         explode(bandKeysUdf(bands, rows)(col("sig"))).as("band_key"))
+    maxBucketSize.foreach { cap =>
+      // guarded driver action (tiny aggregate) — the fail-fast contract
+      val worst = bandsDf.groupBy("band_key").agg(count(lit(1)).as("__c"))
+        .agg(max("__c")).collect()(0).getLong(0)
+      require(worst <= cap,
+        s"LSH band bucket of size $worst exceeds maxBucketSize=$cap — the " +
+          "candidate self-join would be quadratic in that bucket; raise " +
+          "bands/rows, tighten shingling, or pre-filter the boilerplate")
+    }
     val cands = bandsDf.as("a").join(bandsDf.as("b"), Seq("band_key"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val withSets = cands
+    val repPairs = cands
       .join(prepared.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(prepared.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
-    withSets
       .withColumn("jac", TextHash.jaccardUdf(col("shs_a"), col("shs_b")))
       .where(col("jac") >= tau)
       .select("id_a", "id_b", "jac")
+
+    memberMap match {
+      case None => repPairs
+      case Some(members) =>
+        // cross-group pairs inherit the rep jac (identical texts ⇒ identical
+        // shingle sets); intra-group pairs are exact duplicates at jac = 1.0
+        // (jaccard(s, s) = |s|/|s| exactly)
+        val cross = repPairs
+          .join(members.select(col("rep").as("id_a"), col("member").as("__ma")), "id_a")
+          .join(members.select(col("rep").as("id_b"), col("member").as("__mb")), "id_b")
+          .select(least(col("__ma"), col("__mb")).as("id_a"),
+            greatest(col("__ma"), col("__mb")).as("id_b"), col("jac"))
+        val intra = members.as("x").join(members.as("y"), Seq("rep"))
+          .where(col("x.member") < col("y.member"))
+          .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
+            lit(1.0).as("jac"))
+        cross.unionByName(intra)
+    }
   }
 
   // ------------------------------------------------------------ SimHash

@@ -4,20 +4,28 @@ import org.apache.spark.sql.SparkSession
 import graft.fixtures.{Pages, TpchGeo}
 import graft.operators.Surrogate
 
-/** Dev tool: dump the physical plan of the flagship bench job to check
+/** Dev tool: dump the physical plan of the flagship bench job — or, with
+  * `--query <name> [sfDir]`, of any `SparkEntry.queries` entry — to check
   * pushdown/pruning/codegen (not part of the library surface). */
 object ExplainPlan {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/graft_bench_pages_r2000")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val plan = Surrogate.pointSurrogate(
-      Pages.geotag(spark.read.parquet(dir)),
-      TpchGeo.counties(spark),
-      TpchGeo.grid, TpchGeo.domain, TpchGeo.zres, 300, ordered = false)
-    plan.explain("formatted")
+    args.headOption match {
+      case Some("--query") =>
+        val name = args(1)
+        val dir = args.lift(2).getOrElse("/root/testdata/sf0.001")
+        graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+      case other =>
+        val dir = other.getOrElse("/tmp/graft_bench_pages_r2000")
+        Surrogate.pointSurrogate(
+          Pages.geotag(spark.read.parquet(dir)),
+          TpchGeo.counties(spark),
+          TpchGeo.grid, TpchGeo.domain, TpchGeo.zres, 300, ordered = false)
+          .explain("formatted")
+    }
     spark.stop()
   }
 }
