@@ -441,17 +441,38 @@ object TextOps {
     * brute-force hamming join is asserted in SimhashParitySpec. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxHamming: Int = 3,
-                   tables: Int = 4): DataFrame = {
+                   tables: Int = 4,
+                   preDedupExact: Boolean = true): DataFrame = {
     require(tables >= maxHamming + 1,
       s"tables ($tables) must be >= maxHamming+1 (${maxHamming + 1}) for complete recall")
-    val prepared = df.select(col(idCol).as("id"),
-      simhashUdf(n)(col(textCol)).as("sh"))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    // identical texts have identical fingerprints → every slice collides →
+    // the slice self-join is quadratic in the duplicate count. Same
+    // hardening as minHashLshPairs: fingerprint once per distinct text,
+    // join over representatives, expand members after (intra-group pairs
+    // are exact duplicates at hamming 0). Output proven identical in
+    // MinHashSkewSpec.
+    val (prepared, memberMap) =
+      if (!preDedupExact)
+        (base.select(col("id"), simhashUdf(n)(col("__text")).as("sh")), None)
+      else {
+        val reps = base.select(md5(col("__text")).as("__th"), col("id"),
+            simhashUdf(n)(col("__text")).as("sh"))
+          .groupBy("__th").agg(min("id").as("id"), first("sh").as("sh"))
+          .transform(graft.spark.PersistTracker.persist)
+        val thin = base.select(md5(col("__text")).as("__th"), col("id"))
+        val members = thin
+          .join(reps.select(col("__th"), col("id").as("rep")), "__th")
+          .select(col("rep"), col("id").as("member"))
+          .transform(graft.spark.PersistTracker.persist)
+        (reps.drop("__th"), Some(members))
+      }
     val sliceUdf = udf((h: Long) => TextHash.bitSlices(h, tables))
     val sliced = prepared.select(col("id"), col("sh"),
       explode(sliceUdf(col("sh"))).as("slice_key"))
     val hamming = udf((a: Long, b: Long) =>
       java.lang.Long.bitCount(a ^ b))
-    sliced.as("a").join(sliced.as("b"), Seq("slice_key"))
+    val repPairs = sliced.as("a").join(sliced.as("b"), Seq("slice_key"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
@@ -459,5 +480,19 @@ object TextOps {
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    memberMap match {
+      case None => repPairs
+      case Some(members) =>
+        val cross = repPairs
+          .join(members.select(col("rep").as("id_a"), col("member").as("__ma")), "id_a")
+          .join(members.select(col("rep").as("id_b"), col("member").as("__mb")), "id_b")
+          .select(least(col("__ma"), col("__mb")).as("id_a"),
+            greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+        val intra = members.as("x").join(members.as("y"), Seq("rep"))
+          .where(col("x.member") < col("y.member"))
+          .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
+            lit(0).as("hamming"))
+        cross.unionByName(intra)
+    }
   }
 }

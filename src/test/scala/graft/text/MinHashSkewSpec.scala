@@ -71,6 +71,19 @@ class MinHashSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((100L until 120L).forall(idsInPairs.contains))
   }
 
+  test("simhash pre-dedup path output equals the naive path exactly") {
+    val df = corpus()
+    def run(pre: Boolean) =
+      TextOps.simhashPairs(df, "doc_id", "text",
+          n = 3, maxHamming = 8, tables = 9, preDedupExact = pre)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val naive = run(false)
+    val deduped = run(true)
+    assert(deduped === naive)
+    assert(naive.count { case (a, b, h) => a >= 100 && b >= 100 && h == 0 } === 190)
+  }
+
   test("maxBucketSize fails fast with a diagnostic when a bucket is hot") {
     val df = corpus()
     val e = intercept[IllegalArgumentException] {
