@@ -78,6 +78,17 @@ object EntryPipeline {
           col("n_ips"), substring(md5(col("redacted")), 1, 16).as("red_fp"))
         .orderBy("doc_id")),
 
+    // multimodal frame sampling: one row per sampled video frame, batch
+    // fan-out via mapPartitions (stub codec, real plumbing)
+    "q66_frame_sample" -> ((s, dir) => {
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          encode(repeat(col("text"), 8), "UTF-8").as("media"))
+      graft.multimodal.MultimodalOps
+        .sampleVideoFrames(media, "doc_id", "media", stride = 2)
+        .orderBy("id", "frame_idx")
+    }),
+
     // deterministic stratified sampling: per-source mixture rates
     "q65_data_mix" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -231,6 +242,15 @@ object EntryPipeline {
          |        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
          |      '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')), 1, 16) AS red_fp
          |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "q66_frame_sample" ->
+      """WITH m AS (SELECT doc_id, repeat(text, 8) AS mt FROM documents),
+        |f AS (SELECT doc_id, mt,
+        |        unnest(range((length(mt) + 2047) // 2048)) AS frame_idx
+        |      FROM m)
+        |SELECT doc_id AS id, CAST(frame_idx AS INT) AS frame_idx,
+        |  substr(md5(substr(mt, frame_idx * 2048 + 1, 1024)), 1, 16) AS frame_hash
+        |FROM f ORDER BY id, frame_idx""".stripMargin,
 
     "q65_data_mix" ->
       """WITH r AS (SELECT doc_id, source,

@@ -279,17 +279,58 @@ object Similarity {
     * exact verification (the embedding-cosine near-dup dedup mode).
     * The candidate dedup shuffle carries (id_a, id_b) ONLY — embeddings
     * re-join for verification afterwards (same shape as minHashLshPairs;
-    * at 10^9 × 768-dim the id-only exchange is GBs instead of TBs). */
+    * at 10^9 × 768-dim the id-only exchange is GBs instead of TBs).
+    *
+    * Skew hardening (`preDedupExact`, default true): EXACT-duplicate
+    * vectors (re-crawled pages embed identically) collide in every LSH
+    * table, making the bucket self-join quadratic in the duplicate count.
+    * Identical embeddings collapse to their min-id representative — ONE
+    * linear group-by exchange of the corpus — before banding; candidate
+    * pairs expand back over the duplicate groups and then ALL go through
+    * the same exact cosine verification, so output values are
+    * bit-identical to the naive path (identical vectors ⇒ identical LSH
+    * keys ⇒ identical candidate coverage). */
   def embeddingNearDupPairs(df: DataFrame, tau: Double,
-                            tables: Int = 8, planes: Int = 10): DataFrame = {
+                            tables: Int = 8, planes: Int = 10,
+                            preDedupExact: Boolean = true): DataFrame = {
     val keys = lshKeysUdf(tables, planes)
     val vecs = df.select(col("vec_id"), col("embedding"))
-    val b = vecs.withColumn("__key", explode(keys(col("embedding"))))
-      .select("vec_id", "__key")
-    val candidates = b.as("a").join(b.as("b"), Seq("__key"))
-      .where(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates =
+      if (!preDedupExact) {
+        val b = vecs.withColumn("__key", explode(keys(col("embedding"))))
+          .select("vec_id", "__key")
+        b.as("a").join(b.as("b"), Seq("__key"))
+          .where(col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      } else {
+        // grouping on the array VALUE (not a hash of it) keeps the collapse
+        // collision-free; the duplicate id list rides as one array per
+        // distinct vector — linear, vs the quadratic bucket join it avoids
+        val groups = vecs.groupBy("embedding")
+          .agg(min("vec_id").as("rep"), collect_list("vec_id").as("__ms"))
+          .transform(graft.spark.PersistTracker.persist)
+        val b = groups
+          .select(col("rep").as("vec_id"), col("embedding"))
+          .withColumn("__key", explode(keys(col("embedding"))))
+          .select("vec_id", "__key")
+        val repPairs = b.as("a").join(b.as("b"), Seq("__key"))
+          .where(col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        val members = groups
+          .select(col("rep"), explode(col("__ms")).as("member"))
+          .transform(graft.spark.PersistTracker.persist)
+        val cross = repPairs
+          .join(members.select(col("rep").as("id_a"), col("member").as("__ma")), "id_a")
+          .join(members.select(col("rep").as("id_b"), col("member").as("__mb")), "id_b")
+          .select(least(col("__ma"), col("__mb")).as("id_a"),
+            greatest(col("__ma"), col("__mb")).as("id_b"))
+        val intra = members.as("x").join(members.as("y"), Seq("rep"))
+          .where(col("x.member") < col("y.member"))
+          .select(col("x.member").as("id_a"), col("y.member").as("id_b"))
+        cross.unionByName(intra)
+      }
     candidates
       .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
       .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")

@@ -79,6 +79,31 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** Video frame sampling via mapPartitions: one row per sampled frame —
+    * (id, frame_idx, frame_hash). The codec is the deterministic stub
+    * (every `stride`-th 1 KB block hashed); the Spark-side shape is the
+    * real one: per-partition codec init, one input row fanning out to
+    * variable-many frame rows without ever collecting the binary payload,
+    * frames ready for downstream embedding/dedup joins. */
+  def sampleVideoFrames(df: DataFrame, idCol: String, mediaCol: String,
+                        stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive (got $stride)")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_hash", StringType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        // per-partition codec init happens here (stubbed)
+        rows.flatMap { r =>
+          FakeCodec.sampleFrames(r.getAs[Array[Byte]]("media"), stride)
+            .zipWithIndex
+            .map { case (h, i) => Row(r.getLong(0), i, h) }
+        }
+      }(enc)
+  }
+
   /** Column-level stub feature extractor (for joins with Similarity ops). */
   val featureUdf = udf((bytes: Array[Byte]) => FakeCodec.features(bytes))
 

@@ -42,6 +42,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sampleVideoFrames fans out one row per frame, partition-independent") {
+    val in = media()
+    val out1 = MultimodalOps.sampleVideoFrames(in, "doc_id", "media", stride = 2)
+      .orderBy("id", "frame_idx").collect().map(_.toString).toSeq
+    val out7 = MultimodalOps.sampleVideoFrames(in.repartition(7), "doc_id", "media", stride = 2)
+      .orderBy("id", "frame_idx").collect().map(_.toString).toSeq
+    assert(out1 == out7 && out1.nonEmpty)
+    // frame counts follow the stride contract: ceil(len / (1024*stride))
+    val counts = MultimodalOps.sampleVideoFrames(in, "doc_id", "media", stride = 2)
+      .groupBy("id").count()
+      .join(in.select(col("doc_id").as("id"), length(col("media")).as("len")), "id")
+      .collect()
+    counts.foreach { r =>
+      val expected = math.max(1, math.ceil(r.getAs[Int]("len") / 2048.0).toInt)
+      assert(r.getAs[Long]("count") == expected)
+    }
+  }
+
   test("stub features are unit-scale and feed cosine similarity") {
     val feats = media()
       .withColumn("embedding", MultimodalOps.featureUdf(col("media")))

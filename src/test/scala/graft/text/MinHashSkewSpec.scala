@@ -84,6 +84,27 @@ class MinHashSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(naive.count { case (a, b, h) => a >= 100 && b >= 100 && h == 0 } === 190)
   }
 
+  test("embedding pre-dedup path output equals the naive path exactly") {
+    val s = spark
+    import s.implicits._
+    val base = Seq.tabulate(8)(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 17 + d).toFloat)))
+    // 15 exact copies of vector 0 (a hot LSH cluster) + a genuine near-dup
+    val near = (100L, base(0)._2.map(v => v * 1.000001f))
+    val dups = (200L until 215L).map(i => (i, base(0)._2))
+    val df = (base ++ Seq(near) ++ dups).toDF("vec_id", "embedding")
+    def run(pre: Boolean) =
+      graft.ml.Similarity.embeddingNearDupPairs(df, tau = 0.99,
+          preDedupExact = pre)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val naive = run(false)
+    val deduped = run(true)
+    assert(deduped === naive)
+    // the 16-member identical cluster (vec 0 + 15 copies) yields all pairs
+    assert(naive.count(_._3 == 1.0) >= 120)
+  }
+
   test("maxBucketSize fails fast with a diagnostic when a bucket is hot") {
     val df = corpus()
     val e = intercept[IllegalArgumentException] {
