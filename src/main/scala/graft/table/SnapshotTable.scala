@@ -123,6 +123,26 @@ class SnapshotTable(val root: String) {
     snap
   }
 
+  /** Small-file compaction: rewrite the CURRENT snapshot's data into
+    * `numFiles` files as a new snapshot (operation "compact"). Rows are
+    * untouched; old snapshots and their data files stay on disk, so time
+    * travel to pre-compaction versions keeps working (data files are
+    * immutable — expiry of superseded snapshots is a separate, explicitly
+    * destructive maintenance step, as in Iceberg).
+    *
+    * Scale note: the rewrite is one `coalesce(numFiles)` pass — no
+    * shuffle (coalesce only merges read splits). At object-store scale
+    * this is the manifest-churn killer: a streaming or per-stage pipeline
+    * that commits many small files periodically folds them into
+    * scan-efficient sizes without ever blocking readers (the pointer swap
+    * is still atomic). */
+  def compact(spark: SparkSession, numFiles: Int): Snapshot = {
+    require(numFiles > 0, s"numFiles must be positive (got $numFiles)")
+    val cur = current.getOrElse(
+      throw new IllegalStateException(s"nothing to compact under $root"))
+    commit(read(spark).coalesce(numFiles), "compact", cur.stage)
+  }
+
   /** Row count from the parquet footer — no data scan. */
   private def parquetRowCount(p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader

@@ -40,6 +40,26 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.findStage("raw").map(_.version).contains(1))
   }
 
+  test("compact folds small files, preserves rows and time travel") {
+    import spark.implicits._
+    val t = new SnapshotTable(tmpRoot())
+    t.commit((1 to 1000).toDF("n").repartition(16), "append", "raw")
+    val before = t.current.get
+    assert(before.files.size == 16)
+    val beforeRows = t.read(spark).orderBy("n").collect().map(_.getInt(0)).toSeq
+
+    val snap = t.compact(spark, numFiles = 2)
+    assert(snap.operation == "compact" && snap.stage == "raw")
+    assert(snap.files.size == 2 && snap.rows == 1000)
+    assert(snap.parentId.contains(before.id))
+    // content identical, current points at the compacted snapshot
+    assert(t.read(spark).orderBy("n").collect().map(_.getInt(0)).toSeq == beforeRows)
+    // pre-compaction version still readable (immutable data files)
+    assert(t.readAt(spark, before.version).count() == 1000)
+    // a resumed stage picks up the compacted snapshot
+    assert(t.findStage("raw").map(_.version).contains(snap.version))
+  }
+
   test("resume skips committed stages (no recompute)") {
     import spark.implicits._
     val root = tmpRoot()
