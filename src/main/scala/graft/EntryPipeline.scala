@@ -89,6 +89,17 @@ object EntryPipeline {
         .orderBy("id", "frame_idx")
     }),
 
+    // corpus report card: per-language token/char/doc totals (the summary
+    // table every dataset builder publishes) — integer sums only
+    "q67_corpus_report" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")),
+
     // deterministic stratified sampling: per-source mixture rates
     "q65_data_mix" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -251,6 +262,13 @@ object EntryPipeline {
         |SELECT doc_id AS id, CAST(frame_idx AS INT) AS frame_idx,
         |  substr(md5(substr(mt, frame_idx * 2048 + 1, 1024)), 1, 16) AS frame_hash
         |FROM f ORDER BY id, frame_idx""".stripMargin,
+
+    "q67_corpus_report" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "q65_data_mix" ->
       """WITH r AS (SELECT doc_id, source,

@@ -241,7 +241,7 @@ object NetCDF {
     f.vars.foreach { v =>
       require(v.dims.forall(d => d >= 0 && d < f.dims.length),
         s"variable ${v.name}: bad dim id")
-      require(!v.dims.tail.contains(recDimId),
+      require(!v.dims.drop(1).contains(recDimId), // drop(1): scalar vars legal
         s"variable ${v.name}: record dim must be outermost")
       require(f.data.contains(v.name), s"variable ${v.name}: no data array")
     }

@@ -59,7 +59,10 @@ class SnapshotTable(val root: String) {
   def current: Option[Snapshot] = currentVersion.map(snapshotAt)
 
   def snapshotAt(version: Int): Snapshot = {
-    val node = mapper.readTree(Files.readAllBytes(metaDir.resolve(s"v$version.json")))
+    val p = metaDir.resolve(s"v$version.json")
+    require(Files.exists(p),
+      s"snapshot v$version does not exist under $root (expired or never committed)")
+    val node = mapper.readTree(Files.readAllBytes(p))
     Snapshot(
       version = node.get("version").asInt(),
       id = node.get("id").asText(),
@@ -72,9 +75,11 @@ class SnapshotTable(val root: String) {
       }.toSeq)
   }
 
-  /** Full lineage chain, newest first. */
+  /** Full lineage chain, newest first (expired versions skipped). */
   def snapshots: Seq[Snapshot] =
-    (1 to currentVersion.getOrElse(0)).reverseIterator.map(snapshotAt).toSeq
+    (1 to currentVersion.getOrElse(0)).reverseIterator
+      .filter(v => Files.exists(metaDir.resolve(s"v$v.json")))
+      .map(snapshotAt).toSeq
 
   /** Most recent committed snapshot for a named pipeline stage. */
   def findStage(stage: String): Option[Snapshot] =
@@ -141,6 +146,31 @@ class SnapshotTable(val root: String) {
     val cur = current.getOrElse(
       throw new IllegalStateException(s"nothing to compact under $root"))
     commit(read(spark).coalesce(numFiles), "compact", cur.stage)
+  }
+
+  /** Expire everything older than the newest `keepLast` snapshots: delete
+    * their data directories and manifests, returning the expired version
+    * numbers. EXPLICITLY DESTRUCTIVE maintenance (the Iceberg
+    * expire_snapshots idea): time travel to an expired version afterwards
+    * fails with a clear error; the current snapshot can never be expired
+    * (`keepLast ≥ 1` enforced). Safe against concurrent readers of the
+    * RETAINED versions — every snapshot owns its data directory, nothing
+    * is shared or rewritten. */
+  def expireSnapshots(keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    val cur = currentVersion.getOrElse(0)
+    val cutoff = cur - keepLast + 1
+    val expired = (1 until cutoff)
+      .filter(v => Files.exists(metaDir.resolve(s"v$v.json")))
+    expired.foreach { v =>
+      val snap = snapshotAt(v)
+      val dd = Paths.get(snap.dataDir(root))
+      if (Files.exists(dd))
+        Files.walk(dd).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.delete(p))
+      Files.delete(metaDir.resolve(s"v$v.json"))
+    }
+    expired
   }
 
   /** Row count from the parquet footer — no data scan. */

@@ -60,6 +60,26 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.findStage("raw").map(_.version).contains(snap.version))
   }
 
+  test("expireSnapshots deletes old versions, keeps current readable") {
+    import spark.implicits._
+    val t = new SnapshotTable(tmpRoot())
+    t.commit((1 to 10).toDF("n"), "append", "a")
+    t.commit((1 to 20).toDF("n"), "append", "b")
+    t.commit((1 to 30).toDF("n"), "append", "c")
+
+    val expired = t.expireSnapshots(keepLast = 1)
+    assert(expired == Seq(1, 2))
+    assert(t.read(spark).count() == 30)              // current untouched
+    assert(t.snapshots.map(_.version) == Seq(3))     // chain skips expired
+    val e = intercept[IllegalArgumentException](t.readAt(spark, 1))
+    assert(e.getMessage.contains("expired"))
+    // data directories actually gone
+    assert(!Files.exists(java.nio.file.Paths.get(t.root, "data").resolve(
+      expired.map(v => f"s$v%05d").head)))
+    // idempotent
+    assert(t.expireSnapshots(keepLast = 1).isEmpty)
+  }
+
   test("resume skips committed stages (no recompute)") {
     import spark.implicits._
     val root = tmpRoot()
