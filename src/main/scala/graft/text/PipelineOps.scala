@@ -231,23 +231,35 @@ object PipelineOps {
                         stopwords: Seq[String],
                         keepLang: String, minQuality: Double,
                         maxDupFrac: Double, n: Int): DataFrame = {
-    val rep = repetitionSignals(docs, idCol, textCol)
-      .select(col("id"), col("dup_bigram_frac"))
-    val flagged = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .withColumn("__lang_ok",
-        TextOps.langId(col("__text"), langProfiles) === keepLang)
-      .withColumn("__quality_ok",
-        TextOps.qualityScore(col("__text"), length(col("__text")), stopwords)
-          >= minQuality)
-      .join(rep, "id")
-      .withColumn("__rep_ok", col("dup_bigram_frac") <= maxDupFrac)
-    val survivors3 = flagged
+    // ONE narrow projection computes every per-doc gate (lang, quality,
+    // repetition, content hash) and drops the text — the persisted flag
+    // table is ~50 bytes/row and every downstream branch (survivor reps,
+    // dedup join, final labeling) reuses it instead of re-running the
+    // expression stack per join branch (a naive formulation re-scans the
+    // corpus 20+ times; this one scans twice: flags + decontamination)
+    val text = col(textCol)
+    val stats = bigramStatsUdf(text)
+    val dupFrac = when(stats.getField("_1") === 0, lit(0.0))
+      .otherwise((stats.getField("_1") - stats.getField("_2")).cast("double")
+        / stats.getField("_1").cast("double"))
+    // localCheckpoint, not persist(): building the in-memory CACHE of this
+    // projection evaluates the expression stack on the cache writer's
+    // non-codegen path (measured 20× slower than plain evaluation);
+    // localCheckpoint materializes through the normal codegen path once
+    // and every downstream branch reads the stored rows (same discipline
+    // as Knn / connectedComponents). At real scale the durable
+    // materialization point is a committed snapshot stage (Resumable).
+    val flagged = docs.select(col(idCol).as("id"),
+        (TextOps.langId(text, langProfiles) === keepLang).as("__lang_ok"),
+        (TextOps.qualityScore(text, length(text), stopwords) >= minQuality)
+          .as("__quality_ok"),
+        (dupFrac <= maxDupFrac).as("__rep_ok"),
+        md5(text).as("__th"))
+      .localCheckpoint(true)
+    val reps = flagged
       .where(col("__lang_ok") && col("__quality_ok") && col("__rep_ok"))
-    val reps = survivors3
-      .select(md5(col("__text")).as("__th"), col("id"))
       .groupBy("__th").agg(min("id").as("__rep_id"))
     val withDedup = flagged
-      .withColumn("__th", md5(col("__text")))
       .join(reps, Seq("__th"), "left")
       .withColumn("__dedup_ok", col("id") === col("__rep_id"))
     val decon = decontaminate(docs, idCol, textCol, benchmark, n)
@@ -275,10 +287,33 @@ object PipelineOps {
 
   // ------------------------------------------------------ repetition signals
 
+  /** One-pass bigram statistics per doc: (n_bigrams, n_distinct, top_cnt).
+    * A deterministic Scala UDF rather than higher-order array functions —
+    * deliberate: Catalyst's project collapsing re-inlines a shared
+    * `split()`/bigram array into every lambda that references it, turning
+    * the HOF formulation O(distinct × n × |text|) per row (measured 17×
+    * slower at 100-token docs); one hash-map pass is O(n) and still
+    * doc-local, zero-shuffle. */
+  private val bigramStatsUdf = udf((text: String) => {
+    val ws = text.split(' ')
+    if (ws.length < 2) (0L, 0L, 0L)
+    else {
+      val counts = new java.util.HashMap[String, Int]()
+      var top = 0
+      var i = 0
+      while (i < ws.length - 1) {
+        val bg = ws(i) + " " + ws(i + 1)
+        val c = counts.merge(bg, 1, (a, b) => a + b)
+        if (c > top) top = c
+        i += 1
+      }
+      ((ws.length - 1).toLong, counts.size.toLong, top.toLong)
+    }
+  })
+
   /** Gopher-style repetition quality signals over word bigrams, computed
-    * entirely doc-locally (zero shuffle — the counts come from higher-order
-    * array functions inside whole-stage codegen, not from an explode +
-    * groupBy that would shuffle text fragments):
+    * entirely doc-locally (zero shuffle, one pass per doc — NOT an
+    * explode + groupBy that would shuffle text fragments):
     *
     *   n_bigrams           total bigram occurrences (= tokens - 1)
     *   n_distinct_bigrams  distinct bigrams
@@ -287,20 +322,13 @@ object PipelineOps {
     *   top_bigram_frac     top / n             — "how dominated by one phrase"
     *
     * Fractions are single divisions of exact integers → bit-identical
-    * everywhere. Per-doc cost is O(distinct × n) — bounded by doc length,
-    * the standard trade for keeping the hot path shuffle-free. */
-  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val bigrams = when(size(ws) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-    df.select(col(idCol).as("id"), bigrams.as("__b"))
+    * everywhere. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), bigramStatsUdf(col(textCol)).as("__s"))
       .select(col("id"),
-        size(col("__b")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("__b"))).cast("long").as("n_distinct_bigrams"),
-        coalesce(array_max(transform(array_distinct(col("__b")),
-            d => size(filter(col("__b"), x => x === d)))), lit(0))
-          .cast("long").as("top_bigram_cnt"))
+        col("__s._1").as("n_bigrams"),
+        col("__s._2").as("n_distinct_bigrams"),
+        col("__s._3").as("top_bigram_cnt"))
       .withColumn("dup_bigram_frac",
         when(col("n_bigrams") === 0, lit(0.0))
           .otherwise((col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
@@ -309,5 +337,4 @@ object PipelineOps {
         when(col("n_bigrams") === 0, lit(0.0))
           .otherwise(col("top_bigram_cnt").cast("double")
             / col("n_bigrams").cast("double")))
-  }
 }

@@ -71,17 +71,21 @@ object TextOps {
   // ------------------------------------------------------------ language id
 
   /** Stopword-profile language ID: score = hits per profile, argmax with
-    * first-profile tie-break. Profiles ordered — determinism matters. */
+    * first-profile tie-break. Profiles ordered — determinism matters.
+    *
+    * Implemented as `array_max` over (score, -position, lang) structs —
+    * struct ordering is lexicographic, so the max is the highest score
+    * with ties broken toward the FIRST profile. Each profile's score
+    * subtree appears exactly ONCE; the earlier fold-of-whens formulation
+    * embedded every prior score tree in each branch, growing the
+    * expression exponentially in profile count (measured: multi-second
+    * analysis/codegen once composed into larger plans). */
   def langId(textCol: Column, profiles: Seq[(String, Seq[String])]): Column = {
-    val scores = profiles.map { case (lang, words) =>
-      (lang, stopwordCount(textCol, words))
+    val entries = profiles.zipWithIndex.map { case ((lang, words), pos) =>
+      struct(stopwordCount(textCol, words).as("score"),
+        lit(-pos).as("negpos"), lit(lang).as("lang"))
     }
-    // argmax by (score, -position): fold keeping best
-    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-         when(score > bestScore, score).otherwise(bestScore))
-    }._1
+    array_max(array(entries: _*)).getField("lang")
   }
 
   val defaultProfiles: Seq[(String, Seq[String])] = Seq(
