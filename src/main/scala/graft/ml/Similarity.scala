@@ -295,8 +295,17 @@ object Similarity {
                             preDedupExact: Boolean = true): DataFrame = {
     val keys = lshKeysUdf(tables, planes)
     val vecs = df.select(col("vec_id"), col("embedding"))
+    // adaptive duplicate probe (cheap hash aggregate): a hash collision
+    // can only cause a false POSITIVE (runs the collapse and finds no
+    // group — harmless); identical vectors always hash equal, so real
+    // duplicates are never missed
+    val anyDups = preDedupExact && {
+      val r = vecs.agg(count(lit(1)),
+        count_distinct(xxhash64(col("embedding")))).collect()(0)
+      r.getLong(0) != r.getLong(1)
+    }
     val candidates =
-      if (!preDedupExact) {
+      if (!anyDups) {
         val b = vecs.withColumn("__key", explode(keys(col("embedding"))))
           .select("vec_id", "__key")
         b.as("a").join(b.as("b"), Seq("__key"))

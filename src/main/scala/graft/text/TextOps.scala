@@ -314,6 +314,15 @@ object TextOps {
     connectedComponents(df.select(col(idCol).as("id")),
       ngramJaccardPairs(df, idCol, textCol, n, tau))
 
+  /** Cheap duplicate probe: ONE aggregate over content hashes (a guarded
+    * driver action returning two longs). Decides whether the LSH paths
+    * spend the exact-duplicate collapse machinery. */
+  private[text] def hasExactDups(base: DataFrame): Boolean = {
+    val r = base.select(md5(col("__text")).as("__th"))
+      .agg(count(lit(1)), count_distinct(col("__th"))).collect()(0)
+    r.getLong(0) != r.getLong(1)
+  }
+
   // ------------------------------------------------------------ MinHash LSH
 
   /** Doc-local MinHash signature over hashed word n-gram shingles. */
@@ -360,9 +369,16 @@ object TextOps {
     val rows = numHashes / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
 
+    // adaptive: the collapse machinery (signature group-by + member
+    // expansion joins) only pays for itself when exact duplicates exist.
+    // One cheap aggregate over 128-bit hashes decides; a dup-free corpus
+    // (common for already-exact-deduped inputs) takes the direct path.
+    // Output is identical either way (MinHashSkewSpec parity).
+    val anyDups = preDedupExact && hasExactDups(base)
+
     // (rep-id keyed) doc set the banding runs over + member expansion map
     val (prepared, memberMap) =
-      if (!preDedupExact) {
+      if (!anyDups) {
         (base.select(col("id"),
             minhashSigUdf(n, numHashes)(col("__text")).as("sig"),
             TextHash.shingleHashSetUdf(n)(col("__text")).as("shs"))
@@ -455,9 +471,11 @@ object TextOps {
     // hardening as minHashLshPairs: fingerprint once per distinct text,
     // join over representatives, expand members after (intra-group pairs
     // are exact duplicates at hamming 0). Output proven identical in
-    // MinHashSkewSpec.
+    // MinHashSkewSpec. Same adaptive probe: dup-free corpora skip the
+    // collapse machinery entirely.
+    val anyDups = preDedupExact && hasExactDups(base)
     val (prepared, memberMap) =
-      if (!preDedupExact)
+      if (!anyDups)
         (base.select(col("id"), simhashUdf(n)(col("__text")).as("sh")), None)
       else {
         val reps = base.select(md5(col("__text")).as("__th"), col("id"),
