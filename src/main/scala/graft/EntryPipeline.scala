@@ -157,20 +157,32 @@ object EntryPipeline {
          |e AS (SELECT doc_id, url, nofrag,
          |        regexp_extract(nofrag, '^([a-zA-Z]+://[^/]*)', 1) AS shraw
          |      FROM s),
+         |r AS (SELECT doc_id, url, shraw,
+         |        substr(nofrag, length(shraw) + 1) AS rest FROM e),
+         |p AS (SELECT doc_id, url, shraw, rest,
+         |        regexp_extract(rest, '^[^?]*', 0) AS path FROM r),
+         |q AS (SELECT doc_id, url, shraw, path,
+         |        CASE WHEN length(rest) > length(path)
+         |             THEN '&' || substr(rest, length(path) + 2) ELSE '' END AS qnorm
+         |      FROM p),
+         |qc AS (SELECT doc_id, url, shraw, path,
+         |         regexp_replace(qnorm, '&(utm_[a-z]+|ref)=[^&]*', '', 'g') AS qclean
+         |       FROM q),
          |c AS (SELECT doc_id,
-         |        regexp_replace(lower(shraw), ':(80|443)$$', '') ||
-         |        regexp_replace(
-         |          regexp_replace(substr(nofrag, length(shraw) + 1),
-         |            '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
-         |          '[?&]+$$', '', 'g') AS canon,
+         |        regexp_replace(lower(shraw), ':(80|443)$$', '') || path ||
+         |        (CASE WHEN length(qclean) > 1 THEN '?' || substr(qclean, 2) ELSE '' END) AS canon,
          |        regexp_replace(
          |          lower(regexp_extract(url, '^[a-zA-Z]+://([^/:]*)', 1)),
          |          '^www\\.', '', 'g') AS domain
-         |      FROM e)
+         |      FROM qc)
          |SELECT doc_id, canon, domain,
          |  count(*) OVER (PARTITION BY canon) AS canon_dups
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // LEFT JOIN from documents: a doc with < 2 tokens has no bigram rows in
+    // the group chain but must still emit a (0,0,0,0.0,0.0) row (matching
+    // repetitionSignals); fixture docs all have >= 10 tokens, the join is
+    // for contract robustness
     "q62_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT doc_id, [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bl FROM w),
@@ -180,10 +192,17 @@ object EntryPipeline {
         |        CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
         |        CAST(max(c) AS BIGINT) AS top_bigram_cnt
         |      FROM c GROUP BY 1)
-        |SELECT doc_id, n_bigrams, n_distinct_bigrams, top_bigram_cnt,
-        |  CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
-        |  CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |  coalesce(top_bigram_cnt, 0) AS top_bigram_cnt,
+        |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |  END AS dup_bigram_frac,
+        |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |       ELSE CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |  END AS top_bigram_frac
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q63_clean_corpus" -> {
       val langScores = TextFixtures.langProfiles.zipWithIndex.map {
@@ -210,7 +229,9 @@ object EntryPipeline {
          |bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
          |bb AS (SELECT doc_id, [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bl FROM bw),
          |rep AS (SELECT doc_id,
-         |          CAST(len(bl) - len(list_distinct(bl)) AS DOUBLE) / CAST(len(bl) AS DOUBLE) AS df
+         |          CASE WHEN len(bl) = 0 THEN 0.0
+         |               ELSE CAST(len(bl) - len(list_distinct(bl)) AS DOUBLE) / CAST(len(bl) AS DOUBLE)
+         |          END AS df
          |        FROM bb),
          |f AS (SELECT c.doc_id, c.text,
          |        (lang.lp = 'en') AS lang_ok,

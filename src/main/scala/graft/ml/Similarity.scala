@@ -330,15 +330,10 @@ object Similarity {
         val members = groups
           .select(col("rep"), explode(col("__ms")).as("member"))
           .transform(graft.spark.PersistTracker.persist)
-        val cross = repPairs
-          .join(members.select(col("rep").as("id_a"), col("member").as("__ma")), "id_a")
-          .join(members.select(col("rep").as("id_b"), col("member").as("__mb")), "id_b")
-          .select(least(col("__ma"), col("__mb")).as("id_a"),
-            greatest(col("__ma"), col("__mb")).as("id_b"))
-        val intra = members.as("x").join(members.as("y"), Seq("rep"))
-          .where(col("x.member") < col("y.member"))
-          .select(col("x.member").as("id_a"), col("y.member").as("id_b"))
-        cross.unionByName(intra)
+        // candidate-only expansion (no payload): every expanded pair goes
+        // through the exact cosine verification below
+        graft.text.TextOps.expandMemberPairs(repPairs, members,
+          payload = Nil, intraPayload = Nil)
       }
     candidates
       .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")

@@ -148,8 +148,19 @@ object PipelineOps {
     val shRaw = regexp_extract(noFrag, "^([a-zA-Z]+://[^/]*)", 1)
     val sh = regexp_replace(lower(shRaw), ":(80|443)$", "")
     val rest = noFrag.substr(length(shRaw) + 1, lit(1000000))
-    val noTrack = regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*&?", "")
-    concat(sh, regexp_replace(noTrack, "[?&]+$", ""))
+    // strip tracking params with the name anchored at a parameter BOUNDARY
+    // (a bare '(utm_x|ref)=' would also fire inside href=/xref=/pref=).
+    // Backreference replacement syntax differs between Java ($1) and RE2
+    // (\1), so stay capture-free: normalize the leading '?' to '&', strip
+    // '&name=value' whole-param matches, then restore '?' on what remains.
+    val path = regexp_extract(rest, "^[^?]*", 0)
+    val query = rest.substr(length(path) + 1, lit(1000000)) // "?a=1&…" or ""
+    val qNorm = when(length(query) > 0,
+      concat(lit("&"), query.substr(lit(2), lit(1000000)))).otherwise(lit(""))
+    val qClean = regexp_replace(qNorm, "&(utm_[a-z]+|ref)=[^&]*", "")
+    concat(sh, path,
+      when(length(qClean) > 1,
+        concat(lit("?"), qClean.substr(lit(2), lit(1000000)))).otherwise(lit("")))
   }
 
   /** Registered-domain extraction (host minus a leading www.). */
@@ -295,7 +306,9 @@ object PipelineOps {
     * slower at 100-token docs); one hash-map pass is O(n) and still
     * doc-local, zero-shuffle. */
   private val bigramStatsUdf = udf((text: String) => {
-    val ws = text.split(' ')
+    // split(_, -1) keeps trailing empty tokens — Spark's split() and
+    // DuckDB's string_split both do, and the oracle contract is bit parity
+    val ws = text.split(" ", -1)
     if (ws.length < 2) (0L, 0L, 0L)
     else {
       val counts = new java.util.HashMap[String, Int]()

@@ -29,7 +29,7 @@ object TextHash {
 
   /** Distinct hashed word n-gram shingles of a doc (sorted for determinism). */
   def shingleHashes(text: String, n: Int): Array[Long] = {
-    val ws = text.split(' ')
+    val ws = text.split(" ", -1) // keep trailing empties: parity with Spark split + DuckDB string_split
     if (ws.length < n) return Array.emptyLongArray
     val set = new java.util.TreeSet[java.lang.Long]()
     var i = 0

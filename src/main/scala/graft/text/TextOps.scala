@@ -112,7 +112,7 @@ object TextOps {
 
   /** Distinct word n-gram shingle strings of a doc. */
   def shingleUdf(n: Int) = udf((text: String) => {
-    val ws = text.split(' ')
+    val ws = text.split(" ", -1) // keep trailing empties: parity with Spark split + DuckDB string_split
     if (ws.length < n) Array.empty[String]
     else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct.toArray
   })
@@ -314,6 +314,29 @@ object TextOps {
     connectedComponents(df.select(col(idCol).as("id")),
       ngramJaccardPairs(df, idCol, textCol, n, tau))
 
+  /** Expand representative-level near-dup pairs back over exact-duplicate
+    * groups: cross pairs between two groups inherit the rep pair's
+    * `payload` columns (identical texts ⇒ identical similarity); pairs
+    * WITHIN a group are exact duplicates and carry `intraPayload`
+    * (jac = 1.0 / hamming = 0 / nothing for candidate-only expansion).
+    * `members` is (rep, member) — longs only, so every join here shuffles
+    * ids, never documents. Shared by the MinHash, SimHash, and embedding
+    * collapse paths. */
+  private[graft] def expandMemberPairs(repPairs: DataFrame, members: DataFrame,
+                                       payload: Seq[String],
+                                       intraPayload: Seq[Column]): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("member").as("__ma")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("member").as("__mb")), "id_b")
+      .select(Seq(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b")) ++ payload.map(col): _*)
+    val intra = members.as("x").join(members.as("y"), Seq("rep"))
+      .where(col("x.member") < col("y.member"))
+      .select(Seq(col("x.member").as("id_a"),
+        col("y.member").as("id_b")) ++ intraPayload: _*)
+    cross.unionByName(intra)
+  }
+
   /** Cheap duplicate probe: ONE aggregate over content hashes (a guarded
     * driver action returning two longs). Decides whether the LSH paths
     * spend the exact-duplicate collapse machinery. */
@@ -359,7 +382,12 @@ object TextOps {
     *     near-identical skew (10^5 docs differing by one token still
     *     collide on most bands). When set, the worst band bucket is
     *     counted before the self-join and the operator throws with a
-    *     diagnostic instead of silently attempting a quadratic join. */
+    *     diagnostic instead of silently attempting a quadratic join.
+    *
+    * NOTE: the adaptive probe and the bucket guard are DRIVER ACTIONS at
+    * call time — this operator (like all pair-join dedup) is batch-only;
+    * pass preDedupExact = false, maxBucketSize = None for a pure lazy
+    * plan-builder. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, tau: Double = 0.8,
@@ -385,9 +413,13 @@ object TextOps {
           .where(size(col("shs")) > 0)
           .transform(graft.spark.PersistTracker.persist), None)
       } else {
-        // signatures once per DISTINCT text; the only payload shuffled to
-        // collapse groups is (md5, sig, shs) — the same arrays the verify
-        // joins move anyway, divided by the duplicate multiplicity
+        // signatures are still computed map-side PER ROW (filtering to
+        // representative rows first would shuffle the corpus text by id —
+        // strictly worse than recomputing an embarrassingly-parallel
+        // signature); what the collapse buys is everything AFTER the map:
+        // the group-by keeps one (sig, shs) per distinct text, so the
+        // band table, the quadratic-risk bucket self-join, and the
+        // verification joins all run over representatives only
         val reps = base.select(md5(col("__text")).as("__th"), col("id"),
             minhashSigUdf(n, numHashes)(col("__text")).as("sig"),
             TextHash.shingleHashSetUdf(n)(col("__text")).as("shs"))
@@ -408,9 +440,10 @@ object TextOps {
     val bandsDf = prepared.select(col("id"),
         explode(bandKeysUdf(bands, rows)(col("sig"))).as("band_key"))
     maxBucketSize.foreach { cap =>
-      // guarded driver action (tiny aggregate) — the fail-fast contract
+      // guarded driver action (tiny aggregate) — the fail-fast contract;
+      // coalesce: max over an empty band table is NULL, not an error
       val worst = bandsDf.groupBy("band_key").agg(count(lit(1)).as("__c"))
-        .agg(max("__c")).collect()(0).getLong(0)
+        .agg(coalesce(max("__c"), lit(0L))).collect()(0).getLong(0)
       require(worst <= cap,
         s"LSH band bucket of size $worst exceeds maxBucketSize=$cap — the " +
           "candidate self-join would be quadratic in that bucket; raise " +
@@ -430,19 +463,10 @@ object TextOps {
     memberMap match {
       case None => repPairs
       case Some(members) =>
-        // cross-group pairs inherit the rep jac (identical texts ⇒ identical
-        // shingle sets); intra-group pairs are exact duplicates at jac = 1.0
-        // (jaccard(s, s) = |s|/|s| exactly)
-        val cross = repPairs
-          .join(members.select(col("rep").as("id_a"), col("member").as("__ma")), "id_a")
-          .join(members.select(col("rep").as("id_b"), col("member").as("__mb")), "id_b")
-          .select(least(col("__ma"), col("__mb")).as("id_a"),
-            greatest(col("__ma"), col("__mb")).as("id_b"), col("jac"))
-        val intra = members.as("x").join(members.as("y"), Seq("rep"))
-          .where(col("x.member") < col("y.member"))
-          .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
-            lit(1.0).as("jac"))
-        cross.unionByName(intra)
+        // intra-group pairs are exact duplicates at jac = 1.0 exactly
+        // (jaccard(s, s) = |s|/|s|)
+        expandMemberPairs(repPairs, members,
+          payload = Seq("jac"), intraPayload = Seq(lit(1.0).as("jac")))
     }
   }
 
@@ -468,9 +492,10 @@ object TextOps {
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
     // identical texts have identical fingerprints → every slice collides →
     // the slice self-join is quadratic in the duplicate count. Same
-    // hardening as minHashLshPairs: fingerprint once per distinct text,
-    // join over representatives, expand members after (intra-group pairs
-    // are exact duplicates at hamming 0). Output proven identical in
+    // hardening as minHashLshPairs (fingerprints still computed map-side
+    // per row — the collapse shrinks the slice join, not the map): join
+    // over representatives, expand members after (intra-group pairs are
+    // exact duplicates at hamming 0). Output proven identical in
     // MinHashSkewSpec. Same adaptive probe: dup-free corpora skip the
     // collapse machinery entirely.
     val anyDups = preDedupExact && hasExactDups(base)
@@ -505,16 +530,8 @@ object TextOps {
     memberMap match {
       case None => repPairs
       case Some(members) =>
-        val cross = repPairs
-          .join(members.select(col("rep").as("id_a"), col("member").as("__ma")), "id_a")
-          .join(members.select(col("rep").as("id_b"), col("member").as("__mb")), "id_b")
-          .select(least(col("__ma"), col("__mb")).as("id_a"),
-            greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
-        val intra = members.as("x").join(members.as("y"), Seq("rep"))
-          .where(col("x.member") < col("y.member"))
-          .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
-            lit(0).as("hamming"))
-        cross.unionByName(intra)
+        expandMemberPairs(repPairs, members,
+          payload = Seq("hamming"), intraPayload = Seq(lit(0).as("hamming")))
     }
   }
 }

@@ -15,9 +15,13 @@ object ExplainPlan {
     spark.sparkContext.setLogLevel("ERROR")
     args.headOption match {
       case Some("--query") =>
-        val name = args(1)
+        val name = args.lift(1).getOrElse(
+          sys.error("usage: ExplainPlan --query <name> [sfDir]"))
         val dir = args.lift(2).getOrElse("/root/testdata/sf0.001")
-        graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+        val q = graft.SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query '$name'; known: " +
+            graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+        q(spark, dir).explain("formatted")
       case other =>
         val dir = other.getOrElse("/tmp/graft_bench_pages_r2000")
         Surrogate.pointSurrogate(

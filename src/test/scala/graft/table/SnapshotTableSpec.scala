@@ -67,6 +67,11 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.commit((1 to 20).toDF("n"), "append", "b")
     t.commit((1 to 30).toDF("n"), "append", "c")
 
+    // capture the real (uuid-suffixed) data dirs BEFORE expiry
+    val doomedDirs = Seq(1, 2).map(v =>
+      java.nio.file.Paths.get(t.snapshotAt(v).dataDir(t.root)))
+    doomedDirs.foreach(d => assert(Files.exists(d)))
+
     val expired = t.expireSnapshots(keepLast = 1)
     assert(expired == Seq(1, 2))
     assert(t.read(spark).count() == 30)              // current untouched
@@ -74,8 +79,7 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException](t.readAt(spark, 1))
     assert(e.getMessage.contains("expired"))
     // data directories actually gone
-    assert(!Files.exists(java.nio.file.Paths.get(t.root, "data").resolve(
-      expired.map(v => f"s$v%05d").head)))
+    doomedDirs.foreach(d => assert(!Files.exists(d)))
     // idempotent
     assert(t.expireSnapshots(keepLast = 1).isEmpty)
   }

@@ -53,7 +53,7 @@ class MinHashSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("pre-dedup collapses the band table to one row per distinct text") {
-    // 24 docs, 6 distinct texts -> the banding stage must see 6 ids
+    // 24 docs, 5 distinct texts (4 base + 1 boilerplate) -> banding sees 5 ids
     val df = corpus()
     val s = spark
     import s.implicits._

@@ -131,6 +131,10 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "http://host.org/p?a=1&b=2",
       // tracking param last leaves no dangling separator
       "https://x.io/p?id=4&ref=9" -> "https://x.io/p?id=4",
+      // param names merely ENDING in 'ref' are not tracking params
+      "http://h.io/p?href=abc&ref=1&xref=z" -> "http://h.io/p?href=abc&xref=z",
+      // all params stripped leaves no lone '?'
+      "http://h.io/p?ref=1" -> "http://h.io/p",
       // nothing to do
       "https://y.dev/clean" -> "https://y.dev/clean",
       // non-default port kept
