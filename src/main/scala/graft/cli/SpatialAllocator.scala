@@ -51,16 +51,21 @@ object SpatialAllocator {
     }.getOrElse(CellDomain(0, 0, 8192, 8192))
     val zres = cfg.getOrElse("CELL_RES", "4").toInt
 
-    def grid(): GridSpec = {
-      val name = req("OUTPUT_GRID_NAME")
-      cfg.get("GRIDDESC") match {
-        case Some(path) =>
-          val text = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(path)), "UTF-8")
-          GridDesc.parse(text).grids(name).grid
-        case None => graft.grid.GridCatalog.byName(name)
-      }
+    def gdEntry(): Option[GridDesc.Entry] = cfg.get("GRIDDESC").map { path =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      GridDesc.parse(text).grids(req("OUTPUT_GRID_NAME"))
     }
+
+    def grid(): GridSpec = gdEntry().map(_.grid)
+      .getOrElse(graft.grid.GridCatalog.byName(req("OUTPUT_GRID_NAME")))
+
+    // the #GRID header / .ncf header must carry the grid's ACTUAL
+    // projection when a GRIDDESC supplies one (convert_txt2ncf.f:80-97
+    // reads P_ALP..YCENT from the surrogate header; allocate.c:750-833
+    // writes it) — defaults only when no catalog entry exists
+    def projInfo(): Smoke.ProjInfo =
+      gdEntry().map(e => Smoke.projInfoFor(e.coord)).getOrElse(Smoke.ProjInfo())
 
     def readLayer(path: String, ftype: String): DataFrame = ftype match {
       case "PointFile" =>
@@ -107,28 +112,43 @@ object SpatialAllocator {
           .orElse(cfg.get("WEIGHT_ATTR_LIST").map(_.split(",").head.trim)
             .filter(_ != "NONE"))
         val w = weightLayer()
-        val srg = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon") match {
+        // keepSkipped: below-threshold counties must REACH the sink so the
+        // SURROGATE_FILE renders their #SKIPPED rows (surrogate.c:434-452);
+        // everything downstream of the text file sees only live counties
+        val srgFull = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon") match {
           case "Point" =>
             Surrogate.pointSurrogate(w, counties, grid(), domain, zres, code,
-              weight, thr)
+              weight, thr, keepSkipped = true)
           case "Line" =>
             // USE_CURVED_LINES=YES switches every length measure to
             // great-circle (polyops.c:440-447, SA_ch03_vector.md:316)
             Surrogate.lineSurrogate(w, counties, grid(), domain, zres, code,
               weight, thr,
-              curved = cfg.getOrElse("USE_CURVED_LINES", "NO") == "YES")
+              curved = cfg.getOrElse("USE_CURVED_LINES", "NO") == "YES",
+              keepSkipped = true)
           case _ =>
             Surrogate.polySurrogate(w, counties, grid(), domain, zres, code,
-              weight, thr)
+              weight, thr, keepSkipped = true)
         }
+        val srg = srgFull.where(col("denom") >= thr)
         cfg.get("SURROGATE_FILE").foreach { out =>
-          Smoke.write(srg, grid(), Smoke.ProjInfo(), out,
+          Smoke.write(srgFull, grid(), projInfo(), out,
             withQa = cfg.getOrElse("WRITE_QASUM", "YES") == "YES",
             denomThreshold = thr)
         }
-        // srg2ncf in one pass (util/srg2ncf/convert_txt2ncf.f)
-        cfg.get("SURROGATE_NETCDF_FILE").foreach(p =>
-          graft.sources.Ioapi.srg2ncf(srg, grid(), p))
+        // srg2ncf in one pass (util/srg2ncf/convert_txt2ncf.f) — the .ncf
+        // header carries the GRIDDESC projection, and only live counties
+        // accumulate (the Fortran skips '#' comment lines)
+        cfg.get("SURROGATE_NETCDF_FILE").foreach { p =>
+          val c = gdEntry().map(_.coord)
+          graft.sources.Ioapi.srg2ncf(srg, grid(), p,
+            gdtyp = c.map(_.ctype).getOrElse(6),
+            pAlp = c.map(_.alpha).getOrElse(0.0),
+            pBet = c.map(_.beta).getOrElse(0.0),
+            pGam = c.map(_.gamma).getOrElse(0.0),
+            xcent = c.map(_.xcent).getOrElse(0.0),
+            ycent = c.map(_.ycent).getOrElse(0.0))
+        }
         Some(srg)
 
       case "ALLOCATE" if cfg.get("INPUT_FILE_TYPE").contains("IoapiFile") =>

@@ -46,24 +46,38 @@ object SrgTool {
           normalizeTol: Double = 1e-6,
           outDir: Option[String] = None,
           concats: Seq[ConcatSpec] = Nil,
-          denomThreshold: Double = 1e-5): Result = {
+          denomThreshold: Double = 1e-5,
+          proj: Smoke.ProjInfo = Smoke.ProjInfo()): Result = {
 
-    // generation: one Spark job chain per spec, submitted concurrently
+    // generation: one Spark job chain per spec, submitted concurrently.
+    // keepSkipped: below-threshold counties ride along so the SMOKE sink
+    // can render their #SKIPPED rows (surrogate.c:434-452); post-passes
+    // and Result.srg see only live counties (the reference's downstream
+    // tools parse the text files and skip '#' comment lines)
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val generated: Map[Int, DataFrame] = Await.result(
+    val generatedFull: Map[Int, DataFrame] = Await.result(
       Future.traverse(specs) { s =>
         Future {
           val df = s.kind match {
             case PointW => Surrogate.pointSurrogate(s.weights, counties,
-              grid, domain, res, s.code, s.weightAttr, denomThreshold)
+              grid, domain, res, s.code, s.weightAttr, denomThreshold,
+              keepSkipped = true)
             case LineW => Surrogate.lineSurrogate(s.weights, counties,
-              grid, domain, res, s.code, s.weightAttr, denomThreshold)
+              grid, domain, res, s.code, s.weightAttr, denomThreshold,
+              keepSkipped = true)
             case PolyW => Surrogate.polySurrogate(s.weights, counties,
-              grid, domain, res, s.code, s.weightAttr, denomThreshold)
+              grid, domain, res, s.code, s.weightAttr, denomThreshold,
+              keepSkipped = true)
           }
           s.code -> df
         }
       }, Duration.Inf).toMap
+    val generated: Map[Int, DataFrame] = generatedFull.map { case (c, df) =>
+      c -> df.where(col("denom") >= denomThreshold)
+    }
+    val skippedRows: Map[Int, DataFrame] = generatedFull.map { case (c, df) =>
+      c -> df.where(col("denom") < denomThreshold)
+    }
 
     // a post-pass referencing a surrogate that wasn't generated (e.g. its
     // generation row says GENERATE=NO) must fail naming the spec, not as a
@@ -119,7 +133,13 @@ object SrgTool {
         val full = if (hasQa) df else df
           .withColumn("numer", lit(0.0)).withColumn("denom", lit(1.0))
           .withColumn("qasum", lit(0.0))
-        Smoke.write(full, grid, Smoke.ProjInfo(), path, withQa = hasQa)
+        // generated codes append their below-threshold counties so the
+        // file carries the reference's #SKIPPED rows (un-normalized: the
+        // reference skips those counties before normalization too)
+        val sinkDf = skippedRows.get(code)
+          .map(sk => full.unionByName(sk)).getOrElse(full)
+        Smoke.write(sinkDf, grid, proj, path, withQa = hasQa,
+          denomThreshold = denomThreshold)
         (code, name, path)
       }
     }.getOrElse(normalized.keys.toSeq.sorted.map(c => (c, s"srg_$c", "")))

@@ -260,6 +260,7 @@ object SrgToolCsv {
     SrgTool.run(spark, counties, grid, domain, res,
       srgSpecs, mergeSpecs, gapfillSpecs,
       outDir = outDir, concats = concatSpecs,
-      denomThreshold = ctl.get("DENOMINATOR_THRESHOLD").map(_.toDouble).getOrElse(1e-5))
+      denomThreshold = ctl.get("DENOMINATOR_THRESHOLD").map(_.toDouble).getOrElse(1e-5),
+      proj = graft.io.Smoke.projInfoFor(gdEntry.coord))
   }
 }

@@ -120,12 +120,8 @@ object Ellipsoidal {
   final case class LccE(lat1: Double, lat2: Double, lat0: Double, lon0: Double,
                         ell: Ellipsoid, x0: Double = 0.0, y0: Double = 0.0)
       extends Proj {
-    private val E = ell.e
-    private def m(phi: Double): Double =
-      math.cos(phi) / math.sqrt(1.0 - ell.e2 * math.sin(phi) * math.sin(phi))
-    private def tOf(phi: Double): Double =
-      math.tan(math.Pi / 4 - phi / 2) /
-        math.pow((1.0 - E * math.sin(phi)) / (1.0 + E * math.sin(phi)), E / 2)
+    private def m(phi: Double): Double = Ellipsoidal.mFun(phi, ell)
+    private def tOf(phi: Double): Double = Ellipsoidal.tFun(phi, ell)
     private val p1 = math.toRadians(lat1)
     private val p2 = math.toRadians(lat2)
     private val p0 = math.toRadians(lat0)
@@ -147,15 +143,7 @@ object Ellipsoidal {
       val r = math.signum(n) * math.sqrt(xn * xn + (rho0 - yn) * (rho0 - yn))
       val th = math.atan2(xn * math.signum(n), (rho0 - yn) * math.signum(n))
       val t = math.pow(r / (ell.a * F), 1.0 / n)
-      // iterate phi = pi/2 - 2 atan(t * ((1-e sin phi)/(1+e sin phi))^(e/2))
-      var phi = math.Pi / 2 - 2.0 * math.atan(t)
-      var i = 0
-      while (i < 15) {
-        val es = E * math.sin(phi)
-        phi = math.Pi / 2 - 2.0 * math.atan(
-          t * math.pow((1.0 - es) / (1.0 + es), E / 2))
-        i += 1
-      }
+      val phi = Ellipsoidal.phiFromT(t, ell)
       (Proj.normLon(math.toDegrees(l0 + th / n)), math.toDegrees(phi))
     }
     val name = "lcc_e"

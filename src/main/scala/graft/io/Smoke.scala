@@ -24,6 +24,25 @@ object Smoke {
                             gamma: Double = -100.0,
                             xcent: Double = -100.0, ycent: Double = 40.0)
 
+  /** #GRID projection descriptor from a GRIDDESC coordinate system — the
+    * reference's cname[ctype] table plus degrees-vs-meters units
+    * (allocate.c:750-789) and the POLGRD3 quirk that writes the parameters
+    * in (gamma, alpha, beta) order where every other family writes
+    * (alpha, beta, gamma) (allocate.c:791-833). The C table stops at
+    * ctype 8; 9-11 extend it with descriptive names. */
+  def projInfoFor(c: graft.sources.GridDesc.CoordSys): ProjInfo = {
+    val names = Map(1 -> "LAT-LON", 2 -> "LAMBERT", 3 -> "MERCATOR",
+      4 -> "STEREOGRAPHIC", 5 -> "UTM", 6 -> "POLGRD3",
+      7 -> "EquatorialMERCATOR", 8 -> "TransverseMERCATOR",
+      9 -> "ALBERS", 10 -> "LAMBERTAZIMUTHAL", 11 -> "SINUSOIDAL")
+    val units = if (c.ctype == 1) "degrees" else "meters"
+    if (c.ctype == 6)
+      ProjInfo(names(6), units, c.gamma, c.alpha, c.beta, c.xcent, c.ycent)
+    else
+      ProjInfo(names.getOrElse(c.ctype, "UNKNOWN"), units,
+        c.alpha, c.beta, c.gamma, c.xcent, c.ycent)
+  }
+
   def header(g: GridSpec, p: ProjInfo): String =
     "#GRID\t%s\t%f\t%f\t%f\t%f\t%d\t%d\t%d\t%s\t%s\t%f\t%f\t%f\t%f\t%f".formatLocal(
       Locale.US, g.name, g.xorig, g.yorig, g.xcell, g.ycell, g.ncols, g.nrows,

@@ -31,15 +31,29 @@ object Beld {
 
   /** Merge the three per-tile tables. `qa` holds the cells failing the
     * 100% landuse check: (col, row, total, pctdiff) with
-    * pctdiff = total − 100 exactly like the C warning. */
+    * pctdiff = total − 100 exactly like the C warning.
+    *
+    * beld3smk.c:496-509 checks EVERY cell of the domain, so the _a/_b
+    * alignment is a full-outer join with a missing side counting as 0 —
+    * sparse inputs (Ioapi.read dropZeros) where a cell appears in only
+    * one file still reach the check. Pass `domainCells` (a (col, row)
+    * frame covering the grid) to also flag cells absent from both files;
+    * the gridded domain is the small side, so this join is cheap. */
   def merge3(a: DataFrame, b: DataFrame, tot: DataFrame,
              varsA: Seq[String], varsB: Seq[String], totVar: String = "FOREST",
-             qaTol: Double = 0.01): Merged = {
+             qaTol: Double = 0.01,
+             domainCells: Option[DataFrame] = None): Merged = {
     val outA = sumVars(a, varsA)
     val outB = sumVars(b, varsB)
     val outTot = sumVars(tot, Seq(totVar))
-    val all = outA.join(outB, Seq("col", "row"))
-    val totalExpr = (varsA ++ varsB).map(col).reduce(_ + _)
+    val joined = outA.join(outB, Seq("col", "row"), "full_outer")
+    val all = domainCells match {
+      case Some(cells) =>
+        cells.select("col", "row").join(joined, Seq("col", "row"), "left_outer")
+      case None => joined
+    }
+    val totalExpr = (varsA ++ varsB)
+      .map(v => coalesce(col(v), lit(0.0))).reduce(_ + _)
     val qa = all.withColumn("total", totalExpr)
       .withColumn("pctdiff", col("total") - 100.0)
       .where(abs(col("pctdiff")) > qaTol)

@@ -107,7 +107,13 @@ object Ioapi {
                  else if (v.vtype == NC_INT) new Array[Int]((cells * nrec).toInt)
                  else new Array[Float]((cells * nrec).toInt))
     }.toMap
-    rows.foreach { r =>
+    // duplicate (var,tstep,layer,row,col) rows ACCUMULATE, matching the
+    // reference's VAL_IN(I,J) = VAL_IN(I,J) + VAL (convert_txt2ncf.f) —
+    // never last-write-wins in nondeterministic collect order. The sort
+    // pins the fold order so the float sum is itself deterministic.
+    val sorted = rows.sortBy(r => (r.getString(0), r.getInt(1), r.getInt(2),
+      r.getInt(3), r.getInt(4), r.getDouble(5)))
+    sorted.foreach { r =>
       val vn = r.getString(0)
       require(varIdx.contains(vn), s"$path: variable '$vn' not in header.vars")
       val t = r.getInt(1); val l = r.getInt(2); val rr = r.getInt(3); val cc = r.getInt(4)
@@ -116,9 +122,9 @@ object Ioapi {
         s"$path: (layer=$l,row=$rr,col=$cc) outside ${h.nlays}×${h.nrows}×${h.ncols}")
       val i = ((t.toLong * h.nlays + (l - 1)) * h.nrows + (rr - 1)).toInt * h.ncols + (cc - 1)
       arrays(vn) match {
-        case a: Array[Float]  => a(i) = r.getDouble(5).toFloat
-        case a: Array[Double] => a(i) = r.getDouble(5)
-        case a: Array[Int]    => a(i) = r.getDouble(5).toInt
+        case a: Array[Float]  => a(i) += r.getDouble(5).toFloat
+        case a: Array[Double] => a(i) += r.getDouble(5)
+        case a: Array[Int]    => a(i) += r.getDouble(5).toInt
       }
     }
     // TFLAG(TSTEP, VAR, DATE-TIME)

@@ -136,11 +136,18 @@ object NetCDF {
       pos += pad4(n.toLong * typeSize(t)).toInt
       out
     }
+    // a malformed/CDF-5 type tag must surface as the codec's
+    // IllegalArgumentException, not a MatchError from alloc/readSlab
+    def checkType(t: Int, what: String): Int = {
+      require(t >= NC_BYTE && t <= NC_DOUBLE,
+        s"$path: unsupported nc_type $t for $what (classic types 1-6 only)")
+      t
+    }
     def readAttList(): Seq[Att] = {
       val n = readTaggedCount(0x0C)
       (0 until n).map { _ =>
         val name = readName()
-        val t = b.getInt(pos); pos += 4
+        val t = checkType(b.getInt(pos), s"attribute '$name'"); pos += 4
         val ne = b.getInt(pos); pos += 4
         Att(name, readAttValues(t, ne))
       }
@@ -160,7 +167,7 @@ object NetCDF {
       val nd = b.getInt(pos); pos += 4
       val dimIds = (0 until nd).map { _ => val d = b.getInt(pos); pos += 4; d }
       val atts = readAttList()
-      val t = b.getInt(pos); pos += 4
+      val t = checkType(b.getInt(pos), s"variable '$name'"); pos += 4
       val vsize = { val v = b.getInt(pos); pos += 4; java.lang.Integer.toUnsignedLong(v) }
       val begin = if (wideOffsets) { val v = b.getLong(pos); pos += 8; v }
                   else { val v = b.getInt(pos); pos += 4; java.lang.Integer.toUnsignedLong(v) }

@@ -53,6 +53,77 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == direct.count())
   }
 
+  test("SURROGATE threshold renders #SKIPPED rows; GRIDDESC projection reaches both sinks") {
+    import graft.sources.Ioapi
+    val dir = tmp("cli-skip")
+    TpchGeo.counties(spark).write.mode("overwrite").parquet(s"$dir/counties")
+    TpchGeo.points(spark, sfDir).write.mode("overwrite").parquet(s"$dir/points")
+    Files.write(java.nio.file.Paths.get(s"$dir/GRIDDESC.txt"),
+      """! coords
+        |'LAM'
+        |2, 33, 45, -97, -97, 40
+        |' '
+        |'TEST8'
+        |'LAM', 0, 0, 1000, 1000, 8, 8, 1
+        |' '""".stripMargin.getBytes("UTF-8"))
+
+    // pick a threshold that splits the counties: those below max(denom)
+    // must render as #SKIPPED (surrogate.c:434-452) yet stay out of the
+    // returned table and the .ncf accumulation
+    val full = graft.operators.Surrogate.pointSurrogate(
+      TpchGeo.points(spark, sfDir), TpchGeo.counties(spark),
+      TpchGeo.grid, TpchGeo.domain, TpchGeo.zres, 100, keepSkipped = true)
+    val denoms = full.select("fips", "denom").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(denoms.values.toSet.size > 1, "fixture needs distinct denominators")
+    val thr = denoms.values.max
+    val live = denoms.filter(_._2 >= thr).keySet
+    val skipped = denoms.keySet -- live
+    assert(live.nonEmpty && skipped.nonEmpty)
+
+    val smoke = s"$dir/srg100.txt"; val ncf = s"$dir/srg100.ncf"
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "SURROGATE",
+      "OUTPUT_GRID_NAME" -> "TEST8",
+      "GRIDDESC" -> s"$dir/GRIDDESC.txt",
+      "DATA_FILE_NAME" -> s"$dir/counties",
+      "DATA_ID_ATTR" -> "fips",
+      "WEIGHT_FILE_NAME" -> s"$dir/points",
+      "WEIGHT_FILE_TYPE" -> "Point",
+      "SURROGATE_ID" -> "100",
+      "DENOMINATOR_THRESHOLD" -> thr.toString,
+      "SURROGATE_FILE" -> smoke,
+      "SURROGATE_NETCDF_FILE" -> ncf)).get
+
+    // returned table: live counties only
+    assert(out.select("fips").distinct().collect()
+      .map(_.getString(0)).toSet == live)
+
+    // SMOKE file: GRIDDESC projection in the header, #SKIPPED rows for
+    // every below-threshold county, live counties un-prefixed
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(java.nio.file.Paths.get(smoke)).asScala
+    val header = lines.head
+    assert(header.contains("LAMBERT") &&
+           header.contains("33.000000\t45.000000\t-97.000000"))
+    val skippedFips = lines.filter(_.startsWith("#SKIPPED"))
+      .map(_.split("\t")(1)).toSet
+    assert(skippedFips == skipped)
+    assert(lines.exists(l => !l.startsWith("#") && live.contains(l.split("\t")(1))))
+
+    // .ncf: projection header populated from GRIDDESC; only live counties
+    // accumulate (the Fortran skips '#' comment lines)
+    val (h, back) = Ioapi.read(spark, ncf, dropZeros = true)
+    assert(h.gdtyp == 2 && h.pAlp == 33.0 && h.pBet == 45.0 &&
+           h.pGam == -97.0 && h.xcent == -97.0 && h.ycent == 40.0)
+    val want = out.groupBy("col", "row").agg(sum("frac").as("s")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val got = back.collect()
+      .map(r => (r.getInt(4), r.getInt(3)) -> r.getDouble(5)).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-6, s"$k") }
+  }
+
   test("SpatialAllocator OVERLAY + FILTER_SHAPE + CONVERT_SHAPE modes run") {
     val dataDir = tmp("cli-ov")
     TpchGeo.points(spark, sfDir).write.mode("overwrite").parquet(s"$dataDir/points")

@@ -23,6 +23,17 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Smoke.parseHeader(h) == GridCatalog.M08_NASH)
   }
 
+  test("projInfoFor maps GRIDDESC ctypes like allocate.c's cname table") {
+    import graft.sources.GridDesc.CoordSys
+    val lcc = Smoke.projInfoFor(CoordSys("LAM", 2, 33, 45, -97, -97, 40))
+    assert(lcc == Smoke.ProjInfo("LAMBERT", "meters", 33, 45, -97, -97, 40))
+    val ll = Smoke.projInfoFor(CoordSys("LL", 1, 0, 0, 0, 0, 0))
+    assert(ll.name == "LAT-LON" && ll.units == "degrees")
+    // POLGRD3 writes (gamma, alpha, beta) — allocate.c:791-810
+    val pol = Smoke.projInfoFor(CoordSys("POL", 6, 1, 2, 3, -98, 90))
+    assert(pol == Smoke.ProjInfo("POLGRD3", "meters", 3, 1, 2, -98, 90))
+  }
+
   test("data / remainder / skipped rows render and round-trip") {
     import spark.implicits._
     // county 47001 sums to 0.75 → remainder; 47002 below threshold → skipped

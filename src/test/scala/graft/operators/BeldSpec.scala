@@ -35,6 +35,24 @@ class BeldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qa.head.getAs[Int]("col") == 2 && qa.head.getAs[Double]("pctdiff") == -3.0)
   }
 
+  test("merge3 checks cells present in only one file; domainCells covers absent cells") {
+    import spark.implicits._
+    // sparse inputs (dropZeros): cell (1,1) appears only in _a with 60.0 —
+    // beld3smk.c:496-509 checks every cell, so it must be flagged (total 60)
+    val a = Seq((1, 1, 1, 60.0)).toDF("tile", "col", "row", "v_a")
+    val b = Seq((1, 2, 1, 100.0)).toDF("tile", "col", "row", "v_b")
+    val tot = Seq((1, 1, 1, 5.0)).toDF("tile", "col", "row", "FOREST")
+    val m = Beld.merge3(a, b, tot, Seq("v_a"), Seq("v_b"))
+    val qa = m.qa.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(qa == Map((1, 1) -> 60.0)) // b-only cell (2,1) totals 100 → clean
+    // with the domain cell list, a cell in NEITHER file (3,1) is flagged at 0
+    val cells = Seq((1, 1), (2, 1), (3, 1)).toDF("col", "row")
+    val m2 = Beld.merge3(a, b, tot, Seq("v_a"), Seq("v_b"),
+      domainCells = Some(cells))
+    val qa2 = m2.qa.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(qa2 == Map((1, 1) -> 60.0, (3, 1) -> 0.0))
+  }
+
   test("merge3 is width-agnostic: BELD4's 276 variables in one aggregation") {
     import spark.implicits._
     val varsA = (0 until 138).map(i => s"w_$i")

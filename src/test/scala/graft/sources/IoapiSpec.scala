@@ -83,6 +83,23 @@ class IoapiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getInt(3), r.getInt(4), r.getDouble(5)) == ((2, 3, 42.0)))
   }
 
+  test("write accumulates duplicate cell rows deterministically") {
+    import spark.implicits._
+    // three rows land on the same (var,tstep,layer,row,col): the file
+    // must hold their sum (convert_txt2ncf.f's VAL_IN accumulation), not
+    // whichever row happened to collect last
+    val p = tmp("dup.ncf")
+    val h = headerFor(grid, Seq(VarDef("X", vtype = NetCDF.NC_DOUBLE)))
+    val dup = Seq(
+      ("X", 0, 1, 2, 3, 1.25), ("X", 0, 1, 2, 3, 2.5), ("X", 0, 1, 2, 3, 4.0),
+      ("X", 0, 1, 1, 1, 7.0)
+    ).toDF("var", "tstep", "layer", "row", "col", "value").repartition(4)
+    Ioapi.write(dup, h, p)
+    val (_, df) = Ioapi.read(spark, p, dropZeros = true)
+    val m = df.collect().map(r => (r.getInt(4), r.getInt(3)) -> r.getDouble(5)).toMap
+    assert(m == Map((3, 2) -> 7.75, (1, 1) -> 7.0))
+  }
+
   test("srg2ncf accumulates fractions per cell like convert_txt2ncf") {
     import spark.implicits._
     val srg = Seq(

@@ -132,6 +132,30 @@ class NetCdfSpec extends AnyFunSuite {
     assert(Files.size(Paths.get(p)) == 96 + 18)
   }
 
+  test("reader rejects out-of-range nc_type tags with the codec's error") {
+    // variable type field sits 12 bytes before the data (begin, vsize,
+    // type ints); patch NC_INT → 7 (a CDF-5 type)
+    val bytes = goldenBytes()
+    val vtypeOff = bytes.length - 24
+    assert(java.nio.ByteBuffer.wrap(bytes).getInt(vtypeOff) == NC_INT)
+    java.nio.ByteBuffer.wrap(bytes).putInt(vtypeOff, 7)
+    val p = tmp("badvtype.nc")
+    Files.write(Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](NetCDF.read(p))
+    assert(e.getMessage.contains("unsupported nc_type 7") &&
+           e.getMessage.contains("variable 'v'"))
+    // attribute type field: header prefix (28) + gatt tag/count (8) +
+    // name "title" (12) → offset 48
+    val bytes2 = goldenBytes()
+    assert(java.nio.ByteBuffer.wrap(bytes2).getInt(48) == NC_CHAR)
+    java.nio.ByteBuffer.wrap(bytes2).putInt(48, 9)
+    val p2 = tmp("badatype.nc")
+    Files.write(Paths.get(p2), bytes2)
+    val e2 = intercept[IllegalArgumentException](NetCDF.read(p2))
+    assert(e2.getMessage.contains("unsupported nc_type 9") &&
+           e2.getMessage.contains("attribute 'title'"))
+  }
+
   test("reader rejects netCDF-4/HDF5 and non-netCDF files") {
     val p = tmp("bad.nc")
     Files.write(Paths.get(p), Array[Byte](0x89.toByte, 'H', 'D', 'F'))
