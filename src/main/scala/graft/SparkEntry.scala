@@ -368,6 +368,36 @@ object SparkEntry {
       back.select("col", "row", "value").orderBy("row", "col")
     }),
 
+    // --- OCEANfile AreaPercent through the BINARY envelope (allocateIoapi
+    // ALL_AREAPERCENT mode, SA_ch03_vector.md:887: "the only output format
+    // currently supported for this new mode is IoapiFile"): q31's per-cell
+    // category fractions become one M3DBLE variable per category, written
+    // as a real .ncf and read back sparse — the oracle is q31's own SQL,
+    // proving the format round trip is lossless on the fractions.
+    "q68_oceanfile" -> ((s, dir) => {
+      import graft.sources.{Ioapi, NetCDF}
+      val pct = Allocate.areaPercent(
+        TpchGeo.tracts(s, dir).withColumn("category",
+          substring(col("p_partkey").cast("string"), -1, 1)),
+        "category", grid)
+      val cats = pct.select("category").distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
+      val long = pct
+        .withColumn("var", concat(lit("CAT_"), col("category")))
+        .withColumn("tstep", lit(0)).withColumn("layer", lit(1))
+        .select(col("var"), col("tstep"), col("layer"), col("row"),
+          col("col"), col("pct").as("value"))
+      val path = s"/tmp/graft_ocean_${dir.replaceAll("[^A-Za-z0-9]", "_")}.ncf"
+      Ioapi.write(long, Ioapi.headerFor(grid,
+        cats.map(c => Ioapi.VarDef(s"CAT_$c", "fraction",
+          vtype = NetCDF.NC_DOUBLE))), path, numRecs = 1)
+      val (_, back) = Ioapi.read(s, path, dropZeros = true)
+      back.select(col("col"), col("row"),
+          substring(col("var"), 5, 1).as("category"),
+          col("value").as("pct"))
+        .orderBy("row", "col", "category")
+    }),
+
     // --- I/O API-shaped gridded allocate (allocateIoapi.c, raster→vector):
     // a (var, tstep, row, col, value) gridded table regrids onto the tract
     // polygons — Σ value·overlap/cellArea per (tract, var), summed across
@@ -786,6 +816,19 @@ object SparkEntry {
       s"""SELECT col, "row", sum(frac) AS value
          |FROM ($srgPointStmt)
          |GROUP BY 1, 2 ORDER BY "row", col""".stripMargin,
+
+    "q68_oceanfile" ->
+      s"""WITH tr AS (${TpchGeo.tractsSql}),
+         |cl AS (${TpchGeo.cellsSql}),
+         |fr AS (
+         |  SELECT col, "row",
+         |    substr(CAST(p_partkey AS VARCHAR), -1, 1) AS category,
+         |    greatest(0, least(tx0+512, gx0+1000) - greatest(tx0, gx0)) *
+         |    greatest(0, least(ty0+512, gy0+1000) - greatest(ty0, gy0)) AS ca
+         |  FROM tr CROSS JOIN cl)
+         |SELECT col, "row", category, sum(ca) / 1000000.0 AS pct
+         |FROM fr WHERE ca > 0 GROUP BY 1, 2, 3
+         |ORDER BY "row", col, category""".stripMargin,
 
     "q49_ioapi_alloc" ->
       s"""WITH tr AS (${TpchGeo.tractsSql}),

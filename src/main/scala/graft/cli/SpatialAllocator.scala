@@ -168,22 +168,98 @@ object SpatialAllocator {
       case "ALLOCATE" =>
         val input = applyFilter(readLayer(req("INPUT_FILE_NAME"),
           cfg.getOrElse("INPUT_FILE_TYPE", "Polygon")))
-        val output = spark.read.parquet(req("OUTPUT_POLY_FILE"))
-          .withColumnRenamed(cfg.getOrElse("OUTPUT_POLY_ATTRS", "out_id"), "out_id")
-        val modes = req("ALLOCATE_ATTRS").split(",").map { kv =>
-          val Array(a, m) = kv.trim.split("=")
-          a -> (m match {
-            case "Aggregate" => Allocate.Aggregate
-            case "Average" => Allocate.Average
-            case "DiscreteOverlap" => Allocate.DiscreteOverlap
-            case "DiscreteCentroid" => Allocate.DiscreteCentroid
-            case other => throw new IllegalArgumentException(s"mode $other")
-          })
+        val modeSpecs = req("ALLOCATE_ATTRS").split(",").map { kv =>
+          val Array(a, m) = kv.trim.split("="); (a, m)
         }.toSeq
-        val out = Allocate.allocate(input, output, modes, domain, zres)
-        cfg.get("OUTPUT_FILE_NAME").foreach(p =>
-          out.coalesce(1).write.mode("overwrite").parquet(p))
-        Some(out)
+        val toIoapi = cfg.get("OUTPUT_FILE_TYPE").contains("IoapiFile")
+
+        // gridded .ncf sink shared by both IoapiFile paths: long rows
+        // (var, tstep, layer, row, col, value) under the GRIDDESC header
+        def writeNcf(long: DataFrame, vars: Seq[String], path: String): Unit = {
+          import graft.sources.{Ioapi, NetCDF}
+          val g = grid(); val c = gdEntry().map(_.coord)
+          // NC_DOUBLE (M3DBLE) keeps allocated doubles bit-exact in the file
+          val h = Ioapi.headerFor(g,
+            vars.map(v => Ioapi.VarDef(v, vtype = NetCDF.NC_DOUBLE)),
+            gdtyp = c.map(_.ctype).getOrElse(2),
+            pAlp = c.map(_.alpha).getOrElse(30.0),
+            pBet = c.map(_.beta).getOrElse(60.0),
+            pGam = c.map(_.gamma).getOrElse(-90.0),
+            xcent = c.map(_.xcent).getOrElse(-90.0),
+            ycent = c.map(_.ycent).getOrElse(40.0))
+          Ioapi.write(long, h, path, numRecs = 1)
+        }
+
+        if (modeSpecs.exists(_._2 == "AreaPercent")) {
+          // OCEANfile mode (alloc_mode ALL_AREAPERCENT, allocateIoapi.c:
+          // 500-530; SA_ch03_vector.md:887): fraction of each grid cell
+          // covered by each category of one input attribute — one I/O API
+          // variable per category value; IoapiFile is the only output
+          // format the reference supports for this mode
+          require(modeSpecs.size == 1,
+            "AreaPercent runs alone (ALL_AREAPERCENT replaces the attr list)")
+          require(toIoapi,
+            "AreaPercent output supports only OUTPUT_FILE_TYPE=IoapiFile " +
+              "(SA_ch03_vector.md:887)")
+          val attr = modeSpecs.head._1
+          val pct = Allocate.areaPercent(input, attr, grid())
+          cfg.get("OUTPUT_FILE_NAME").foreach { p =>
+            val cats = pct.select("category").distinct().collect()
+              .map(_.get(0).toString).sorted.toSeq
+            val long = pct
+              .withColumn("var", col("category").cast("string"))
+              .withColumn("tstep", lit(0)).withColumn("layer", lit(1))
+              .select("var", "tstep", "layer", "row", "col", "pct")
+              .withColumnRenamed("pct", "value")
+            writeNcf(long, cats, p)
+          }
+          Some(pct)
+        } else {
+          val modes = modeSpecs.map { case (a, m) =>
+            a -> (m match {
+              case "Aggregate" => Allocate.Aggregate
+              case "Average" => Allocate.Average
+              case "DiscreteOverlap" => Allocate.DiscreteOverlap
+              case "DiscreteCentroid" => Allocate.DiscreteCentroid
+              case other => throw new IllegalArgumentException(s"mode $other")
+            })
+          }
+          if (toIoapi) {
+            // allocateIoapi.c:545-548: the output "polygons" ARE the
+            // OUTPUT_GRID_NAME cells (nObjects must equal nrows*ncols);
+            // every attribute lands as one M3 variable
+            require(modes.forall(m => m._2 == Allocate.Aggregate ||
+                                      m._2 == Allocate.Average),
+              "IoapiFile output holds numeric M3 variables: use " +
+                "Aggregate/Average modes (allocateIoapi.c vtype M3REAL)")
+            val g = grid()
+            val cells = Sources.regularGrid(spark, g)
+              .withColumnRenamed("cell_id", "out_id")
+            val out = Allocate.allocate(input, cells, modes, domain, zres)
+            cfg.get("OUTPUT_FILE_NAME").foreach { p =>
+              val attrs = modes.map(_._1)
+              val stackArgs = attrs
+                .map(a => s"'$a', CAST(`$a` AS DOUBLE)").mkString(", ")
+              val long = out.selectExpr("out_id",
+                  s"stack(${attrs.length}, $stackArgs) AS (var, value)")
+                .withColumn("col", (col("out_id") % g.ncols).cast("int") + 1)
+                .withColumn("row", (col("out_id") / g.ncols).cast("int") + 1)
+                .withColumn("tstep", lit(0)).withColumn("layer", lit(1))
+                .where(col("value").isNotNull)
+                .select("var", "tstep", "layer", "row", "col", "value")
+              writeNcf(long, attrs, p)
+            }
+            Some(out)
+          } else {
+            val output = spark.read.parquet(req("OUTPUT_POLY_FILE"))
+              .withColumnRenamed(
+                cfg.getOrElse("OUTPUT_POLY_ATTRS", "out_id"), "out_id")
+            val out = Allocate.allocate(input, output, modes, domain, zres)
+            cfg.get("OUTPUT_FILE_NAME").foreach(p =>
+              out.coalesce(1).write.mode("overwrite").parquet(p))
+            Some(out)
+          }
+        }
 
       case "OVERLAY" =>
         val input = readLayer(req("INPUT_FILE_NAME"),

@@ -87,6 +87,10 @@ object Ioapi {
   def write(df: DataFrame, header: Header, path: String,
             numRecs: Int = -1): Unit = {
     val h = header
+    // VAR-LIST packs names into 16-byte fields (NAMLEN3); a longer name
+    // would silently truncate and corrupt the list on read-back
+    h.vars.foreach(v => require(v.name.length <= 16,
+      s"$path: variable name '${v.name}' exceeds I/O API NAMLEN3 (16 chars)"))
     val cells = h.ncols.toLong * h.nrows * h.nlays
     val haveLayer = df.columns.contains("layer")
     val rows = df.select(col("var"), col("tstep").cast("int"),

@@ -206,6 +206,59 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() > 0)
   }
 
+  test("ALLOCATE writes I/O API output: grid-cell allocate and AreaPercent (OCEANfile)") {
+    import graft.sources.{Ioapi, Sources}
+    val dir = tmp("cli-allocncf")
+    val tracts = TpchGeo.tracts(spark, sfDir).withColumn("category",
+      substring(col("p_partkey").cast("string"), -1, 1))
+    tracts.write.mode("overwrite").parquet(s"$dir/tracts")
+
+    // OUTPUT_FILE_TYPE=IoapiFile: output polys ARE the grid cells
+    // (allocateIoapi.c:545-548), every attr becomes one M3 variable
+    val ncf = s"$dir/alloc.ncf"
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "ALLOCATE",
+      "OUTPUT_GRID_NAME" -> "TEST8",
+      "INPUT_FILE_NAME" -> s"$dir/tracts",
+      "INPUT_FILE_TYPE" -> "Polygon",
+      "ALLOCATE_ATTRS" -> "p_size=Aggregate",
+      "OUTPUT_FILE_TYPE" -> "IoapiFile",
+      "OUTPUT_FILE_NAME" -> ncf)).get
+    val (h, back) = Ioapi.read(spark, ncf, dropZeros = true)
+    assert(h.vars.map(_.name) == Seq("p_size") &&
+           h.vars.head.vtype == graft.sources.NetCDF.NC_DOUBLE)
+    val direct = graft.operators.Allocate.allocate(tracts,
+      Sources.regularGrid(spark, TpchGeo.grid).withColumnRenamed("cell_id", "out_id"),
+      Seq("p_size" -> graft.operators.Allocate.Aggregate),
+      TpchGeo.domain, TpchGeo.zres)
+    val want = direct.where(col("p_size") =!= 0.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = back.collect().map(r =>
+      ((r.getInt(3) - 1).toLong * 8 + (r.getInt(4) - 1)) -> r.getDouble(5)).toMap
+    assert(got == want && got.nonEmpty)
+    assert(out.count() == direct.count())
+
+    // AreaPercent → OCEANfile: one variable per category value
+    val ocean = s"$dir/ocean.ncf"
+    SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "ALLOCATE",
+      "OUTPUT_GRID_NAME" -> "TEST8",
+      "INPUT_FILE_NAME" -> s"$dir/tracts",
+      "INPUT_FILE_TYPE" -> "Polygon",
+      "ALLOCATE_ATTRS" -> "category=AreaPercent",
+      "OUTPUT_FILE_TYPE" -> "IoapiFile",
+      "OUTPUT_FILE_NAME" -> ocean))
+    val (h2, back2) = Ioapi.read(spark, ocean, dropZeros = true)
+    val directPct = graft.operators.Allocate.areaPercent(tracts, "category", TpchGeo.grid)
+    assert(h2.vars.map(_.name).toSet ==
+      directPct.select("category").distinct().collect().map(_.getString(0)).toSet)
+    val wantPct = directPct.collect()
+      .map(r => (r.getString(2), r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val gotPct = back2.collect()
+      .map(r => (r.getString(0), r.getInt(4), r.getInt(3)) -> r.getDouble(5)).toMap
+    assert(gotPct == wantPct && gotPct.nonEmpty)
+  }
+
   test("SURROGATE mode writes srg2ncf output; shapefile front door works") {
     import graft.sources.{Ioapi, Shapefile}
     val dir = tmp("cli-ncfout")
