@@ -109,10 +109,41 @@ object EntryPipeline {
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
         .orderBy("source")
-    })
+    }),
+
+    // span-level exact substring dedup (Lee et al. 2022): duplicated
+    // 7-token windows cut from every occurrence but the globally-first
+    "q69_span_dedup" -> ((s, dir) =>
+      PipelineOps.spanDedup(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 7)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          col("text_clean"))
+        .orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
+    "q69_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 5)) AS i FROM w),
+        |occ AS (SELECT doc_id, i - 1 AS pos,
+        |          array_to_string(ws[i:i+6], ' ') AS g FROM t),
+        |r AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS c
+        |      FROM occ),
+        |marks AS (SELECT doc_id, pos FROM r WHERE c >= 2 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+        |        FROM marks CROSS JOIN range(7) rr(j)),
+        |tok AS (SELECT doc_id, unnest(ws) AS tok,
+        |          unnest(range(len(ws))) AS idx FROM w),
+        |agg AS (SELECT t.doc_id, count(*) AS n_tokens, count(c.idx) AS n_removed,
+        |          coalesce(string_agg(CASE WHEN c.idx IS NULL THEN t.tok END,
+        |            ' ' ORDER BY t.idx), '') AS text_clean
+        |        FROM tok t LEFT JOIN cov c
+        |          ON t.doc_id = c.doc_id AND t.idx = c.idx
+        |        GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_removed, text_clean
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q58_paragraph_dedup" ->
       s"""WITH corpus AS (${TextFixtures.paraCorpusSql}),
          |p AS (SELECT doc_id,

@@ -350,4 +350,94 @@ object PipelineOps {
         when(col("n_bigrams") === 0, lit(0.0))
           .otherwise(col("top_bigram_cnt").cast("double")
             / col("n_bigrams").cast("double")))
+
+  // ------------------------------------------------- span-level exact dedup
+
+  /** k-token window hashes per doc: 64-bit FNV-1a per token once, then one
+    * FNV combine per window — O(chars + windows·k), doc-local. A UDF (not
+    * `transform`) for the same project-collapse reason as bigramStatsUdf. */
+  private val windowHashesUdf = udf((ws: Seq[String], k: Int) => {
+    if (ws == null || ws.length < k) Seq.empty[Long]
+    else {
+      val th = new Array[Long](ws.length)
+      var t = 0
+      while (t < ws.length) {
+        var h = 0xcbf29ce484222325L
+        val s = ws(t); var c = 0
+        while (c < s.length) { h ^= s.charAt(c); h *= 0x100000001b3L; c += 1 }
+        th(t) = h; t += 1
+      }
+      (0 to ws.length - k).map { i =>
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + k) { h = (h ^ th(j)) * 0x100000001b3L; j += 1 }
+        h
+      }
+    }
+  })
+
+  /** Token-coverage span removal: every marked window start covers tokens
+    * [pos, pos+k); overlapping windows merge naturally through coverage.
+    * Returns (n_tokens, n_removed, cleaned text). */
+  private val removeSpansUdf =
+    udf((ws: Seq[String], marks: Seq[Int], k: Int) => {
+      val n = ws.length
+      val covered = new Array[Boolean](n)
+      if (marks != null) marks.foreach { p =>
+        var j = p
+        val end = math.min(p + k, n)
+        while (j < end) { covered(j) = true; j += 1 }
+      }
+      val kept = new StringBuilder
+      var removed = 0
+      var i = 0
+      while (i < n) {
+        if (covered(i)) removed += 1
+        else { if (kept.nonEmpty) kept += ' '; kept ++= ws(i) }
+        i += 1
+      }
+      (n.toLong, removed.toLong, kept.toString)
+    })
+
+  /** Cross-document EXACT substring dedup at SPAN level (the "deduplicating
+    * training data" pass of Lee et al. 2022, arXiv:2107.06499): every
+    * k-token window occurring more than once in the corpus is removed from
+    * every occurrence except the globally-first one — "first" = min
+    * (doc id, window position), deterministic under any partitioning.
+    * Unlike doc-level dedup (TextOps) or paragraph dedup, this cuts the
+    * repeated SPAN out of otherwise-unique documents (boilerplate,
+    * licenses, quoted passages).
+    *
+    * Output: one row per doc — (id, n_tokens, n_removed, text_clean).
+    *
+    * Scale: window hashes are computed doc-locally and ONLY (hash, id, pos)
+    * rides the duplicate-detection shuffle; the survivor is one min(struct)
+    * aggregation per hash with map-side partial `count`; marks rejoin `occ`
+    * on the same hash key (AQE reuses the exchange) and collapse to a small
+    * per-doc position list before text reappears at the final id join —
+    * document text never rides any shuffle. Same plan shape as
+    * paragraphDedup with a window emitter instead of a paragraph splitter. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 50): DataFrame = {
+    require(k >= 2, s"span window must cover at least 2 tokens (got $k)")
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+    val occ = toks.select(col("id"),
+      posexplode(windowHashesUdf(col("ws"), lit(k))).as(Seq("pos", "wh")))
+    val dups = occ.groupBy("wh")
+      .agg(count(lit(1)).as("__c"),
+           min(struct(col("id"), col("pos"))).as("__first"))
+      .where(col("__c") >= 2)
+      .select(col("wh"), col("__first.id").as("__fid"),
+        col("__first.pos").as("__fpos"))
+    val marks = occ.join(dups, "wh")
+      .where(col("id") =!= col("__fid") || col("pos") =!= col("__fpos"))
+      .groupBy("id").agg(sort_array(collect_set(col("pos"))).as("__marks"))
+    toks.join(marks, Seq("id"), "left_outer")
+      .select(col("id"),
+        removeSpansUdf(col("ws"), col("__marks"), lit(k)).as("__r"))
+      .select(col("id"),
+        col("__r._1").as("n_tokens"),
+        col("__r._2").as("n_removed"),
+        col("__r._3").as("text_clean"))
+  }
 }

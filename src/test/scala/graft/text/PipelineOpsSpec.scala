@@ -259,4 +259,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
   }
+
+  // ---------------------------------------------------- span-level dedup
+
+  test("spanDedup removes duplicated spans except the globally-first occurrence") {
+    // doc 1 and doc 2 share the 3-gram "x y z"; doc 1 is first → doc 2
+    // loses those 3 tokens. doc 3 is untouched; doc 4 is shorter than k.
+    val df = docs(
+      1L -> "a b x y z c",
+      2L -> "p q x y z r s",
+      3L -> "unique tokens only here",
+      4L -> "too short")
+    val out = PipelineOps.spanDedup(df, "doc_id", "text", k = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 0L, "a b x y z c"),
+      (2L, 7L, 3L, "p q r s"),
+      (3L, 4L, 0L, "unique tokens only here"),
+      (4L, 2L, 0L, "too short")))
+  }
+
+  test("spanDedup merges overlapping self-repeats through token coverage") {
+    // "a a a a a" with k=2: windows 0-3 all hash alike; survivor (1, 0)
+    // keeps tokens 0-1, marks 1,2,3 cover tokens 1-4 → only token 0 kept
+    val out = PipelineOps.spanDedup(docs(1L -> "a a a a a"), "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq((5L, 4L, "a")))
+  }
+
+  test("spanDedup shuffles hashes and ids only — never document text") {
+    val df = docs(1L -> "a b c d", 2L -> "a b c d")
+    val plan = PipelineOps.spanDedup(df, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    // shuffles key on the window hash and the doc id only…
+    assert(plan.contains("Exchange hashpartitioning(wh#"), plan)
+    assert(plan.contains("Exchange hashpartitioning(id#"), plan)
+    // …and no exchange or aggregate row ever carries the token array / text
+    plan.split("\n")
+      .filter(l => l.contains("Exchange") || l.contains("Aggregate"))
+      .foreach(l => assert(!l.contains("ws#") && !l.contains("text#"),
+        s"document text in a wide operator:\n$l"))
+  }
 }
