@@ -118,8 +118,47 @@ object EntryPipeline {
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 7)
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
           col("text_clean"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // latest-capture-wins per canonical URL (re-crawl snapshots collapse
+    // to the newest fetch; id tiebreak on equal timestamps)
+    "q70_latest_capture" -> ((s, dir) => {
+      val caps = TextFixtures.urlCorpus(s, dir)
+        .withColumn("warc_ts",
+          to_timestamp(lit(1600000000L) + (col("doc_id") % 19) * 3600L))
+      PipelineOps.latestCapture(caps, "doc_id", "url", "warc_ts")
+        .select(col("id").as("doc_id"), col("canon_hash"), col("n_captures"),
+          col("kept").cast("int").as("kept"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** SQL twin of PipelineOps.canonicalizeUrl/urlDomain as a CTE chain:
+    * expects `u(doc_id, url)`, yields `c(doc_id, canon, domain)`. Shared by
+    * the q61 and q70 oracles so the two can never drift apart. */
+  private val urlCanonChainSql: String =
+    """s AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
+      |e AS (SELECT doc_id, url, nofrag,
+      |        regexp_extract(nofrag, '^([a-zA-Z]+://[^/]*)', 1) AS shraw
+      |      FROM s),
+      |r AS (SELECT doc_id, url, shraw,
+      |        substr(nofrag, length(shraw) + 1) AS rest FROM e),
+      |p AS (SELECT doc_id, url, shraw, rest,
+      |        regexp_extract(rest, '^[^?]*', 0) AS path FROM r),
+      |q AS (SELECT doc_id, url, shraw, path,
+      |        CASE WHEN length(rest) > length(path)
+      |             THEN '&' || substr(rest, length(path) + 2) ELSE '' END AS qnorm
+      |      FROM p),
+      |qc AS (SELECT doc_id, url, shraw, path,
+      |         regexp_replace(qnorm, '&(utm_[a-z]+|ref)=[^&]*', '', 'g') AS qclean
+      |       FROM q),
+      |c AS (SELECT doc_id,
+      |        regexp_replace(lower(shraw), ':(80|443)$', '') || path ||
+      |        (CASE WHEN length(qclean) > 1 THEN '?' || substr(qclean, 2) ELSE '' END) AS canon,
+      |        regexp_replace(
+      |          lower(regexp_extract(url, '^[a-zA-Z]+://([^/:]*)', 1)),
+      |          '^www\.', '', 'g') AS domain
+      |      FROM qc)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q69_span_dedup" ->
@@ -184,31 +223,25 @@ object EntryPipeline {
 
     "q61_url_canon" ->
       s"""WITH u AS (${TextFixtures.urlCorpusSql}),
-         |s AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
-         |e AS (SELECT doc_id, url, nofrag,
-         |        regexp_extract(nofrag, '^([a-zA-Z]+://[^/]*)', 1) AS shraw
-         |      FROM s),
-         |r AS (SELECT doc_id, url, shraw,
-         |        substr(nofrag, length(shraw) + 1) AS rest FROM e),
-         |p AS (SELECT doc_id, url, shraw, rest,
-         |        regexp_extract(rest, '^[^?]*', 0) AS path FROM r),
-         |q AS (SELECT doc_id, url, shraw, path,
-         |        CASE WHEN length(rest) > length(path)
-         |             THEN '&' || substr(rest, length(path) + 2) ELSE '' END AS qnorm
-         |      FROM p),
-         |qc AS (SELECT doc_id, url, shraw, path,
-         |         regexp_replace(qnorm, '&(utm_[a-z]+|ref)=[^&]*', '', 'g') AS qclean
-         |       FROM q),
-         |c AS (SELECT doc_id,
-         |        regexp_replace(lower(shraw), ':(80|443)$$', '') || path ||
-         |        (CASE WHEN length(qclean) > 1 THEN '?' || substr(qclean, 2) ELSE '' END) AS canon,
-         |        regexp_replace(
-         |          lower(regexp_extract(url, '^[a-zA-Z]+://([^/:]*)', 1)),
-         |          '^www\\.', '', 'g') AS domain
-         |      FROM qc)
+         |$urlCanonChainSql
          |SELECT doc_id, canon, domain,
          |  count(*) OVER (PARTITION BY canon) AS canon_dups
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q70_latest_capture" ->
+      s"""WITH u AS (${TextFixtures.urlCorpusSql}),
+         |$urlCanonChainSql,
+         |cap AS (SELECT doc_id, canon,
+         |          to_timestamp(1600000000 + (doc_id % 19) * 3600) AS ts
+         |        FROM c),
+         |g AS (SELECT doc_id, md5(canon) AS canon_hash,
+         |        count(*) OVER (PARTITION BY canon) AS n_captures,
+         |        row_number() OVER (PARTITION BY canon
+         |                           ORDER BY ts DESC, doc_id DESC) AS rn
+         |      FROM cap)
+         |SELECT doc_id, canon_hash, n_captures,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // LEFT JOIN from documents: a doc with < 2 tokens has no bigram rows in
     // the group chain but must still emit a (0,0,0,0.0,0.0) row (matching

@@ -351,6 +351,36 @@ object PipelineOps {
           .otherwise(col("top_bigram_cnt").cast("double")
             / col("n_bigrams").cast("double")))
 
+  // --------------------------------------------------- latest-capture dedup
+
+  /** Latest-capture-wins per canonical URL (the re-crawl rule: a page
+    * fetched in many snapshots keeps only its newest capture). Returns the
+    * narrow DECISION table — (id, canon_hash, n_captures, kept) — not the
+    * filtered corpus: at 10^12 pages the corpus filter is a semi-join the
+    * caller runs against their own row shape, while the decision computes
+    * entirely over (hash, id, ts) triples.
+    *
+    * kept = the capture with max (ts, id) in its canonical group; the id
+    * tiebreak makes equal-timestamp re-captures deterministic under any
+    * partitioning.
+    *
+    * Scale: canonicalization + hashing are map-side; the one shuffle keys
+    * the 128-bit canon hash carrying (id, ts); winners rejoin on the same
+    * key (AQE reuses the exchange). URL strings never ride a shuffle. */
+  def latestCapture(df: DataFrame, idCol: String, urlCol: String,
+                    tsCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      md5(canonicalizeUrl(col(urlCol))).as("canon_hash"),
+      col(tsCol).as("__ts"))
+    val winners = keyed.groupBy("canon_hash")
+      .agg(max(struct(col("__ts"), col("id"))).as("__w"),
+           count(lit(1)).as("n_captures"))
+    keyed.join(winners, "canon_hash")
+      .select(col("id"), col("canon_hash"), col("n_captures"),
+        (col("__ts") === col("__w.__ts") && col("id") === col("__w.id"))
+          .as("kept"))
+  }
+
   // ------------------------------------------------- span-level exact dedup
 
   /** k-token window hashes per doc: 64-bit FNV-1a per token once, then one

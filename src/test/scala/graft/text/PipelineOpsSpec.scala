@@ -260,6 +260,31 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
   }
 
+  // -------------------------------------------------- latest-capture dedup
+
+  test("latestCapture keeps the newest capture per canonical URL, id tiebreak") {
+    val s = spark
+    import s.implicits._
+    val caps = Seq(
+      // one canonical page captured three times (case/port/tracking differ)
+      (1L, "https://a.com/p", 100L),
+      (2L, "HTTPS://A.COM:443/p?utm_source=x", 300L),
+      (3L, "https://a.com/p#frag", 200L),
+      // equal timestamps → higher id wins
+      (4L, "https://b.com/q", 500L),
+      (5L, "https://b.com/q", 500L),
+      // singleton
+      (6L, "https://c.com/r", 50L)
+    ).toDF("doc_id", "url", "ts")
+    val out = PipelineOps.latestCapture(caps, "doc_id", "url", "ts")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, false), (2L, 3L, true), (3L, 3L, false),
+      (4L, 2L, false), (5L, 2L, true),
+      (6L, 1L, true)))
+  }
+
   // ---------------------------------------------------- span-level dedup
 
   test("spanDedup removes duplicated spans except the globally-first occurrence") {
