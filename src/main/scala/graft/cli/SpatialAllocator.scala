@@ -102,6 +102,22 @@ object SpatialAllocator {
       case None => df
     }
 
+    // gridded .ncf sink shared by the IoapiFile output paths: long rows
+    // (var, tstep, layer, row, col, value) under the GRIDDESC header
+    def writeNcf(long: DataFrame, vars: Seq[graft.sources.Ioapi.VarDef],
+                 path: String, numRecs: Int = 1): Unit = {
+      import graft.sources.Ioapi
+      val g = grid(); val c = gdEntry().map(_.coord)
+      val h = Ioapi.headerFor(g, vars,
+        gdtyp = c.map(_.ctype).getOrElse(2),
+        pAlp = c.map(_.alpha).getOrElse(30.0),
+        pBet = c.map(_.beta).getOrElse(60.0),
+        pGam = c.map(_.gamma).getOrElse(-90.0),
+        xcent = c.map(_.xcent).getOrElse(-90.0),
+        ycent = c.map(_.ycent).getOrElse(40.0))
+      Ioapi.write(long, h, path, numRecs = numRecs)
+    }
+
     val result: Option[DataFrame] = req("MIMS_PROCESSING") match {
       case "SURROGATE" =>
         val counties = readLayer(req("DATA_FILE_NAME"), "Polygon")
@@ -155,15 +171,46 @@ object SpatialAllocator {
         // allocateIoapi.c: gridded I/O API data regrids onto the output
         // polygons — the gridded side hash-joins on (col, row), no
         // geometry kernel ever touches it
-        val (hdr, gridded) = graft.sources.Ioapi.read(spark,
+        val (hdr, nrec, gridded) = graft.sources.Ioapi.readWithRecs(spark,
           req("INPUT_FILE_NAME"), dropZeros = true)
-        val output = readLayer(req("OUTPUT_POLY_FILE"), "Polygon")
-          .withColumnRenamed(cfg.getOrElse("OUTPUT_POLY_ATTRS", "out_id"), "out_id")
-        val out = Allocate.gridToPoly(gridded, hdr.grid, output,
-          "out_id", "value", Seq("var"))
-        cfg.get("OUTPUT_FILE_NAME").foreach(p =>
-          out.coalesce(1).write.mode("overwrite").parquet(p))
-        Some(out)
+        if (cfg.get("OUTPUT_FILE_TYPE").contains("IoapiFile")) {
+          // grid→grid regrid ("convert data from one grid to another",
+          // SA_ch03_vector.md:756; beld3smk drives this per tile with
+          // ALLOC_MODE_FILE=ALL_AVERAGE): output polys ARE the
+          // OUTPUT_GRID_NAME cells. gridToPoly returns Σ v·overlap /
+          // inCellArea; AVERAGE rescales to the OUTPUT cell area.
+          val g = grid()
+          val cells = Sources.regularGrid(spark, g)
+            .withColumnRenamed("cell_id", "out_id")
+          val avg = cfg.getOrElse("ALLOC_MODE_FILE", "ALL_AGGREGATE") match {
+            case "ALL_AVERAGE"   => true
+            case "ALL_AGGREGATE" => false
+            case other => throw new IllegalArgumentException(
+              s"ALLOC_MODE_FILE=$other (IoapiFile output supports " +
+                "ALL_AVERAGE | ALL_AGGREGATE)")
+          }
+          val scale =
+            if (avg) (hdr.grid.xcell * hdr.grid.ycell) / (g.xcell * g.ycell)
+            else 1.0
+          val out = Allocate.gridToPoly(gridded, hdr.grid, cells,
+              "out_id", "value", Seq("var", "tstep"))
+            .withColumn("value", col("alloc") * scale)
+            .withColumn("col", (pmod(col("out_id"), lit(g.ncols)) + 1).cast("int"))
+            .withColumn("row", (floor(col("out_id") / g.ncols) + 1).cast("int"))
+            .withColumn("layer", lit(1))
+            .select("var", "tstep", "layer", "row", "col", "value")
+          cfg.get("OUTPUT_FILE_NAME").foreach(p =>
+            writeNcf(out, hdr.vars, p, numRecs = nrec))
+          Some(out)
+        } else {
+          val output = readLayer(req("OUTPUT_POLY_FILE"), "Polygon")
+            .withColumnRenamed(cfg.getOrElse("OUTPUT_POLY_ATTRS", "out_id"), "out_id")
+          val out = Allocate.gridToPoly(gridded, hdr.grid, output,
+            "out_id", "value", Seq("var"))
+          cfg.get("OUTPUT_FILE_NAME").foreach(p =>
+            out.coalesce(1).write.mode("overwrite").parquet(p))
+          Some(out)
+        }
 
       case "ALLOCATE" =>
         val input = applyFilter(readLayer(req("INPUT_FILE_NAME"),
@@ -172,23 +219,9 @@ object SpatialAllocator {
           val Array(a, m) = kv.trim.split("="); (a, m)
         }.toSeq
         val toIoapi = cfg.get("OUTPUT_FILE_TYPE").contains("IoapiFile")
-
-        // gridded .ncf sink shared by both IoapiFile paths: long rows
-        // (var, tstep, layer, row, col, value) under the GRIDDESC header
-        def writeNcf(long: DataFrame, vars: Seq[String], path: String): Unit = {
-          import graft.sources.{Ioapi, NetCDF}
-          val g = grid(); val c = gdEntry().map(_.coord)
-          // NC_DOUBLE (M3DBLE) keeps allocated doubles bit-exact in the file
-          val h = Ioapi.headerFor(g,
-            vars.map(v => Ioapi.VarDef(v, vtype = NetCDF.NC_DOUBLE)),
-            gdtyp = c.map(_.ctype).getOrElse(2),
-            pAlp = c.map(_.alpha).getOrElse(30.0),
-            pBet = c.map(_.beta).getOrElse(60.0),
-            pGam = c.map(_.gamma).getOrElse(-90.0),
-            xcent = c.map(_.xcent).getOrElse(-90.0),
-            ycent = c.map(_.ycent).getOrElse(40.0))
-          Ioapi.write(long, h, path, numRecs = 1)
-        }
+        // NC_DOUBLE (M3DBLE) keeps allocated doubles bit-exact in the file
+        def dblVars(names: Seq[String]) = names.map(v =>
+          graft.sources.Ioapi.VarDef(v, vtype = graft.sources.NetCDF.NC_DOUBLE))
 
         if (modeSpecs.exists(_._2 == "AreaPercent")) {
           // OCEANfile mode (alloc_mode ALL_AREAPERCENT, allocateIoapi.c:
@@ -211,7 +244,7 @@ object SpatialAllocator {
               .withColumn("tstep", lit(0)).withColumn("layer", lit(1))
               .select("var", "tstep", "layer", "row", "col", "pct")
               .withColumnRenamed("pct", "value")
-            writeNcf(long, cats, p)
+            writeNcf(long, dblVars(cats), p)
           }
           Some(pct)
         } else {
@@ -247,7 +280,7 @@ object SpatialAllocator {
                 .withColumn("tstep", lit(0)).withColumn("layer", lit(1))
                 .where(col("value").isNotNull)
                 .select("var", "tstep", "layer", "row", "col", "value")
-              writeNcf(long, attrs, p)
+              writeNcf(long, dblVars(attrs), p)
             }
             Some(out)
           } else {

@@ -221,6 +221,15 @@ object Ioapi {
     * keeps the frame sparse (the join side only needs non-zero cells). */
   def read(spark: SparkSession, path: String,
            dropZeros: Boolean = false): (Header, DataFrame) = {
+    val (h, _, df) = readWithRecs(spark, path, dropZeros)
+    (h, df)
+  }
+
+  /** Like read, also returning the file's record count — a sparse
+    * (dropZeros) frame can't recover it when trailing records are all
+    * zero, so writers that must preserve the time structure need it. */
+  def readWithRecs(spark: SparkSession, path: String,
+                   dropZeros: Boolean = false): (Header, Int, DataFrame) = {
     val f = NetCDF.read(path)
     val h = headerOf(f)
     val nrec = f.numRecs
@@ -260,7 +269,7 @@ object Ioapi {
       spark.sparkContext.parallelize(rows.toSeq,
         math.max(1, math.min(rows.length / 10000 + 1,
           spark.sparkContext.defaultParallelism))), schema)
-    (h, df)
+    (h, nrec, df)
   }
 
   // -------------------------------------------------------------- srg2ncf

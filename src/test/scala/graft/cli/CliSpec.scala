@@ -259,6 +259,131 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotPct == wantPct && gotPct.nonEmpty)
   }
 
+  test("DiffIoapi drives headerDiff + diffCells under the reference env contract") {
+    import graft.sources.{Ioapi, NetCDF}
+    import spark.implicits._
+    val dir = tmp("cli-diffioapi")
+    val g = graft.grid.GridSpec("TD", 0, 0, 1000, 1000, 2, 2)
+    val h = Ioapi.headerFor(g, Seq(Ioapi.VarDef("V", vtype = NetCDF.NC_DOUBLE)))
+    val base = Seq(("V", 0, 1, 1, 1, 10.0), ("V", 0, 1, 1, 2, 20.0),
+                   ("V", 0, 1, 2, 1, 0.0),  ("V", 0, 1, 2, 2, 40.0))
+      .toDF("var", "tstep", "layer", "row", "col", "value")
+    val pert = Seq(("V", 0, 1, 1, 1, 10.0), ("V", 0, 1, 1, 2, 30.0),
+                   ("V", 0, 1, 2, 1, 5.0),  ("V", 0, 1, 2, 2, 40.0))
+      .toDF("var", "tstep", "layer", "row", "col", "value")
+    Ioapi.write(base, h, s"$dir/orig.ncf", numRecs = 1)
+    Ioapi.write(pert, h, s"$dir/new.ncf", numRecs = 1)
+
+    val r = DiffIoapi.run(spark, Map("ORIG_FILE" -> s"$dir/orig.ncf",
+      "NEW_FILE" -> s"$dir/new.ncf", "TOLERANCE" -> "0.01"))
+    assert(r.headerIssues.isEmpty)
+    // (1,2) +50% flagged; (2,1) orig=0 NEVER flagged (diffioapi.c:264)
+    val d = r.cellDiffs.collect().map(x =>
+      (x.getAs[Int]("row"), x.getAs[Int]("col")) -> x.getAs[Double]("pctdiff")).toMap
+    assert(d == Map((1, 2) -> 50.0))
+
+    // header mismatch short-circuits with the C's message
+    val h2 = h.copy(xcell = 500.0)
+    Ioapi.write(base, h2, s"$dir/othergrid.ncf", numRecs = 1)
+    val r2 = DiffIoapi.run(spark, Map("ORIG_FILE" -> s"$dir/orig.ncf",
+      "NEW_FILE" -> s"$dir/othergrid.ncf", "TOLERANCE" -> "0.01"))
+    assert(r2.headerIssues.exists(_.contains("Grid descriptions do not match")))
+  }
+
+  test("ALLOCATE IoapiFile→IoapiFile regrids grid to grid (ALL_AVERAGE)") {
+    import graft.sources.{Ioapi, NetCDF}
+    import spark.implicits._
+    val dir = tmp("cli-regrid")
+    // fine grid 2×2 of 1000; coarse output 1×1 of 2000 → avg of the 4 cells
+    val fine = graft.grid.GridSpec("FINE", 0, 0, 1000, 1000, 2, 2)
+    Files.write(java.nio.file.Paths.get(s"$dir/GRIDDESC.txt"),
+      """'LAM'
+        |2, 33, 45, -97, -97, 40
+        |' '
+        |'COARSE'
+        |'LAM', 0, 0, 2000, 2000, 1, 1, 1
+        |' '""".stripMargin.getBytes("UTF-8"))
+    val data = Seq(("V", 0, 1, 1, 1, 10.0), ("V", 0, 1, 1, 2, 20.0),
+                   ("V", 0, 1, 2, 1, 30.0), ("V", 0, 1, 2, 2, 44.0))
+      .toDF("var", "tstep", "layer", "row", "col", "value")
+    Ioapi.write(data, Ioapi.headerFor(fine,
+      Seq(Ioapi.VarDef("V", vtype = NetCDF.NC_DOUBLE))), s"$dir/fine.ncf", numRecs = 1)
+
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "ALLOCATE",
+      "INPUT_FILE_NAME" -> s"$dir/fine.ncf",
+      "INPUT_FILE_TYPE" -> "IoapiFile",
+      "OUTPUT_FILE_TYPE" -> "IoapiFile",
+      "ALLOC_MODE_FILE" -> "ALL_AVERAGE",
+      "OUTPUT_GRID_NAME" -> "COARSE",
+      "GRIDDESC" -> s"$dir/GRIDDESC.txt",
+      "OUTPUT_FILE_NAME" -> s"$dir/coarse.ncf")).get
+    assert(out.collect().map(_.getAs[Double]("value")).toSeq == Seq(26.0))
+    val (h, back) = Ioapi.read(spark, s"$dir/coarse.ncf", dropZeros = true)
+    assert(h.ncols == 1 && h.nrows == 1 && h.pAlp == 33.0)
+    assert(back.collect().map(_.getDouble(5)).toSeq == Seq(26.0)) // (10+20+30+44)/4
+  }
+
+  test("Beld3Smk merges intersecting tiles onto the grid and QA-checks 100%") {
+    import graft.sources.{Ioapi, NetCDF}
+    import spark.implicits._
+    val dir = tmp("cli-beldsmk")
+    // output grid TESTB: 2×2 cells of 1000 over [0,2000]²
+    Files.write(java.nio.file.Paths.get(s"$dir/GRIDDESC.txt"),
+      """'LAM'
+        |2, 33, 45, -97, -97, 40
+        |' '
+        |'TESTB'
+        |'LAM', 0, 0, 1000, 1000, 2, 2, 1
+        |' '""".stripMargin.getBytes("UTF-8"))
+    // two half-domain tiles of 500-size cells + one far tile (pruned):
+    // each output cell averages 4 tile cells exactly (x/4 is dyadic)
+    val left  = graft.grid.GridSpec("T1", 0, 0, 500, 500, 2, 4)
+    val right = graft.grid.GridSpec("T2", 1000, 0, 500, 500, 2, 4)
+    val far   = graft.grid.GridSpec("T3", 90000, 0, 500, 500, 2, 4)
+    def tileRows(v: (Int, Int) => Double) = (for {
+      r <- 1 to 4; c <- 1 to 2
+    } yield ("LU", 0, 1, r, c, v(c, r))).toDF("var", "tstep", "layer", "row", "col", "value")
+    def hdrFor(g: graft.grid.GridSpec, vn: String) = Ioapi.headerFor(g,
+      Seq(Ioapi.VarDef(vn, vtype = NetCDF.NC_DOUBLE)))
+    def renamed(df: org.apache.spark.sql.DataFrame, vn: String) =
+      df.withColumn("var", lit(vn))
+    // v_a = 60 everywhere except tile2's upper-right out-cell patch = 61;
+    // v_b = 40 → totals 100 except out cell (2,2) = 101
+    val aLeft  = renamed(tileRows((_, _) => 60.0), "v_a")
+    val aRight = renamed(tileRows((c, r) => if (r >= 3) 61.0 else 60.0), "v_a")
+    val bAll   = (g: String) => renamed(tileRows((_, _) => 40.0), "v_b")
+    val totAll = renamed(tileRows((c, r) => (c + r).toDouble), "FOREST")
+    Ioapi.write(aLeft, hdrFor(left, "v_a"), s"$dir/b3_a.tile1.nzero.ncf", numRecs = 1)
+    Ioapi.write(aRight, hdrFor(right, "v_a"), s"$dir/b3_a.tile2.nzero.ncf", numRecs = 1)
+    Ioapi.write(renamed(tileRows((_, _) => 60.0), "v_a"),
+      hdrFor(far, "v_a"), s"$dir/b3_a.tile3.nzero.ncf", numRecs = 1)
+    Ioapi.write(bAll("l"), hdrFor(left, "v_b"), s"$dir/b3_b.tile1.nzero.ncf", numRecs = 1)
+    Ioapi.write(bAll("r"), hdrFor(right, "v_b"), s"$dir/b3_b.tile2.nzero.ncf", numRecs = 1)
+    Ioapi.write(totAll, hdrFor(left, "FOREST"), s"$dir/b3_tot.tile1.nzero.ncf", numRecs = 1)
+    Ioapi.write(totAll, hdrFor(right, "FOREST"), s"$dir/b3_tot.tile2.nzero.ncf", numRecs = 1)
+
+    val r = Beld3Smk.run(spark, Map(
+      "OUTPUT_GRID_NAME" -> "TESTB",
+      "GRIDDESC" -> s"$dir/GRIDDESC.txt",
+      "INPUT_DATA_DIR" -> dir,
+      "OUTPUT_FILE_PREFIX" -> s"$dir/out"))
+    assert(r.outputs.keySet == Set("a", "b", "tot"))
+
+    // merged _a: cells in out row 2 that came from tile2 average 61
+    val (ha, backA) = Ioapi.read(spark, s"$dir/out_a.ncf", dropZeros = true)
+    assert(ha.gdtyp == 2 && ha.pAlp == 33.0) // GRIDDESC projection
+    val a = backA.collect().map(x => (x.getInt(4), x.getInt(3)) -> x.getDouble(5)).toMap
+    assert(a == Map((1, 1) -> 60.0, (2, 1) -> 60.0, (1, 2) -> 60.0, (2, 2) -> 61.0))
+    val (_, backB) = Ioapi.read(spark, s"$dir/out_b.ncf", dropZeros = true)
+    assert(backB.collect().forall(_.getDouble(5) == 40.0))
+
+    // QA: only (2,2) deviates (total 101)
+    val qa = r.qa.collect().map(x =>
+      (x.getAs[Int]("col"), x.getAs[Int]("row")) -> x.getAs[Double]("total")).toMap
+    assert(qa == Map((2, 2) -> 101.0))
+  }
+
   test("SURROGATE mode writes srg2ncf output; shapefile front door works") {
     import graft.sources.{Ioapi, Shapefile}
     val dir = tmp("cli-ncfout")
