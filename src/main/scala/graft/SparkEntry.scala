@@ -30,6 +30,13 @@ object SparkEntry {
     baseOracles ++ EntryText.oracles ++ EntryPages.oracles ++
       EntryPost.oracles ++ EntryAlloc.oracles ++ EntryPipeline.oracles
 
+  /** Process-unique scratch path for the binary-envelope queries:
+    * concurrent Verify/Bench runs over the same sfDir must not race on
+    * one /tmp file (the applicationId is unique per SparkContext). */
+  private def scratch(s: SparkSession, tag: String, dir: String): String =
+    s"/tmp/graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+      s.sparkContext.applicationId
+
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scan/agg sanity (classic TPC-H-style shape)
     "q01_lineitem_agg" -> ((s, dir) =>
@@ -114,7 +121,7 @@ object SparkEntry {
     // round trip is lossless end-to-end (IEEE doubles + integer DBF attrs).
     "q40_shapefile_srg" -> ((s, dir) => {
       import graft.sources.Shapefile
-      val base = s"/tmp/graft_shp_${dir.replaceAll("[^A-Za-z0-9]", "_")}/tracts"
+      val base = scratch(s, "shp", dir) + "/tracts"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base).getParent)
       Shapefile.writePolygons(TpchGeo.tracts(s, dir), base, "geom",
         Seq(Shapefile.DbfCol("p_partkey", 'N', 12), Shapefile.DbfCol("p_size", 'N', 8)))
@@ -232,7 +239,7 @@ object SparkEntry {
     // PartitionPruningSpec) and every variable regrids onto cells in ONE
     // fragment join (allocate Aggregate over 8 columns at once).
     "q45_beld_allocate" -> ((s, dir) => {
-      val beldDir = s"/tmp/graft_beld_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val beldDir = scratch(s, "beld", dir)
       val primes = Seq(3, 7, 11, 13, 17, 19, 23, 29)
       val luCols = primes.zipWithIndex.map { case (p, i) =>
         expr(s"CAST((p_partkey * $p) % 100 AS DOUBLE)").as(s"lu_$i") }
@@ -314,7 +321,7 @@ object SparkEntry {
         .withColumn("value",
           expr("CAST((vk * 41 + tstep * 13 + ((row - 1) * 8 + col)) % 45 AS DOUBLE)"))
         .select("var", "tstep", "row", "col", "value")
-      val path = s"/tmp/graft_ncf_${dir.replaceAll("[^A-Za-z0-9]", "_")}.ncf"
+      val path = scratch(s, "ncf", dir) + ".ncf"
       Ioapi.write(gridded, Ioapi.headerFor(grid,
         Seq(Ioapi.VarDef("W1", "units1"), Ioapi.VarDef("W2", "units2"))), path)
       val (_, back) = Ioapi.read(s, path, dropZeros = true)
@@ -341,9 +348,8 @@ object SparkEntry {
       val perturbed = base.withColumn("value",
         when(pmod(col("row") + col("col") + col("tstep"), lit(5)) === 0,
           col("value") * 1.5).otherwise(col("value")))
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val pOrig = s"/tmp/graft_diff_orig_$tag.ncf"
-      val pNew = s"/tmp/graft_diff_new_$tag.ncf"
+      val pOrig = scratch(s, "diff_orig", dir) + ".ncf"
+      val pNew = scratch(s, "diff_new", dir) + ".ncf"
       val hdr = Ioapi.headerFor(grid, Seq(Ioapi.VarDef("D1")))
       Ioapi.write(base, hdr, pOrig)
       Ioapi.write(perturbed, hdr, pNew)
@@ -362,7 +368,7 @@ object SparkEntry {
       import graft.sources.Ioapi
       val srg = Surrogate.pointSurrogate(TpchGeo.points(s, dir),
         TpchGeo.counties(s), grid, domain, zres, srgCode = 100)
-      val path = s"/tmp/graft_srg2ncf_${dir.replaceAll("[^A-Za-z0-9]", "_")}.ncf"
+      val path = scratch(s, "srg2ncf", dir) + ".ncf"
       Ioapi.srg2ncf(srg, grid, path, vtype = graft.sources.NetCDF.NC_DOUBLE)
       val (_, back) = Ioapi.read(s, path, dropZeros = true)
       back.select("col", "row", "value").orderBy("row", "col")
@@ -387,7 +393,7 @@ object SparkEntry {
         .withColumn("tstep", lit(0)).withColumn("layer", lit(1))
         .select(col("var"), col("tstep"), col("layer"), col("row"),
           col("col"), col("pct").as("value"))
-      val path = s"/tmp/graft_ocean_${dir.replaceAll("[^A-Za-z0-9]", "_")}.ncf"
+      val path = scratch(s, "ocean", dir) + ".ncf"
       Ioapi.write(long, Ioapi.headerFor(grid,
         cats.map(c => Ioapi.VarDef(s"CAT_$c", "fraction",
           vtype = NetCDF.NC_DOUBLE))), path, numRecs = 1)

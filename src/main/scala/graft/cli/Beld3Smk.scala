@@ -79,23 +79,28 @@ object Beld3Smk {
     val namePat = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(tilePrefix) +
         "_(a|b|tot)\\.tile(\\d+)(\\.nzero)?\\.ncf")
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(inDir))
-      .toArray.map(_.toString).sorted
-      .flatMap { p =>
-        val m = namePat.matcher(new java.io.File(p).getName)
-        if (m.matches()) Some((m.group(1), m.group(2).toInt, p)) else None
-      }
+    val dirFiles = Option(new java.io.File(inDir).listFiles())
+      .getOrElse(Array.empty).map(_.getPath).sorted
+    val files = dirFiles.flatMap { p =>
+      val m = namePat.matcher(new java.io.File(p).getName)
+      if (m.matches()) Some((m.group(1), m.group(2).toInt, p)) else None
+    }
     require(files.nonEmpty,
       s"$inDir holds no ${tilePrefix}_{a,b,tot}.tile<n>[.nzero].ncf files")
 
-    // per kind: regrid each intersecting tile (ALL_AVERAGE), merge by sum
+    // per kind: regrid each intersecting tile (ALL_AVERAGE), merge by sum.
+    // Each file's bytes parse ONCE (headerOf + readParsed share the parse);
+    // non-intersecting tiles never build a frame at all. The merged result
+    // is localCheckpoint'ed (the Knn/components discipline) because both
+    // the .ncf write and the QA pass consume it.
     val merged: Map[String, (Seq[Ioapi.VarDef], DataFrame)] =
       Kinds.flatMap { kind =>
         val perTile = files.collect { case (k, _, path) if k == kind =>
-          val hdr = Ioapi.readHeader(path)
+          val f = graft.sources.NetCDF.read(path)
+          val hdr = Ioapi.headerOf(f)
           if (!intersects(hdr.grid)) None
           else {
-            val (_, df) = Ioapi.read(spark, path, dropZeros = true)
+            val (_, _, df) = Ioapi.readParsed(spark, f, dropZeros = true)
             val scale = (hdr.grid.xcell * hdr.grid.ycell) / outCellArea
             Some((hdr.vars,
               Allocate.gridToPoly(df, hdr.grid, cells, "out_id", "value",
@@ -111,13 +116,14 @@ object Beld3Smk {
             s"${kind}-file tiles disagree on the variable list")
           val all = perTile.map(_._2).reduce(_ unionByName _)
             .groupBy("out_id", "var", "tstep").agg(sum("value").as("value"))
+            .localCheckpoint(true)
           Some(kind -> (perTile.head._1, all))
         }
       }.toMap
 
     def toLong(df: DataFrame): DataFrame = df
-      .withColumn("col", (pmod(col("out_id"), lit(outGrid.ncols)) + 1).cast("int"))
-      .withColumn("row", (floor(col("out_id") / outGrid.ncols) + 1).cast("int"))
+      .withColumn("col", graft.spark.GeoFunctions.cellIdCol(col("out_id"), outGrid))
+      .withColumn("row", graft.spark.GeoFunctions.cellIdRow(col("out_id"), outGrid))
       .withColumn("layer", lit(1))
       .select("var", "tstep", "layer", "row", "col", "value")
 
@@ -131,20 +137,20 @@ object Beld3Smk {
       kind -> path
     }
 
-    // 100% landuse QA over the merged a+b variables (beld3smk.c:496-509)
+    // 100% landuse QA over the merged a+b variables via the shared
+    // Beld.qa100 check, fed the FULL domain cell list so uncovered cells
+    // flag at total = 0 (beld3smk.c:496-509)
     val qaTol = cfg.getOrElse("QA_TOLERANCE", "0.01").toDouble
     val qa = (merged.get("a"), merged.get("b")) match {
       case (Some((_, a)), Some((_, b))) =>
-        // checked from the FULL domain cell list: a cell covered by no
-        // tile still fails the 100% check at total = 0 (the Beld.merge3
-        // full-domain discipline, beld3smk.c:496-509)
-        val sums = a.unionByName(b)
-          .groupBy("out_id").agg(sum("value").as("__t"))
-        cells.select("out_id").join(sums, Seq("out_id"), "left_outer")
-          .withColumn("total", coalesce(col("__t"), lit(0.0)))
-          .where(abs(col("total") - 100.0) > qaTol)
-          .withColumn("col", (pmod(col("out_id"), lit(outGrid.ncols)) + 1).cast("int"))
-          .withColumn("row", (floor(col("out_id") / outGrid.ncols) + 1).cast("int"))
+        def toColRow(df: DataFrame) = df
+          .withColumn("col", graft.spark.GeoFunctions.cellIdCol(col("out_id"), outGrid))
+          .withColumn("row", graft.spark.GeoFunctions.cellIdRow(col("out_id"), outGrid))
+        val totals = toColRow(
+            a.unionByName(b).groupBy("out_id").agg(sum("value").as("total")))
+          .select("col", "row", "total")
+        graft.operators.Beld.qa100(totals, qaTol,
+            domainCells = Some(toColRow(cells.select("out_id"))))
           .select("col", "row", "total")
       case _ => spark.emptyDataFrame
     }

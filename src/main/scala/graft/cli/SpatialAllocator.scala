@@ -105,7 +105,9 @@ object SpatialAllocator {
     // gridded .ncf sink shared by the IoapiFile output paths: long rows
     // (var, tstep, layer, row, col, value) under the GRIDDESC header
     def writeNcf(long: DataFrame, vars: Seq[graft.sources.Ioapi.VarDef],
-                 path: String, numRecs: Int = 1): Unit = {
+                 path: String, numRecs: Int = 1,
+                 sdate: Int = 2007001, stime: Int = 0,
+                 tstep: Int = 10000): Unit = {
       import graft.sources.Ioapi
       val g = grid(); val c = gdEntry().map(_.coord)
       val h = Ioapi.headerFor(g, vars,
@@ -114,7 +116,8 @@ object SpatialAllocator {
         pBet = c.map(_.beta).getOrElse(60.0),
         pGam = c.map(_.gamma).getOrElse(-90.0),
         xcent = c.map(_.xcent).getOrElse(-90.0),
-        ycent = c.map(_.ycent).getOrElse(40.0))
+        ycent = c.map(_.ycent).getOrElse(40.0),
+        sdate = sdate, stime = stime, tstep = tstep)
       Ioapi.write(long, h, path, numRecs = numRecs)
     }
 
@@ -195,12 +198,16 @@ object SpatialAllocator {
           val out = Allocate.gridToPoly(gridded, hdr.grid, cells,
               "out_id", "value", Seq("var", "tstep"))
             .withColumn("value", col("alloc") * scale)
-            .withColumn("col", (pmod(col("out_id"), lit(g.ncols)) + 1).cast("int"))
-            .withColumn("row", (floor(col("out_id") / g.ncols) + 1).cast("int"))
+            .withColumn("col", graft.spark.GeoFunctions.cellIdCol(col("out_id"), g))
+            .withColumn("row", graft.spark.GeoFunctions.cellIdRow(col("out_id"), g))
             .withColumn("layer", lit(1))
             .select("var", "tstep", "layer", "row", "col", "value")
+          // preserve the input's TIME structure, not just the record
+          // count — diffioapi's time-group check compares SDATE/STIME/
+          // TSTEP and a regrid must not rewrite the run's clock
           cfg.get("OUTPUT_FILE_NAME").foreach(p =>
-            writeNcf(out, hdr.vars, p, numRecs = nrec))
+            writeNcf(out, hdr.vars, p, numRecs = nrec,
+              sdate = hdr.sdate, stime = hdr.stime, tstep = hdr.tstep))
           Some(out)
         } else {
           val output = readLayer(req("OUTPUT_POLY_FILE"), "Polygon")

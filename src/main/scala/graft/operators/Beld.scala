@@ -46,19 +46,28 @@ object Beld {
     val outA = sumVars(a, varsA)
     val outB = sumVars(b, varsB)
     val outTot = sumVars(tot, Seq(totVar))
-    val joined = outA.join(outB, Seq("col", "row"), "full_outer")
-    val all = domainCells match {
-      case Some(cells) =>
-        cells.select("col", "row").join(joined, Seq("col", "row"), "left_outer")
-      case None => joined
-    }
     val totalExpr = (varsA ++ varsB)
       .map(v => coalesce(col(v), lit(0.0))).reduce(_ + _)
-    val qa = all.withColumn("total", totalExpr)
+    val totals = outA.join(outB, Seq("col", "row"), "full_outer")
+      .select(col("col"), col("row"), totalExpr.as("total"))
+    Merged(outA, outB, outTot, qa100(totals, qaTol, domainCells))
+  }
+
+  /** The 100%-landuse check itself (beld3smk.c:496-509), shared by merge3
+    * and the Beld3Smk driver: totals = (col, row, total); with
+    * `domainCells` EVERY domain cell is checked — a cell absent from
+    * `totals` (covered by no file/tile) fails at total = 0. */
+  def qa100(totals: DataFrame, qaTol: Double = 0.01,
+            domainCells: Option[DataFrame] = None): DataFrame = {
+    val all = domainCells match {
+      case Some(cells) =>
+        cells.select("col", "row").join(totals, Seq("col", "row"), "left_outer")
+      case None => totals
+    }
+    all.withColumn("total", coalesce(col("total"), lit(0.0)))
       .withColumn("pctdiff", col("total") - 100.0)
       .where(abs(col("pctdiff")) > qaTol)
       .select("col", "row", "total", "pctdiff")
-    Merged(outA, outB, outTot, qa)
   }
 
   /** convert_beld's negative-reset rule (convert_beld.c:140-150): the BELD

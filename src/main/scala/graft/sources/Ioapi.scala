@@ -106,10 +106,12 @@ object Ioapi {
     require(bytesNeeded <= NetCDF.MaxBytes,
       s"$path: $bytesNeeded data bytes exceed the single-node I/O API envelope")
     val varIdx = h.vars.map(_.name).zipWithIndex.toMap
-    val arrays: Map[String, AnyRef] = h.vars.map { v =>
-      v.name -> (if (v.vtype == NC_DOUBLE) new Array[Double]((cells * nrec).toInt)
-                 else if (v.vtype == NC_INT) new Array[Int]((cells * nrec).toInt)
-                 else new Array[Float]((cells * nrec).toInt))
+    // NC_INT vars accumulate in DOUBLE and truncate once at the end: the
+    // reference's REAL VAL_IN truncates at write, not per addend (0.6 +
+    // 0.6 stores 1, not 0+0). Floats accumulate in float like the Fortran.
+    val acc: Map[String, AnyRef] = h.vars.map { v =>
+      v.name -> (if (v.vtype == NC_FLOAT) new Array[Float]((cells * nrec).toInt)
+                 else new Array[Double]((cells * nrec).toInt))
     }.toMap
     // duplicate (var,tstep,layer,row,col) rows ACCUMULATE, matching the
     // reference's VAL_IN(I,J) = VAL_IN(I,J) + VAL (convert_txt2ncf.f) —
@@ -125,12 +127,16 @@ object Ioapi {
       require(l >= 1 && l <= h.nlays && rr >= 1 && rr <= h.nrows && cc >= 1 && cc <= h.ncols,
         s"$path: (layer=$l,row=$rr,col=$cc) outside ${h.nlays}×${h.nrows}×${h.ncols}")
       val i = ((t.toLong * h.nlays + (l - 1)) * h.nrows + (rr - 1)).toInt * h.ncols + (cc - 1)
-      arrays(vn) match {
+      acc(vn) match {
         case a: Array[Float]  => a(i) += r.getDouble(5).toFloat
         case a: Array[Double] => a(i) += r.getDouble(5)
-        case a: Array[Int]    => a(i) += r.getDouble(5).toInt
       }
     }
+    val arrays: Map[String, AnyRef] = h.vars.map { v =>
+      v.name -> (if (v.vtype == NC_INT)
+                   acc(v.name).asInstanceOf[Array[Double]].map(_.toInt)
+                 else acc(v.name))
+    }.toMap
     // TFLAG(TSTEP, VAR, DATE-TIME)
     val tflag = new Array[Int](nrec * h.vars.length * 2)
     var jd = h.sdate; var jt = h.stime
@@ -191,7 +197,9 @@ object Ioapi {
 
   def readHeader(path: String): Header = headerOf(NetCDF.read(path))
 
-  private def headerOf(f: NcFile): Header = {
+  /** FDESC3 header of an already-parsed file — public so callers that
+    * need header-then-maybe-data (tile pruning) parse the bytes ONCE. */
+  def headerOf(f: NcFile): Header = {
     def ints(n: String): Array[Int] = f.att(n).getOrElse(
       throw new IllegalArgumentException(s"not an I/O API file: missing $n"))
       .asInstanceOf[Array[Int]]
@@ -229,8 +237,12 @@ object Ioapi {
     * (dropZeros) frame can't recover it when trailing records are all
     * zero, so writers that must preserve the time structure need it. */
   def readWithRecs(spark: SparkSession, path: String,
-                   dropZeros: Boolean = false): (Header, Int, DataFrame) = {
-    val f = NetCDF.read(path)
+                   dropZeros: Boolean = false): (Header, Int, DataFrame) =
+    readParsed(spark, NetCDF.read(path), dropZeros)
+
+  /** Build the gridded frame from an already-parsed file (no re-read). */
+  def readParsed(spark: SparkSession, f: NcFile,
+                 dropZeros: Boolean = false): (Header, Int, DataFrame) = {
     val h = headerOf(f)
     val nrec = f.numRecs
     val schema = StructType(Seq(

@@ -28,6 +28,15 @@ object GeoFunctions {
   def gridRow(y: Column, g: GridSpec): Column =
     (floor((y - g.yorig) / g.ycell).cast("int") + 1).as("row")
 
+  /** 0-based cell id (Sources.regularGrid layout: id = (row-1)·ncols +
+    * (col-1)) → 1-based COL/ROW. The ONE place this arithmetic lives —
+    * every id↔(col,row) conversion must agree with regularGrid's layout. */
+  def cellIdCol(id: Column, g: GridSpec): Column =
+    (pmod(id, lit(g.ncols)) + 1).cast("int").as("col")
+
+  def cellIdRow(id: Column, g: GridSpec): Column =
+    (floor(id / g.ncols) + 1).cast("int").as("row")
+
   def inGrid(c: Column, r: Column, g: GridSpec): Column =
     c.between(1, g.ncols) && r.between(1, g.nrows)
 

@@ -369,8 +369,12 @@ object PipelineOps {
     * key (AQE reuses the exchange). URL strings never ride a shuffle. */
   def latestCapture(df: DataFrame, idCol: String, urlCol: String,
                     tsCol: String): DataFrame = {
+    // a NULL url must still reach the decision table (a null join key
+    // would silently drop the row): each one forms its own singleton
+    // group — no URL, nothing to collapse against, kept = true
     val keyed = df.select(col(idCol).as("id"),
-      md5(canonicalizeUrl(col(urlCol))).as("canon_hash"),
+      coalesce(md5(canonicalizeUrl(col(urlCol))),
+        concat(lit("null:"), col(idCol).cast("string"))).as("canon_hash"),
       col(tsCol).as("__ts"))
     val winners = keyed.groupBy("canon_hash")
       .agg(max(struct(col("__ts"), col("id"))).as("__w"),
@@ -383,25 +387,40 @@ object PipelineOps {
 
   // ------------------------------------------------- span-level exact dedup
 
-  /** k-token window hashes per doc: 64-bit FNV-1a per token once, then one
-    * FNV combine per window — O(chars + windows·k), doc-local. A UDF (not
-    * `transform`) for the same project-collapse reason as bigramStatsUdf. */
+  /** k-token window hashes per doc: two independent 64-bit FNV-1a streams
+    * per token once, then one combine per window — O(chars + windows·k),
+    * doc-local. 128 key bits total: at 10^14 windows a single 64-bit key
+    * would collide ~10^8 times and each collision silently deletes a
+    * legitimate span, so the key matches the md5 discipline of
+    * paragraphDedup/latestCapture. A UDF (not `transform`) for the same
+    * project-collapse reason as bigramStatsUdf. */
   private val windowHashesUdf = udf((ws: Seq[String], k: Int) => {
-    if (ws == null || ws.length < k) Seq.empty[Long]
+    if (ws == null || ws.length < k) Seq.empty[(Long, Long)]
     else {
-      val th = new Array[Long](ws.length)
+      val thA = new Array[Long](ws.length)
+      val thB = new Array[Long](ws.length)
       var t = 0
       while (t < ws.length) {
-        var h = 0xcbf29ce484222325L
+        var hA = 0xcbf29ce484222325L
+        var hB = 0x9e3779b97f4a7c15L
         val s = ws(t); var c = 0
-        while (c < s.length) { h ^= s.charAt(c); h *= 0x100000001b3L; c += 1 }
-        th(t) = h; t += 1
+        while (c < s.length) {
+          hA ^= s.charAt(c); hA *= 0x100000001b3L
+          hB ^= s.charAt(c); hB *= 0xc2b2ae3d27d4eb4fL
+          c += 1
+        }
+        thA(t) = hA; thB(t) = hB; t += 1
       }
       (0 to ws.length - k).map { i =>
-        var h = 0xcbf29ce484222325L
+        var hA = 0xcbf29ce484222325L
+        var hB = 0x9e3779b97f4a7c15L
         var j = i
-        while (j < i + k) { h = (h ^ th(j)) * 0x100000001b3L; j += 1 }
-        h
+        while (j < i + k) {
+          hA = (hA ^ thA(j)) * 0x100000001b3L
+          hB = (hB ^ thB(j)) * 0xc2b2ae3d27d4eb4fL
+          j += 1
+        }
+        (hA, hB)
       }
     }
   })
@@ -411,6 +430,8 @@ object PipelineOps {
     * Returns (n_tokens, n_removed, cleaned text). */
   private val removeSpansUdf =
     udf((ws: Seq[String], marks: Seq[Int], k: Int) => {
+      if (ws == null) (0L, 0L, null: String)
+      else {
       val n = ws.length
       val covered = new Array[Boolean](n)
       if (marks != null) marks.foreach { p =>
@@ -427,6 +448,7 @@ object PipelineOps {
         i += 1
       }
       (n.toLong, removed.toLong, kept.toString)
+      }
     })
 
   /** Cross-document EXACT substring dedup at SPAN level (the "deduplicating

@@ -100,6 +100,18 @@ class IoapiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map((3, 2) -> 7.75, (1, 1) -> 7.0))
   }
 
+  test("NC_INT duplicates sum in double and truncate once, like REAL VAL_IN") {
+    import spark.implicits._
+    val p = tmp("dupint.ncf")
+    val h = headerFor(grid, Seq(VarDef("N", vtype = NetCDF.NC_INT)))
+    // 0.6 + 0.6 must store 1 (truncate the SUM), not 0 + 0
+    val dup = Seq(("N", 0, 1, 1, 1, 0.6), ("N", 0, 1, 1, 1, 0.6))
+      .toDF("var", "tstep", "layer", "row", "col", "value")
+    Ioapi.write(dup, h, p, numRecs = 1)
+    val (_, df) = Ioapi.read(spark, p, dropZeros = true)
+    assert(df.collect().map(_.getDouble(5)).toSeq == Seq(1.0))
+  }
+
   test("srg2ncf accumulates fractions per cell like convert_txt2ncf") {
     import spark.implicits._
     val srg = Seq(

@@ -305,6 +305,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 2L, 0L, "too short")))
   }
 
+  test("spanDedup and latestCapture survive NULL text / NULL url rows") {
+    val s = spark
+    import s.implicits._
+    val withNullText = Seq((1L, "a b c"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.spanDedup(withNullText, "doc_id", "text", k = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(3)))
+    assert(out.toSeq === Seq((1L, 3L, false), (2L, 0L, true)))
+
+    // a NULL url must still reach the decision table as its own group
+    val caps = Seq((1L, "https://a.com/p", 10L), (2L, null: String, 20L),
+                   (3L, null: String, 30L))
+      .toDF("doc_id", "url", "ts")
+    val dec = PipelineOps.latestCapture(caps, "doc_id", "url", "ts")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(dec.toSeq === Seq((1L, 1L, true), (2L, 1L, true), (3L, 1L, true)))
+  }
+
   test("spanDedup merges overlapping self-repeats through token coverage") {
     // "a a a a a" with k=2: windows 0-3 all hash alike; survivor (1, 0)
     // keeps tokens 0-1, marks 1,2,3 cover tokens 1-4 → only token 0 kept
