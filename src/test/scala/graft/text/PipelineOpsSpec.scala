@@ -333,6 +333,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((5L, 4L, "a")))
   }
 
+  test("spanDedup matches a brute-force reference on random corpora") {
+    val s = spark
+    import s.implicits._
+    // tiny vocab forces heavy window duplication, within and across docs
+    val vocab = Array("a", "b", "c", "d", "e")
+    val k = 3
+    val rnd = new scala.util.Random(20260817L)
+    (1 to 5).foreach { round =>
+      val docs = (1L to 8L).map { id =>
+        val n = rnd.nextInt(21) // includes docs shorter than k
+        id -> Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      // brute-force: group windows by their TEXT, survivor = min (id, pos),
+      // non-survivors cover [pos, pos+k)
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val occ = for { (id, ws) <- toks; i <- 0 to ws.length - k }
+        yield (ws.slice(i, i + k).mkString(" "), id, i)
+      val marks = occ.groupBy(_._1).values.filter(_.size >= 2)
+        .flatMap(_.sortBy(o => (o._2, o._3)).tail.map(o => (o._2, o._3)))
+        .toSeq.groupBy(_._1)
+      val want = toks.map { case (id, ws) =>
+        val covered = Array.fill(ws.length)(false)
+        marks.getOrElse(id, Nil).foreach { case (_, p) =>
+          (p until math.min(p + k, ws.length)).foreach(covered(_) = true) }
+        id -> ((ws.length.toLong, covered.count(identity).toLong,
+          ws.indices.filterNot(covered).map(ws).mkString(" ")))
+      }.toMap
+      val got = PipelineOps.spanDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got === want, s"round $round: corpus $docs")
+    }
+  }
+
   test("spanDedup shuffles hashes and ids only — never document text") {
     val df = docs(1L -> "a b c d", 2L -> "a b c d")
     val plan = PipelineOps.spanDedup(df, "doc_id", "text", k = 2)
