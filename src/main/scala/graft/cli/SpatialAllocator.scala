@@ -75,6 +75,17 @@ object SpatialAllocator {
           cfg.getOrElse("INPUT_FILE_DELIMITER", "COMMA"))
       // gridded I/O API netCDF (IoapiInputReader.c) — sparse gridded frame
       case "IoapiFile" => graft.sources.Ioapi.read(spark, path, dropZeros = true)._2
+      // grid generated in memory from the GRIDDESC catalog, named by
+      // INPUT_GRID_NAME (regularGridReader.c:34; SA_ch03_vector.md:320) —
+      // cell polygons with COL/ROW attributes, `path` unused
+      case "RegularGrid" =>
+        val name = req("INPUT_GRID_NAME")
+        val g = cfg.get("GRIDDESC").map { gd =>
+          val text = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(gd)), "UTF-8")
+          GridDesc.parse(text).grids(name).grid
+        }.getOrElse(graft.grid.GridCatalog.byName(name))
+        Sources.regularGrid(spark, g)
       case _ =>
         // binary shapefile front door when `path`.shp exists (the
         // reference's universal input); parquet otherwise

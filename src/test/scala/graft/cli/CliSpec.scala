@@ -259,6 +259,33 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotPct == wantPct && gotPct.nonEmpty)
   }
 
+  test("INPUT_FILE_TYPE=RegularGrid generates the input grid from GRIDDESC") {
+    val dir = tmp("cli-reggrid")
+    Files.write(java.nio.file.Paths.get(s"$dir/GRIDDESC.txt"),
+      """'LAM'
+        |2, 33, 45, -97, -97, 40
+        |' '
+        |'INGRID'
+        |'LAM', 0, 0, 1000, 1000, 4, 4, 1
+        |' '
+        |'TEST8'
+        |'LAM', 0, 0, 1000, 1000, 8, 8, 1
+        |' '""".stripMargin.getBytes("UTF-8"))
+    // overlay the generated 4×4 grid cells against a bbox mask covering
+    // the lower-left quadrant: exactly cells fully/partly inside survive
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "OVERLAY",
+      "INPUT_FILE_TYPE" -> "RegularGrid",
+      "INPUT_GRID_NAME" -> "INGRID",
+      "INPUT_FILE_NAME" -> "unused",
+      "OUTPUT_GRID_NAME" -> "TEST8",
+      "GRIDDESC" -> s"$dir/GRIDDESC.txt",
+      "OVERLAY_SHAPE" -> "100,100,1900,1900")).get
+    // cells intersecting [100,1900]²: the 2×2 lower-left block
+    val ids = out.select("cell_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 4L, 5L))
+  }
+
   test("DiffIoapi drives headerDiff + diffCells under the reference env contract") {
     import graft.sources.{Ioapi, NetCDF}
     import spark.implicits._
