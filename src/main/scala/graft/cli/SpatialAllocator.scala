@@ -162,9 +162,16 @@ object SpatialAllocator {
         }
         val srg = srgFull.where(col("denom") >= thr)
         cfg.get("SURROGATE_FILE").foreach { out =>
+          // header tag tracks OUTPUT_FILE_TYPE (allocate.c:765-779):
+          // VariableGrid → #VARIABLE_GRID, Polygon → #POLYGON, else #GRID
+          val tag = cfg.getOrElse("OUTPUT_FILE_TYPE", "RegularGrid") match {
+            case "VariableGrid" => "#VARIABLE_GRID"
+            case "Polygon"      => "#POLYGON"
+            case _              => "#GRID"
+          }
           Smoke.write(srgFull, grid(), projInfo(), out,
             withQa = cfg.getOrElse("WRITE_QASUM", "YES") == "YES",
-            denomThreshold = thr)
+            denomThreshold = thr, headerTag = tag)
         }
         // srg2ncf in one pass (util/srg2ncf/convert_txt2ncf.f) — the .ncf
         // header carries the GRIDDESC projection, and only live counties

@@ -43,8 +43,10 @@ object Smoke {
         c.alpha, c.beta, c.gamma, c.xcent, c.ycent)
   }
 
-  def header(g: GridSpec, p: ProjInfo): String =
-    "#GRID\t%s\t%f\t%f\t%f\t%f\t%d\t%d\t%d\t%s\t%s\t%f\t%f\t%f\t%f\t%f".formatLocal(
+  /** @param tag output-type header tag (allocate.c:765-779): #GRID for
+    *            Regular/EGrid output, #VARIABLE_GRID, #POLYGON */
+  def header(g: GridSpec, p: ProjInfo, tag: String = "#GRID"): String =
+    (tag + "\t%s\t%f\t%f\t%f\t%f\t%d\t%d\t%d\t%s\t%s\t%f\t%f\t%f\t%f\t%f").formatLocal(
       Locale.US, g.name, g.xorig, g.yorig, g.xcell, g.ycell, g.ncols, g.nrows,
       1, p.name, p.units, p.alpha, p.beta, p.gamma, p.xcent, p.ycent)
 
@@ -105,7 +107,8 @@ object Smoke {
     * coalesce is for byte-exact parity at test scale; at 100 TB callers keep
     * the Dataset[String] distributed (`toLines`) and write part files. */
   def write(srg: DataFrame, g: GridSpec, p: ProjInfo, path: String,
-            withQa: Boolean = true, denomThreshold: Double = 1e-5): Unit = {
+            withQa: Boolean = true, denomThreshold: Double = 1e-5,
+            headerTag: String = "#GRID"): Unit = {
     val spark = srg.sparkSession
     import spark.implicits._
     val body = toLines(srg, withQa, denomThreshold).collect()
@@ -116,7 +119,7 @@ object Smoke {
         val isRemainder = if (l.startsWith("#REMAINDER")) 1 else 0
         (t(0).trim.toInt, t(1), isRemainder, t(3).trim.toInt, t(2).trim.toInt)
       }
-    val all = header(g, p) +: body
+    val all = header(g, p, headerTag) +: body
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       all.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
@@ -129,14 +132,15 @@ object Smoke {
     * merge/gapfill tools) are order-independent. */
   def writeParts(srg: DataFrame, g: GridSpec, p: ProjInfo, dir: String,
                  withQa: Boolean = true, numParts: Int = 0,
-                 denomThreshold: Double = 1e-5): Unit = {
+                 denomThreshold: Double = 1e-5,
+                 headerTag: String = "#GRID"): Unit = {
     val parts = if (numParts > 0) numParts
                 else srg.sparkSession.sparkContext.defaultParallelism
     val ranged = srg.repartitionByRange(parts, col("srg_code"), col("fips"))
     toLines(ranged, withQa, denomThreshold).write.mode("overwrite").text(s"$dir/body")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/HEADER"),
-      (header(g, p) + "\n").getBytes("UTF-8"))
+      (header(g, p, headerTag) + "\n").getBytes("UTF-8"))
   }
 
   /** SMOKE source: parse lines back to (srg_code, fips, col, row, frac

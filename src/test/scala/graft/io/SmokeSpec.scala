@@ -23,6 +23,18 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Smoke.parseHeader(h) == GridCatalog.M08_NASH)
   }
 
+  test("header tag tracks the output type; parseHeader accepts all three") {
+    import graft.grid.GridSpec
+    val g = GridSpec("T", 0, 0, 1000, 1000, 2, 2)
+    val p = Smoke.ProjInfo()
+    assert(Smoke.header(g, p).startsWith("#GRID\tT\t"))
+    assert(Smoke.header(g, p, "#VARIABLE_GRID").startsWith("#VARIABLE_GRID\tT\t"))
+    assert(Smoke.header(g, p, "#POLYGON").startsWith("#POLYGON\tT\t"))
+    Seq("#GRID", "#VARIABLE_GRID", "#POLYGON").foreach { tag =>
+      assert(Smoke.parseHeader(Smoke.header(g, p, tag)) == g)
+    }
+  }
+
   test("projInfoFor maps GRIDDESC ctypes like allocate.c's cname table") {
     import graft.sources.GridDesc.CoordSys
     val lcc = Smoke.projInfoFor(CoordSys("LAM", 2, 33, 45, -97, -97, 40))
