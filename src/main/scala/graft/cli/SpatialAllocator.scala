@@ -192,8 +192,25 @@ object SpatialAllocator {
         // allocateIoapi.c: gridded I/O API data regrids onto the output
         // polygons — the gridded side hash-joins on (col, row), no
         // geometry kernel ever touches it
-        val (hdr, nrec, gridded) = graft.sources.Ioapi.readWithRecs(spark,
+        val (hdr, nrec, griddedAll) = graft.sources.Ioapi.readWithRecs(spark,
           req("INPUT_FILE_NAME"), dropZeros = true)
+        // ALLOCATE_ATTRS names the I/O API variables to carry
+        // (attachAttributeIoapi selects them); "ALL"/unset keeps every one
+        val wanted = cfg.get("ALLOCATE_ATTRS").filter(_ != "ALL")
+          .map(_.split(",").map(_.trim).toSeq)
+        wanted.foreach { ws =>
+          val known = hdr.vars.map(_.name).toSet
+          val missing = ws.filterNot(known)
+          require(missing.isEmpty,
+            s"ALLOCATE_ATTRS names variables not in the file: " +
+              s"${missing.mkString(", ")} (file has ${known.mkString(", ")})")
+        }
+        val gridded = wanted
+          .map(ws => griddedAll.where(col("var").isin(ws: _*)))
+          .getOrElse(griddedAll)
+        val hdrVars = wanted
+          .map(ws => hdr.vars.filter(v => ws.contains(v.name)))
+          .getOrElse(hdr.vars)
         if (cfg.get("OUTPUT_FILE_TYPE").contains("IoapiFile")) {
           // grid→grid regrid ("convert data from one grid to another",
           // SA_ch03_vector.md:756; beld3smk drives this per tile with
@@ -224,7 +241,7 @@ object SpatialAllocator {
           // count — diffioapi's time-group check compares SDATE/STIME/
           // TSTEP and a regrid must not rewrite the run's clock
           cfg.get("OUTPUT_FILE_NAME").foreach(p =>
-            writeNcf(out, hdr.vars, p, numRecs = nrec,
+            writeNcf(out, hdrVars, p, numRecs = nrec,
               sdate = hdr.sdate, stime = hdr.stime, tstep = hdr.tstep))
           Some(out)
         } else {

@@ -351,6 +351,44 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.collect().map(_.getDouble(5)).toSeq == Seq(26.0)) // (10+20+30+44)/4
   }
 
+  test("ALLOCATE_ATTRS selects I/O API variables; unknown names fail fast") {
+    import graft.sources.{Ioapi, NetCDF}
+    import spark.implicits._
+    val dir = tmp("cli-attrs")
+    val fine = graft.grid.GridSpec("FINE", 0, 0, 1000, 1000, 2, 2)
+    Files.write(java.nio.file.Paths.get(s"$dir/GRIDDESC.txt"),
+      """'LAM'
+        |2, 33, 45, -97, -97, 40
+        |' '
+        |'COARSE'
+        |'LAM', 0, 0, 2000, 2000, 1, 1, 1
+        |' '""".stripMargin.getBytes("UTF-8"))
+    val data = (for (v <- Seq("V1", "V2"); r <- 1 to 2; c <- 1 to 2)
+      yield (v, 0, 1, r, c, (r * 2 + c).toDouble))
+      .toDF("var", "tstep", "layer", "row", "col", "value")
+    Ioapi.write(data, Ioapi.headerFor(fine,
+      Seq(Ioapi.VarDef("V1", vtype = NetCDF.NC_DOUBLE),
+          Ioapi.VarDef("V2", vtype = NetCDF.NC_DOUBLE))), s"$dir/in.ncf", numRecs = 1)
+
+    val base = Map(
+      "MIMS_PROCESSING" -> "ALLOCATE",
+      "INPUT_FILE_NAME" -> s"$dir/in.ncf",
+      "INPUT_FILE_TYPE" -> "IoapiFile",
+      "OUTPUT_FILE_TYPE" -> "IoapiFile",
+      "ALLOC_MODE_FILE" -> "ALL_AVERAGE",
+      "OUTPUT_GRID_NAME" -> "COARSE",
+      "GRIDDESC" -> s"$dir/GRIDDESC.txt",
+      "OUTPUT_FILE_NAME" -> s"$dir/out.ncf")
+    val out = SpatialAllocator.run(spark, base + ("ALLOCATE_ATTRS" -> "V2")).get
+    assert(out.select("var").distinct().collect().map(_.getString(0)).toSeq == Seq("V2"))
+    val (h, _) = Ioapi.read(spark, s"$dir/out.ncf")
+    assert(h.vars.map(_.name) == Seq("V2"))
+
+    val e = intercept[IllegalArgumentException](
+      SpatialAllocator.run(spark, base + ("ALLOCATE_ATTRS" -> "V9")))
+    assert(e.getMessage.contains("V9"))
+  }
+
   test("Beld3Smk merges intersecting tiles onto the grid and QA-checks 100%") {
     import graft.sources.{Ioapi, NetCDF}
     import spark.implicits._
