@@ -374,6 +374,32 @@ object SparkEntry {
       back.select("col", "row", "value").orderBy("row", "col")
     }),
 
+    // --- snapshot-table checkpoint/resume as a DRIVER gate (the north
+    // rule's resumability requirement; SnapshotTable = the Iceberg-style
+    // atomic-pointer table, Resumable.stage = the checkpoint driver):
+    // two staged commits, then the same stages re-requested with a
+    // poisoned compute — resume MUST read the snapshots back instead of
+    // recomputing, and time-travel keeps both versions readable. Output
+    // is both versions' contents, hash-checked against DuckDB.
+    "q71_snapshot_resume" -> ((s, dir) => {
+      import graft.table.{SnapshotTable, Resumable}
+      val t = new SnapshotTable(scratch(s, "snap", dir))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Resumable.stage(t, s, "tokens") { docs }
+      val v2 = Resumable.stage(t, s, "filtered") {
+        t.read(s).where(col("n_tokens") >= 25)
+      }
+      val v1Resumed = Resumable.stage(t, s, "tokens") {
+        throw new IllegalStateException("stage recomputed despite snapshot")
+      }
+      v1Resumed.withColumn("version", lit(1))
+        .unionByName(v2.withColumn("version", lit(2)))
+        .select("version", "doc_id", "n_tokens")
+        .orderBy("version", "doc_id")
+    }),
+
     // --- OCEANfile AreaPercent through the BINARY envelope (allocateIoapi
     // ALL_AREAPERCENT mode, SA_ch03_vector.md:887: "the only output format
     // currently supported for this new mode is IoapiFile"): q31's per-cell
@@ -822,6 +848,15 @@ object SparkEntry {
       s"""SELECT col, "row", sum(frac) AS value
          |FROM ($srgPointStmt)
          |GROUP BY 1, 2 ORDER BY "row", col""".stripMargin,
+
+    "q71_snapshot_resume" ->
+      """WITH t AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |SELECT 1 AS version, doc_id, n_tokens FROM t
+        |UNION ALL
+        |SELECT 2 AS version, doc_id, n_tokens FROM t WHERE n_tokens >= 25
+        |ORDER BY version, doc_id""".stripMargin,
 
     "q68_oceanfile" ->
       s"""WITH tr AS (${TpchGeo.tractsSql}),
