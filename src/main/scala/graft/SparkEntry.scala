@@ -374,6 +374,22 @@ object SparkEntry {
       back.select("col", "row", "value").orderBy("row", "col")
     }),
 
+    // --- OUTPUT_FILE_TYPE=Polygon surrogate (surrogate.c:455-470): county
+    // tract-area fractions onto four 3000-size OUTPUT POLYGONS that align
+    // with nothing (offset 1000) — a genuine second polygon clip of the
+    // W∩D fragments, qasum ordered by output-polygon id. Integer lattice
+    // → bit-exact vs the closed-form triple-rect-intersection oracle.
+    "q72_srg_poly_out" -> ((s, dir) => {
+      import s.implicits._
+      val outPolys = (for { qy <- 0 to 1; qx <- 0 to 1 } yield {
+        val x0 = 1000.0 + qx * 3000; val y0 = 1000.0 + qy * 3000
+        (1 + qx + qy * 2,
+          Seq(Seq(x0, y0, x0 + 3000, y0, x0 + 3000, y0 + 3000, x0, y0 + 3000)))
+      }).toDF("out_id", "geom")
+      Surrogate.polySurrogateToPolys(TpchGeo.tracts(s, dir),
+        TpchGeo.counties(s), outPolys, domain, zres, srgCode = 170)
+    }),
+
     // --- snapshot-table checkpoint/resume as a DRIVER gate (the north
     // rule's resumability requirement; SnapshotTable = the Iceberg-style
     // atomic-pointer table, Resumable.stage = the checkpoint driver):
@@ -848,6 +864,35 @@ object SparkEntry {
       s"""SELECT col, "row", sum(frac) AS value
          |FROM ($srgPointStmt)
          |GROUP BY 1, 2 ORDER BY "row", col""".stripMargin,
+
+    "q72_srg_poly_out" ->
+      s"""WITH tr AS (${TpchGeo.tractsSql}),
+         |cn AS (${TpchGeo.countiesSql}),
+         |op AS (SELECT 1 + qx + qy * 2 AS out_id,
+         |         CAST(1000 + qx * 3000 AS DOUBLE) AS ox0,
+         |         CAST(1000 + qy * 3000 AS DOUBLE) AS oy0
+         |       FROM range(2) a(qx) CROSS JOIN range(2) b(qy)),
+         |fr AS (
+         |  SELECT fips, tx0, ty0, cx0, cy0,
+         |    greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
+         |    greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) AS fa
+         |  FROM tr CROSS JOIN cn
+         |  WHERE greatest(0, least(tx0+512, cx0+2000) - greatest(tx0, cx0)) *
+         |        greatest(0, least(ty0+512, cy0+2000) - greatest(ty0, cy0)) > 0),
+         |den AS (SELECT fips, sum(fa) AS denom FROM fr GROUP BY 1),
+         |pf AS (
+         |  SELECT fips, out_id,
+         |    greatest(0, least(tx0+512, cx0+2000, ox0+3000) - greatest(tx0, cx0, ox0)) *
+         |    greatest(0, least(ty0+512, cy0+2000, oy0+3000) - greatest(ty0, cy0, oy0)) AS pa
+         |  FROM fr CROSS JOIN op),
+         |num AS (SELECT fips, out_id, sum(pa) AS numer
+         |        FROM pf WHERE pa > 0 GROUP BY 1, 2)
+         |SELECT CAST(170 AS INT) AS srg_code, fips, out_id,
+         |  numer/denom AS frac, numer, denom,
+         |  sum(numer/denom) OVER (PARTITION BY fips ORDER BY out_id) AS qasum
+         |FROM num JOIN den USING (fips)
+         |WHERE denom >= 0.00001 AND numer <> 0
+         |ORDER BY fips, out_id""".stripMargin,
 
     "q71_snapshot_resume" ->
       """WITH t AS (SELECT doc_id,

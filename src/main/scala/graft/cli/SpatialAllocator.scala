@@ -142,6 +142,34 @@ object SpatialAllocator {
           .orElse(cfg.get("WEIGHT_ATTR_LIST").map(_.split(",").head.trim)
             .filter(_ != "NONE"))
         val w = weightLayer()
+        // OUTPUT_FILE_TYPE=Polygon: surrogate onto OUTPUT POLYGONS instead
+        // of grid cells (surrogate.c:455-470 — data lines carry the output
+        // polygon id, remainder rows use id "0")
+        if (cfg.get("OUTPUT_FILE_TYPE").contains("Polygon")) {
+          val outPolys = readLayer(req("OUTPUT_POLY_FILE"), "Polygon")
+            .withColumnRenamed(
+              cfg.getOrElse("OUTPUT_POLY_ATTRS", "out_id"), "out_id")
+          val srgFull = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon") match {
+            case "Point" =>
+              Surrogate.pointSurrogateToPolys(w, counties, outPolys,
+                domain, zres, code, weight, thr, keepSkipped = true)
+            case "Line" =>
+              Surrogate.lineSurrogateToPolys(w, counties, outPolys,
+                domain, zres, code, weight, thr,
+                curved = cfg.getOrElse("USE_CURVED_LINES", "NO") == "YES",
+                keepSkipped = true)
+            case _ =>
+              Surrogate.polySurrogateToPolys(w, counties, outPolys,
+                domain, zres, code, weight, thr, keepSkipped = true)
+          }
+          val srg = srgFull.where(col("denom") >= thr)
+          cfg.get("SURROGATE_FILE").foreach { out =>
+            Smoke.writePoly(srgFull, grid(), projInfo(), out,
+              withQa = cfg.getOrElse("WRITE_QASUM", "YES") == "YES",
+              denomThreshold = thr)
+          }
+          Some(srg)
+        } else {
         // keepSkipped: below-threshold counties must REACH the sink so the
         // SURROGATE_FILE renders their #SKIPPED rows (surrogate.c:434-452);
         // everything downstream of the text file sees only live counties
@@ -187,6 +215,7 @@ object SpatialAllocator {
             ycent = c.map(_.ycent).getOrElse(0.0))
         }
         Some(srg)
+        }
 
       case "ALLOCATE" if cfg.get("INPUT_FILE_TYPE").contains("IoapiFile") =>
         // allocateIoapi.c: gridded I/O API data regrids onto the output

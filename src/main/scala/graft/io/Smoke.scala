@@ -103,6 +103,73 @@ object Smoke {
       }
   }
 
+  /** Polygon-output data line (surrogate.c:455-470): `code fips out_id
+    * frac` — the out_poly_id string replaces the col/row pair. */
+  private def polyLine(code: Int, fips: String, outId: String, frac: Double,
+                       qa: Option[(Double, Double, Double)],
+                       prefix: String = ""): String = {
+    val base = "%s%5d\t%s\t%s\t%10.8f".formatLocal(
+      Locale.US, prefix, code, fips, outId, frac)
+    qa match {
+      case Some((num, den, qs)) =>
+        base + "\t!\t%f\t%f\t%f".formatLocal(Locale.US, num, den, qs)
+      case None => base
+    }
+  }
+
+  /** OUTPUT_FILE_TYPE=Polygon surrogate lines. Input schema: (srg_code,
+    * fips, out_id, frac, numer, denom, qasum). Same distributed county
+    * grouping, #SKIPPED and #REMAINDER rules as `toLines`; the remainder
+    * row's out_poly_id is "0" (surrogate.c:326-334). */
+  def toLinesPoly(srg: DataFrame, withQa: Boolean = true,
+                  denomThreshold: Double = 1e-5): Dataset[String] = {
+    val spark = srg.sparkSession
+    import spark.implicits._
+    srg.select(col("srg_code").cast("int"), col("fips").cast("string"),
+        col("out_id").cast("string"), col("frac").cast("double"),
+        col("numer").cast("double"), col("denom").cast("double"),
+        col("qasum").cast("double"))
+      .as[(Int, String, String, Double, Double, Double, Double)]
+      .groupByKey { case (code, fips, _, _, _, _, _) => (code, fips) }
+      .flatMapGroups { (key: (Int, String),
+                        it: Iterator[(Int, String, String, Double, Double, Double, Double)]) =>
+        val (code, fips) = key
+        val rows = it.toVector.sortBy(_._3)
+        val skipped = rows.headOption.exists(_._6 < denomThreshold)
+        val prefix = if (skipped) "#SKIPPED " else ""
+        val lines = rows.map { case (_, _, outId, frac, num, den, qs) =>
+          polyLine(code, fips, outId, frac,
+            if (withQa) Some((num, den, qs)) else None, prefix)
+        }
+        val qasum = rows.lastOption.map(_._7).getOrElse(0.0)
+        val den = rows.headOption.map(_._6).getOrElse(0.0)
+        val sumNum = rows.iterator.map(_._5).sum
+        val rem =
+          if (!skipped && math.abs(1.0 - qasum) > 1e-5 && qasum > 1e-5)
+            Seq(polyLine(code, fips, "0", 1.0 - qasum,
+              if (withQa) Some((den - sumNum, den, 1.0 - qasum)) else None,
+              "#REMAINDER "))
+          else Seq.empty
+        lines ++ rem
+      }
+  }
+
+  /** Write a complete OUTPUT_FILE_TYPE=Polygon SMOKE file: #POLYGON
+    * header + county-ordered body, remainder rows last per county. */
+  def writePoly(srg: DataFrame, g: GridSpec, p: ProjInfo, path: String,
+                withQa: Boolean = true,
+                denomThreshold: Double = 1e-5): Unit = {
+    val body = toLinesPoly(srg, withQa, denomThreshold).collect()
+      .sortBy { l =>
+        val t = l.replaceAll("^#(SKIPPED|REMAINDER) ", "").split("\t")
+        val isRemainder = if (l.startsWith("#REMAINDER")) 1 else 0
+        (t(0).trim.toInt, t(1), isRemainder, t(2))
+      }
+    val all = header(g, p, "#POLYGON") +: body
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      all.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
   /** Write a complete SMOKE file (header + ordered body). The single-file
     * coalesce is for byte-exact parity at test scale; at 100 TB callers keep
     * the Dataset[String] distributed (`toLines`) and write part files. */

@@ -182,4 +182,132 @@ object Surrogate {
       .groupBy("fips", "col", "row").agg(sum(numContrib).as("numer"))
     ratio(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
   }
+
+  // --------------------------------------------- polygon-output surrogates
+
+  val POLY_OUT_COLS: Seq[String] =
+    Seq("srg_code", "fips", "out_id", "frac", "numer", "denom", "qasum")
+
+  /** Shared tail for OUTPUT_FILE_TYPE=Polygon surrogates (surrogate.c:
+    * 455-470 writes `code fips out_poly_id frac`): same threshold-skip and
+    * keepSkipped semantics as `ratio`, qasum ordered by out_id (the
+    * reference's output-poly iteration order).
+    * numer: (fips, out_id, numer); denom: (fips, denom). */
+  def ratioPoly(numer: DataFrame, denom: DataFrame, srgCode: Int,
+                denomThreshold: Double = 1e-5, ordered: Boolean = true,
+                keepSkipped: Boolean = false): DataFrame = {
+    val denomPass =
+      if (keepSkipped) col("denom") =!= 0.0
+      else col("denom") >= denomThreshold
+    val joined = numer.join(broadcast(denom), "fips")
+      .where(denomPass && col("numer") =!= 0.0)
+      .withColumn("frac", col("numer") / col("denom"))
+    val w = Window.partitionBy("fips").orderBy("out_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = joined
+      .withColumn("qasum", sum("frac").over(w))
+      .withColumn("srg_code", lit(srgCode))
+      .select(POLY_OUT_COLS.map(col): _*)
+    if (ordered) out.orderBy("fips", "out_id") else out
+  }
+
+  /** Point-weight surrogate onto OUTPUT POLYGONS instead of grid cells
+    * (srgcreate OUTPUT_FILE_TYPE=Polygon): numerator per (county, output
+    * polygon), denominator = every point in the county whether or not it
+    * falls in any output polygon. outPolys: (out_id, geom). */
+  def pointSurrogateToPolys(points: DataFrame, counties: DataFrame,
+                            outPolys: DataFrame,
+                            domain: CellDomain, res: Int, srgCode: Int,
+                            weight: Option[String] = None,
+                            denomThreshold: Double = 1e-5,
+                            keepSkipped: Boolean = false): DataFrame = {
+    val w = weight.map(col(_).cast("double")).getOrElse(lit(1.0))
+    // county tag once; persisted because the denominator (all county
+    // points) and the numerator (points also inside an output polygon,
+    // an INNER second PIP) both consume it
+    val tagged = SpatialJoin.pointInPoly(points, counties, domain, res)
+      .where(w =!= 0.0)
+      .select(col("fips"), col("x"), col("y"), w.as("__w"))
+      .transform(graft.spark.PersistTracker.persist)
+    val denom = tagged.groupBy("fips").agg(sum("__w").as("denom"))
+    val numer = SpatialJoin.pointInPoly(tagged,
+        outPolys.select(col("out_id"), col("geom")), domain, res)
+      .groupBy("fips", "out_id").agg(sum("__w").as("numer"))
+    ratioPoly(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
+  }
+
+  /** Polygon-weight surrogate onto OUTPUT POLYGONS: the W∩D fragments keep
+    * their geometry and clip AGAIN against the output layer — the same
+    * two-intersection shape as the reference's polyIsect(W∩D, G) with G a
+    * polygon layer instead of the grid. Contribution formulas match
+    * polySurrogate exactly (vs the ORIGINAL weight area). */
+  def polySurrogateToPolys(weights: DataFrame, counties: DataFrame,
+                           outPolys: DataFrame,
+                           domain: CellDomain, res: Int, srgCode: Int,
+                           weight: Option[String] = None,
+                           denomThreshold: Double = 1e-5,
+                           keepSkipped: Boolean = false): DataFrame = {
+    val wexpr = weight.map(col(_).cast("double")).getOrElse(lit(0.0))
+    val wts = weights
+      .where(weight.map(c => col(c).cast("double") =!= 0.0).getOrElse(lit(true)))
+      .withColumn("__warea", polygonAreaUdf(col("geom")))
+      .where(col("__warea") > 0)
+      .withColumn("__wval", wexpr)
+    val frags = SpatialJoin.polyPolyFragments(
+        wts, counties.withColumnRenamed("geom", "bgeom"), domain, res)
+      .transform(graft.spark.PersistTracker.persist)
+    val denomContrib = weight
+      .map(_ => col("__wval") * (col("frag_area") / col("__warea")))
+      .getOrElse(col("frag_area"))
+    val denom = frags.groupBy("fips").agg(sum(denomContrib).as("denom"))
+    // second clip: W∩D fragment geometry against the (broadcast) output
+    // layer; the original weight geometry drops before the cover explode
+    val wdg = SpatialJoin.polyPolyFragments(
+        frags.drop("geom").withColumnRenamed("frag_area", "__wd_area"),
+        outPolys.select(col("out_id"), col("geom").as("ogeom")),
+        domain, res, aGeom = "frag_geom", bGeom = "ogeom",
+        keepFragGeom = false)
+    val numContrib = weight
+      .map(_ => col("__wval") * (col("frag_area") / col("__warea")))
+      .getOrElse(col("frag_area"))
+    val numer = wdg.groupBy("fips", "out_id").agg(sum(numContrib).as("numer"))
+    ratioPoly(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
+  }
+
+  /** Line-weight surrogate onto OUTPUT POLYGONS: county line fragments
+    * keep their pieces and clip again against the output layer; every
+    * length measure uses the same `curved` mode (USE_CURVED_LINES). */
+  def lineSurrogateToPolys(lines: DataFrame, counties: DataFrame,
+                           outPolys: DataFrame,
+                           domain: CellDomain, res: Int, srgCode: Int,
+                           weight: Option[String] = None,
+                           denomThreshold: Double = 1e-5,
+                           curved: Boolean = false,
+                           keepSkipped: Boolean = false): DataFrame = {
+    val lns = lines
+      .where(weight.map(c => col(c).cast("double") =!= 0.0).getOrElse(lit(true)))
+      .withColumn("__wlen", lineLengthCol(col("line"), curved))
+      .where(col("__wlen") > 0)
+      .withColumn("__wval",
+        weight.map(col(_).cast("double")).getOrElse(lit(0.0)))
+    val wd = SpatialJoin.linePolyFragments(lns,
+        counties.select(col("fips"), col("geom")), domain, res,
+        curved = curved)
+      .transform(graft.spark.PersistTracker.persist)
+    val denomContrib = weight
+      .map(_ => col("__wval") * (col("frag_len") / col("__wlen")))
+      .getOrElse(col("frag_len"))
+    val denom = wd.groupBy("fips").agg(sum(denomContrib).as("denom"))
+    val pieces = wd.withColumnRenamed("frag_len", "__wd_len")
+      .withColumn("__piece", explode(col("frag_line")))
+      .drop("line", "frag_line")
+    val wdg = SpatialJoin.linePolyFragments(pieces,
+        outPolys.select(col("out_id"), col("geom")), domain, res,
+        lineCol = "__piece", curved = curved)
+    val numContrib = weight
+      .map(_ => col("__wval") * (col("frag_len") / col("__wlen")))
+      .getOrElse(col("frag_len"))
+    val numer = wdg.groupBy("fips", "out_id").agg(sum(numContrib).as("numer"))
+    ratioPoly(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
+  }
 }

@@ -259,6 +259,66 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotPct == wantPct && gotPct.nonEmpty)
   }
 
+  test("SURROGATE OUTPUT_FILE_TYPE=Polygon writes out_poly_id lines (#POLYGON)") {
+    val dir = tmp("cli-polyout")
+    TpchGeo.counties(spark).write.mode("overwrite").parquet(s"$dir/counties")
+    TpchGeo.tracts(spark, sfDir).write.mode("overwrite").parquet(s"$dir/tracts")
+    import spark.implicits._
+    (for { qy <- 0 to 1; qx <- 0 to 1 } yield {
+      val x0 = 1000.0 + qx * 3000; val y0 = 1000.0 + qy * 3000
+      (1 + qx + qy * 2,
+        Seq(Seq(x0, y0, x0 + 3000, y0, x0 + 3000, y0 + 3000, x0, y0 + 3000)))
+    }).toDF("out_id", "geom").write.mode("overwrite").parquet(s"$dir/outpolys")
+
+    val smoke = s"$dir/srg170.txt"
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "SURROGATE",
+      "OUTPUT_GRID_NAME" -> "TEST8",
+      "OUTPUT_FILE_TYPE" -> "Polygon",
+      "OUTPUT_POLY_FILE" -> s"$dir/outpolys",
+      "DATA_FILE_NAME" -> s"$dir/counties",
+      "WEIGHT_FILE_NAME" -> s"$dir/tracts",
+      "WEIGHT_FILE_TYPE" -> "Polygon",
+      "SURROGATE_ID" -> "170",
+      "SURROGATE_FILE" -> smoke)).get
+
+    val direct = graft.operators.Surrogate.polySurrogateToPolys(
+      TpchGeo.tracts(spark, sfDir), TpchGeo.counties(spark),
+      spark.read.parquet(s"$dir/outpolys"),
+      TpchGeo.domain, TpchGeo.zres, 170)
+    assert(out.collect().map(_.toString).toSeq ==
+           direct.collect().map(_.toString).toSeq)
+
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(java.nio.file.Paths.get(smoke)).asScala
+    assert(lines.head.startsWith("#POLYGON\tTEST8"))
+    // data lines carry code, fips, out_poly_id, frac — exactly 4 fields
+    // before the QA comment
+    val data = lines.tail.filterNot(_.startsWith("#"))
+    assert(data.nonEmpty)
+    data.foreach { l =>
+      val f = l.split("\t")
+      assert(f(4) == "!" && f(2).matches("\\d+"), l)
+    }
+    // point weights flow through the same front door
+    TpchGeo.points(spark, sfDir).write.mode("overwrite").parquet(s"$dir/points")
+    val outP = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "SURROGATE",
+      "OUTPUT_GRID_NAME" -> "TEST8",
+      "OUTPUT_FILE_TYPE" -> "Polygon",
+      "OUTPUT_POLY_FILE" -> s"$dir/outpolys",
+      "DATA_FILE_NAME" -> s"$dir/counties",
+      "WEIGHT_FILE_NAME" -> s"$dir/points",
+      "WEIGHT_FILE_TYPE" -> "Point",
+      "SURROGATE_ID" -> "171")).get
+    assert(outP.count() > 0)
+    // every county's fracs sum to ≤ 1 (points outside all output polys
+    // stay in the denominator)
+    val sums = outP.groupBy("fips").agg(sum("frac").as("s"))
+      .collect().map(_.getDouble(1))
+    assert(sums.forall(s => s > 0.0 && s <= 1.0 + 1e-12))
+  }
+
   test("INPUT_FILE_TYPE=RegularGrid generates the input grid from GRIDDESC") {
     val dir = tmp("cli-reggrid")
     Files.write(java.nio.file.Paths.get(s"$dir/GRIDDESC.txt"),

@@ -23,6 +23,22 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Smoke.parseHeader(h) == GridCatalog.M08_NASH)
   }
 
+  test("toLinesPoly renders polygon-output lines, remainder id 0, skipped prefix") {
+    val s = spark
+    import s.implicits._
+    // county A: two output polys summing to 0.75 → remainder 0.25 with id 0
+    // county B: below-threshold denominator → #SKIPPED prefix
+    val srg = Seq(
+      (170, "A", "12", 0.5, 2.0, 4.0, 0.5),
+      (170, "A", "34", 0.25, 1.0, 4.0, 0.75),
+      (170, "B", "12", 1.0, 1e-7, 1e-7, 1.0)
+    ).toDF("srg_code", "fips", "out_id", "frac", "numer", "denom", "qasum")
+    val lines = Smoke.toLinesPoly(srg).collect().sorted
+    assert(lines.exists(_.startsWith("  170\tA\t12\t0.50000000\t!")))
+    assert(lines.exists(_.startsWith("#REMAINDER   170\tA\t0\t0.25000000\t!")))
+    assert(lines.exists(_.startsWith("#SKIPPED   170\tB\t12\t1.00000000\t!")))
+  }
+
   test("header tag tracks the output type; parseHeader accepts all three") {
     import graft.grid.GridSpec
     val g = GridSpec("T", 0, 0, 1000, 1000, 2, 2)
