@@ -142,6 +142,15 @@ object SpatialAllocator {
           .orElse(cfg.get("WEIGHT_ATTR_LIST").map(_.split(",").head.trim)
             .filter(_ != "NONE"))
         val w = weightLayer()
+        // QA comment fields append independently (surrogate.c:132-179):
+        // WRITE_QASUM gates qasum and is the default for the other two;
+        // WRITE_HEADER=NO/N suppresses the header line (beld3smk sets "N")
+        val qaBase = cfg.getOrElse("WRITE_QASUM", "YES")
+        val qaFields = Smoke.QaFields(
+          numerator = cfg.getOrElse("WRITE_SRG_NUMERATOR", qaBase) == "YES",
+          denominator = cfg.getOrElse("WRITE_SRG_DENOMINATOR", qaBase) == "YES",
+          qasum = qaBase == "YES")
+        val hdrOn = !Seq("NO", "N").contains(cfg.getOrElse("WRITE_HEADER", "YES"))
         // OUTPUT_FILE_TYPE=Polygon: surrogate onto OUTPUT POLYGONS instead
         // of grid cells (surrogate.c:455-470 — data lines carry the output
         // polygon id, remainder rows use id "0")
@@ -165,8 +174,8 @@ object SpatialAllocator {
           val srg = srgFull.where(col("denom") >= thr)
           cfg.get("SURROGATE_FILE").foreach { out =>
             Smoke.writePoly(srgFull, grid(), projInfo(), out,
-              withQa = cfg.getOrElse("WRITE_QASUM", "YES") == "YES",
-              denomThreshold = thr)
+              withQa = qaFields.any, denomThreshold = thr,
+              fields = qaFields, writeHeader = hdrOn)
           }
           Some(srg)
         } else {
@@ -198,8 +207,8 @@ object SpatialAllocator {
             case _              => "#GRID"
           }
           Smoke.write(srgFull, grid(), projInfo(), out,
-            withQa = cfg.getOrElse("WRITE_QASUM", "YES") == "YES",
-            denomThreshold = thr, headerTag = tag)
+            withQa = qaFields.any, denomThreshold = thr, headerTag = tag,
+            fields = qaFields, writeHeader = hdrOn)
         }
         // srg2ncf in one pass (util/srg2ncf/convert_txt2ncf.f) — the .ncf
         // header carries the GRIDDESC projection, and only live counties

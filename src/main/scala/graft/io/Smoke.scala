@@ -50,14 +50,34 @@ object Smoke {
       Locale.US, g.name, g.xorig, g.yorig, g.xcell, g.ycell, g.ncols, g.nrows,
       1, p.name, p.units, p.alpha, p.beta, p.gamma, p.xcent, p.ycent)
 
+  /** Which QA comment fields append after `!` — each independently, like
+    * the reference's WRITE_SRG_NUMERATOR / WRITE_SRG_DENOMINATOR /
+    * WRITE_QASUM flags (surrogate.c:132-179: an off flag leaves its field
+    * EMPTY; the `!` prints when any field is on). */
+  final case class QaFields(numerator: Boolean, denominator: Boolean,
+                            qasum: Boolean) {
+    def any: Boolean = numerator || denominator || qasum
+  }
+  object QaFields {
+    val All: QaFields = QaFields(true, true, true)
+    val None: QaFields = QaFields(false, false, false)
+  }
+
+  private def qaSuffix(num: Double, den: Double, qs: Double,
+                       f: QaFields): String =
+    if (!f.any) ""
+    else "\t!" +
+      (if (f.numerator) "\t%f".formatLocal(Locale.US, num) else "") +
+      (if (f.denominator) "\t%f".formatLocal(Locale.US, den) else "") +
+      (if (f.qasum) "\t%f".formatLocal(Locale.US, qs) else "")
+
   private def dataLine(code: Int, fips: String, c: Int, r: Int, frac: Double,
                        qa: Option[(Double, Double, Double)],
-                       prefix: String = ""): String = {
+                       prefix: String = "", fields: QaFields = QaFields.All): String = {
     val base = "%s%5d\t%s\t%5d\t%5d\t%10.8f".formatLocal(
       Locale.US, prefix, code, fips, c, r, frac)
     qa match {
-      case Some((num, den, qs)) =>
-        base + "\t!\t%f\t%f\t%f".formatLocal(Locale.US, num, den, qs)
+      case Some((num, den, qs)) => base + qaSuffix(num, den, qs, fields)
       case None => base
     }
   }
@@ -70,7 +90,8 @@ object Smoke {
     * @param withQa     append the `! numer denom qasum` comment fields
     * @param denomThreshold counties below it render as #SKIPPED rows */
   def toLines(srg: DataFrame, withQa: Boolean = true,
-              denomThreshold: Double = 1e-5): Dataset[String] = {
+              denomThreshold: Double = 1e-5,
+              fields: QaFields = QaFields.All): Dataset[String] = {
     val spark = srg.sparkSession
     import spark.implicits._
     srg.select(col("srg_code").cast("int"), col("fips").cast("string"),
@@ -87,7 +108,7 @@ object Smoke {
         val prefix = if (skipped) "#SKIPPED " else ""
         val lines = rows.map { case (_, _, c, r, frac, num, den, qs) =>
           dataLine(code, fips, c, r, frac,
-            if (withQa) Some((num, den, qs)) else None, prefix)
+            if (withQa) Some((num, den, qs)) else None, prefix, fields)
         }
         val qasum = rows.lastOption.map(_._8).getOrElse(0.0)
         val den = rows.headOption.map(_._7).getOrElse(0.0)
@@ -97,7 +118,7 @@ object Smoke {
           if (!skipped && math.abs(1.0 - qasum) > 1e-5 && qasum > 1e-5)
             Seq(dataLine(code, fips, 0, 0, 1.0 - qasum,
               if (withQa) Some((den - sumNum, den, 1.0 - qasum)) else None,
-              "#REMAINDER "))
+              "#REMAINDER ", fields))
           else Seq.empty
         lines ++ rem
       }
@@ -107,12 +128,11 @@ object Smoke {
     * frac` — the out_poly_id string replaces the col/row pair. */
   private def polyLine(code: Int, fips: String, outId: String, frac: Double,
                        qa: Option[(Double, Double, Double)],
-                       prefix: String = ""): String = {
+                       prefix: String = "", fields: QaFields = QaFields.All): String = {
     val base = "%s%5d\t%s\t%s\t%10.8f".formatLocal(
       Locale.US, prefix, code, fips, outId, frac)
     qa match {
-      case Some((num, den, qs)) =>
-        base + "\t!\t%f\t%f\t%f".formatLocal(Locale.US, num, den, qs)
+      case Some((num, den, qs)) => base + qaSuffix(num, den, qs, fields)
       case None => base
     }
   }
@@ -122,7 +142,8 @@ object Smoke {
     * grouping, #SKIPPED and #REMAINDER rules as `toLines`; the remainder
     * row's out_poly_id is "0" (surrogate.c:326-334). */
   def toLinesPoly(srg: DataFrame, withQa: Boolean = true,
-                  denomThreshold: Double = 1e-5): Dataset[String] = {
+                  denomThreshold: Double = 1e-5,
+                  fields: QaFields = QaFields.All): Dataset[String] = {
     val spark = srg.sparkSession
     import spark.implicits._
     srg.select(col("srg_code").cast("int"), col("fips").cast("string"),
@@ -139,7 +160,7 @@ object Smoke {
         val prefix = if (skipped) "#SKIPPED " else ""
         val lines = rows.map { case (_, _, outId, frac, num, den, qs) =>
           polyLine(code, fips, outId, frac,
-            if (withQa) Some((num, den, qs)) else None, prefix)
+            if (withQa) Some((num, den, qs)) else None, prefix, fields)
         }
         val qasum = rows.lastOption.map(_._7).getOrElse(0.0)
         val den = rows.headOption.map(_._6).getOrElse(0.0)
@@ -148,7 +169,7 @@ object Smoke {
           if (!skipped && math.abs(1.0 - qasum) > 1e-5 && qasum > 1e-5)
             Seq(polyLine(code, fips, "0", 1.0 - qasum,
               if (withQa) Some((den - sumNum, den, 1.0 - qasum)) else None,
-              "#REMAINDER "))
+              "#REMAINDER ", fields))
           else Seq.empty
         lines ++ rem
       }
@@ -158,14 +179,16 @@ object Smoke {
     * header + county-ordered body, remainder rows last per county. */
   def writePoly(srg: DataFrame, g: GridSpec, p: ProjInfo, path: String,
                 withQa: Boolean = true,
-                denomThreshold: Double = 1e-5): Unit = {
-    val body = toLinesPoly(srg, withQa, denomThreshold).collect()
+                denomThreshold: Double = 1e-5,
+                fields: QaFields = QaFields.All,
+                writeHeader: Boolean = true): Unit = {
+    val body = toLinesPoly(srg, withQa, denomThreshold, fields).collect()
       .sortBy { l =>
         val t = l.replaceAll("^#(SKIPPED|REMAINDER) ", "").split("\t")
         val isRemainder = if (l.startsWith("#REMAINDER")) 1 else 0
         (t(0).trim.toInt, t(1), isRemainder, t(2))
       }
-    val all = header(g, p, "#POLYGON") +: body
+    val all = if (writeHeader) header(g, p, "#POLYGON") +: body else body
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       all.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
@@ -175,10 +198,11 @@ object Smoke {
     * the Dataset[String] distributed (`toLines`) and write part files. */
   def write(srg: DataFrame, g: GridSpec, p: ProjInfo, path: String,
             withQa: Boolean = true, denomThreshold: Double = 1e-5,
-            headerTag: String = "#GRID"): Unit = {
+            headerTag: String = "#GRID", fields: QaFields = QaFields.All,
+            writeHeader: Boolean = true): Unit = {
     val spark = srg.sparkSession
     import spark.implicits._
-    val body = toLines(srg, withQa, denomThreshold).collect()
+    val body = toLines(srg, withQa, denomThreshold, fields).collect()
       .sortBy { l =>
         val t = l.replaceAll("^#(SKIPPED|REMAINDER) ", "").split("\t")
         // remainder rows carry col=row=0 but the reference flushes them
@@ -186,7 +210,7 @@ object Smoke {
         val isRemainder = if (l.startsWith("#REMAINDER")) 1 else 0
         (t(0).trim.toInt, t(1), isRemainder, t(3).trim.toInt, t(2).trim.toInt)
       }
-    val all = header(g, p, headerTag) +: body
+    val all = if (writeHeader) header(g, p, headerTag) +: body else body
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       all.mkString("", "\n", "\n").getBytes("UTF-8"))
   }

@@ -39,6 +39,21 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines.exists(_.startsWith("#SKIPPED   170\tB\t12\t1.00000000\t!")))
   }
 
+  test("QaFields append independently like WRITE_SRG_NUMERATOR/DENOMINATOR/QASUM") {
+    val s = spark
+    import s.implicits._
+    val srg = Seq((100, "A", 1, 1, 0.5, 2.0, 4.0, 0.5))
+      .toDF("srg_code", "fips", "col", "row", "frac", "numer", "denom", "qasum")
+    def line(f: Smoke.QaFields) =
+      Smoke.toLines(srg, withQa = f.any, fields = f).collect().head
+    assert(line(Smoke.QaFields.All).endsWith("\t!\t2.000000\t4.000000\t0.500000"))
+    // qasum only: numerator/denominator fields are EMPTY, not zero
+    assert(line(Smoke.QaFields(false, false, true)).endsWith("0.50000000\t!\t0.500000"))
+    assert(line(Smoke.QaFields(true, false, false)).endsWith("0.50000000\t!\t2.000000"))
+    // all off via withQa=false: no comment at all
+    assert(Smoke.toLines(srg, withQa = false).collect().head.endsWith("0.50000000"))
+  }
+
   test("header tag tracks the output type; parseHeader accepts all three") {
     import graft.grid.GridSpec
     val g = GridSpec("T", 0, 0, 1000, 1000, 2, 2)
