@@ -94,9 +94,35 @@ object SpatialAllocator {
         else spark.read.parquet(path)
     }
 
+    // grid-CRS target for during-scan reprojection (PolyReader reprojects
+    // every input layer into the output map projection at read time,
+    // srg_main.c:171,227-230): OUTPUT_FILE_MAP_PRJN wins, else the
+    // GRIDDESC coordinate system
+    def targetProj(): Option[Proj] =
+      cfg.get("OUTPUT_FILE_MAP_PRJN").map(projOf)
+        .orElse(gdEntry().map(e => Proj.fromGriddesc(e.coord)))
+
+    // reproject a layer from its declared CRS (<PFX>_MAP_PRJN [+ _ELLIPSOID])
+    // into the grid CRS; a layer with no declared CRS is already there
+    def reprojected(df: DataFrame, pfx: String, ftype: String): DataFrame =
+      (cfg.get(s"${pfx}_MAP_PRJN"), targetProj()) match {
+        case (Some(spec), Some(to)) =>
+          val full = cfg.get(s"${pfx}_ELLIPSOID")
+            .map(e => s"$spec,$e").getOrElse(spec)
+          val from = projOf(full)
+          val maxSeg = cfg.getOrElse("MAX_LINE_SEG", "0").toDouble
+          ftype match {
+            case "Point" | "PointFile" => Reproject.points(df, from, to)
+            case "Line" => Reproject.lines(df, from, to, maxSeg)
+            case _ => Reproject.polygons(df, from, to, maxSeg)
+          }
+        case _ => df
+      }
+
     def weightLayer(): DataFrame = {
-      val base = readLayer(req("WEIGHT_FILE_NAME"),
-        cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon"))
+      val ftype = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon")
+      val base = reprojected(
+        readLayer(req("WEIGHT_FILE_NAME"), ftype), "WEIGHT_FILE", ftype)
       val filtered = applyFilter(base)
       cfg.get("WEIGHT_FUNCTION") match {
         case Some(f) => filtered.withColumn("weight_function", WeightExpr.compile(f))
@@ -134,7 +160,8 @@ object SpatialAllocator {
 
     val result: Option[DataFrame] = req("MIMS_PROCESSING") match {
       case "SURROGATE" =>
-        val counties = readLayer(req("DATA_FILE_NAME"), "Polygon")
+        val counties = reprojected(
+            readLayer(req("DATA_FILE_NAME"), "Polygon"), "DATA_FILE", "Polygon")
           .withColumnRenamed(cfg.getOrElse("DATA_ID_ATTR", "fips"), "fips")
         val code = cfg.getOrElse("SURROGATE_ID", "100").toInt
         val thr = cfg.getOrElse("DENOMINATOR_THRESHOLD", "0.00001").toDouble

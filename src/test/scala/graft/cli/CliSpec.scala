@@ -259,6 +259,48 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotPct == wantPct && gotPct.nonEmpty)
   }
 
+  test("WEIGHT/DATA_FILE_MAP_PRJN reproject input layers into the grid CRS") {
+    val dir = tmp("cli-reproj")
+    // lon/lat layers: counties as 2-degree tiles, points in degrees
+    TpchGeo.countiesLL(spark).write.mode("overwrite").parquet(s"$dir/countiesLL")
+    val ptsLL = TpchGeo.points(spark, sfDir)
+      .withColumn("x", col("x") / 1000.0).withColumn("y", col("y") / 1000.0)
+    ptsLL.write.mode("overwrite").parquet(s"$dir/pointsLL")
+    // the output grid lives in spherical Mercator meters
+    Files.write(java.nio.file.Paths.get(s"$dir/GRIDDESC.txt"),
+      """'MER'
+        |3, 0, 0, 0, 0, 0
+        |' '
+        |'TESTM'
+        |'MER', 0, 0, 112000, 112000, 8, 8, 1
+        |' '""".stripMargin.getBytes("UTF-8"))
+
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "SURROGATE",
+      "OUTPUT_GRID_NAME" -> "TESTM",
+      "GRIDDESC" -> s"$dir/GRIDDESC.txt",
+      "OUTPUT_FILE_MAP_PRJN" -> "proj=merc",
+      "DATA_FILE_NAME" -> s"$dir/countiesLL",
+      "DATA_FILE_MAP_PRJN" -> "proj=latlon",
+      "WEIGHT_FILE_NAME" -> s"$dir/pointsLL",
+      "WEIGHT_FILE_TYPE" -> "Point",
+      "WEIGHT_FILE_MAP_PRJN" -> "proj=latlon",
+      "CELL_DOMAIN" -> "0,0,1048576,1048576",
+      "SURROGATE_ID" -> "100")).get
+
+    val from = SpatialAllocator.projOf("proj=latlon")
+    val to = SpatialAllocator.projOf("proj=merc")
+    val gridM = graft.grid.GridSpec("TESTM", 0, 0, 112000, 112000, 8, 8)
+    val dom = graft.cells.CellDomain(0, 0, 1048576, 1048576)
+    val direct = graft.operators.Surrogate.pointSurrogate(
+      graft.operators.Reproject.points(ptsLL, from, to),
+      graft.operators.Reproject.polygons(TpchGeo.countiesLL(spark), from, to, 0),
+      gridM, dom, TpchGeo.zres, 100)
+    assert(out.count() > 0)
+    assert(out.collect().map(_.toString).toSeq ==
+           direct.collect().map(_.toString).toSeq)
+  }
+
   test("SURROGATE OUTPUT_FILE_TYPE=Polygon writes out_poly_id lines (#POLYGON)") {
     val dir = tmp("cli-polyout")
     TpchGeo.counties(spark).write.mode("overwrite").parquet(s"$dir/counties")
