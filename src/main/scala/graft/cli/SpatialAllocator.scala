@@ -105,18 +105,23 @@ object SpatialAllocator {
     // reproject a layer from its declared CRS (<PFX>_MAP_PRJN [+ _ELLIPSOID])
     // into the grid CRS; a layer with no declared CRS is already there
     def reprojected(df: DataFrame, pfx: String, ftype: String): DataFrame =
-      (cfg.get(s"${pfx}_MAP_PRJN"), targetProj()) match {
-        case (Some(spec), Some(to)) =>
-          val full = cfg.get(s"${pfx}_ELLIPSOID")
-            .map(e => s"$spec,$e").getOrElse(spec)
-          val from = projOf(full)
-          val maxSeg = cfg.getOrElse("MAX_LINE_SEG", "0").toDouble
-          ftype match {
-            case "Point" | "PointFile" => Reproject.points(df, from, to)
-            case "Line" => Reproject.lines(df, from, to, maxSeg)
-            case _ => Reproject.polygons(df, from, to, maxSeg)
-          }
-        case _ => df
+      cfg.get(s"${pfx}_MAP_PRJN") match {
+        // targetProj() only resolves when a source CRS is declared — it
+        // may consult the GRIDDESC entry, which need not exist otherwise
+        case Some(spec) => targetProj() match {
+          case Some(to) =>
+            val full = cfg.get(s"${pfx}_ELLIPSOID")
+              .map(e => s"$spec,$e").getOrElse(spec)
+            val from = projOf(full)
+            val maxSeg = cfg.getOrElse("MAX_LINE_SEG", "0").toDouble
+            ftype match {
+              case "Point" | "PointFile" => Reproject.points(df, from, to)
+              case "Line" => Reproject.lines(df, from, to, maxSeg)
+              case _ => Reproject.polygons(df, from, to, maxSeg)
+            }
+          case None => df
+        }
+        case None => df
       }
 
     def weightLayer(): DataFrame = {
@@ -402,16 +407,40 @@ object SpatialAllocator {
         }
 
       case "OVERLAY" =>
-        val input = readLayer(req("INPUT_FILE_NAME"),
-          cfg.getOrElse("INPUT_FILE_TYPE", "Point"))
-        val mask = cfg.get("OVERLAY_SHAPE") match {
-          case Some(p) if p.count(_ == ',') == 3 => // BoundingBox literal
-            Sources.boundingBox(spark, p)
-          case Some(p) => spark.read.parquet(p)
-          case None => throw new IllegalArgumentException("OVERLAY_SHAPE not set")
+        val inType = cfg.getOrElse("INPUT_FILE_TYPE", "Point")
+        val input = reprojected(
+          readLayer(req("INPUT_FILE_NAME"), inType), "INPUT_FILE", inType)
+        // OVERLAY_TYPE dispatch (SA_ch03_vector.md:342-351): the mask is a
+        // bbox literal, a named grid's outline, an ASCII polygon file, a
+        // polygon layer — reprojected via OVERLAY_MAP_PRJN like any layer
+        val shape = cfg.getOrElse("OVERLAY_SHAPE",
+          throw new IllegalArgumentException("OVERLAY_SHAPE not set"))
+        val inferredType =
+          if (shape.count(_ == ',') == 3) "BoundingBox" else "ShapeFile"
+        val mask0 = cfg.getOrElse("OVERLAY_TYPE", inferredType) match {
+          case "BoundingBox" => Sources.boundingBox(spark, shape)
+          case "RegularGrid" =>
+            // the named grid's outline rectangle (the overlay region is
+            // the grid's extent)
+            import spark.implicits._
+            val g = cfg.get("GRIDDESC").map { gd =>
+              val text = new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(gd)), "UTF-8")
+              GridDesc.parse(text).grids(shape).grid
+            }.getOrElse(graft.grid.GridCatalog.byName(shape))
+            val (x2, y2) = (g.xorig + g.ncols * g.xcell,
+                            g.yorig + g.nrows * g.ycell)
+            Seq(Seq(Seq(g.xorig, g.yorig, x2, g.yorig, x2, y2, g.xorig, y2)))
+              .toDF("geom")
+          case "PolygonFile" =>
+            Sources.polygonFile(spark, new String(java.nio.file.Files
+              .readAllBytes(java.nio.file.Paths.get(shape)), "UTF-8"))
+          case _ => readLayer(shape, "Polygon")
         }
-        val out = cfg.getOrElse("INPUT_FILE_TYPE", "Point") match {
-          case "Point" => SpatialJoin.overlayPoints(input, mask, domain, zres)
+        val mask = reprojected(mask0, "OVERLAY", "Polygon")
+        val out = inType match {
+          case "Point" | "PointFile" =>
+            SpatialJoin.overlayPoints(input, mask, domain, zres)
           case "Line" => SpatialJoin.overlayLines(input, mask, domain, zres)
           case _ => SpatialJoin.overlayPolys(input, mask, domain, zres)
         }
@@ -426,9 +455,22 @@ object SpatialAllocator {
         val selected = cfg.get("OVERLAY_ATTRS").filter(_ != "ALL")
           .map(a => withCell.select(a.split(",").map(_.trim).map(col): _*))
           .getOrElse(withCell)
-        cfg.get("OUTPUT_FILE_NAME").foreach(p =>
+        // DelimitedFile sink: OVERLAY_OUT_NAME + OVERLAY_OUT_DELIM
+        // (COMMA | PIPE | SPACE | SEMICOLON), header per WRITE_HEADER
+        val sinkPath = cfg.get("OVERLAY_OUT_NAME").filter(_ != "Stdout")
+          .orElse(cfg.get("OUTPUT_FILE_NAME"))
+        sinkPath.foreach { p =>
+          val delim = cfg.getOrElse("OVERLAY_OUT_DELIM", "COMMA") match {
+            case "COMMA" => "," ; case "PIPE" => "|"
+            case "SPACE" => " " ; case "SEMICOLON" => ";"
+            case other => throw new IllegalArgumentException(
+              s"OVERLAY_OUT_DELIM=$other (COMMA|PIPE|SPACE|SEMICOLON)")
+          }
+          val hdr = !Seq("NO", "N")
+            .contains(cfg.getOrElse("WRITE_HEADER", "YES"))
           selected.coalesce(1).write.mode("overwrite")
-            .option("header", "true").csv(p))
+            .option("header", hdr.toString).option("sep", delim).csv(p)
+        }
         Some(selected)
 
       case "FILTER_SHAPE" =>

@@ -369,7 +369,6 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
         |' '
         |'INGRID'
         |'LAM', 0, 0, 1000, 1000, 4, 4, 1
-        |' '
         |'TEST8'
         |'LAM', 0, 0, 1000, 1000, 8, 8, 1
         |' '""".stripMargin.getBytes("UTF-8"))
@@ -386,6 +385,48 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cells intersecting [100,1900]²: the 2×2 lower-left block
     val ids = out.select("cell_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(0L, 1L, 4L, 5L))
+  }
+
+  test("OVERLAY_TYPE grid/polygon-file masks and the DelimitedFile sink") {
+    val dir = tmp("cli-ovtype")
+    TpchGeo.points(spark, sfDir).write.mode("overwrite").parquet(s"$dir/points")
+    Files.write(java.nio.file.Paths.get(s"$dir/GRIDDESC.txt"),
+      """'LAM'
+        |2, 33, 45, -97, -97, 40
+        |' '
+        |'MASK2'
+        |'LAM', 0, 0, 1000, 1000, 2, 2, 1
+        |' '""".stripMargin.getBytes("UTF-8"))
+    // RegularGrid mask: the named grid's outline ([0,2000]²)
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "OVERLAY",
+      "INPUT_FILE_NAME" -> s"$dir/points",
+      "INPUT_FILE_TYPE" -> "Point",
+      "OVERLAY_TYPE" -> "RegularGrid",
+      "OVERLAY_SHAPE" -> "MASK2",
+      "GRIDDESC" -> s"$dir/GRIDDESC.txt",
+      "OVERLAY_OUT_NAME" -> s"$dir/out_pipe",
+      "OVERLAY_OUT_DELIM" -> "PIPE")).get
+    val inside = TpchGeo.points(spark, sfDir)
+      .where(col("x") < 2000 && col("y") < 2000).count()
+    assert(out.count() == inside && inside > 0)
+    // the sink wrote pipe-delimited lines with a header
+    val part = new java.io.File(s"$dir/out_pipe").listFiles()
+      .find(_.getName.endsWith(".csv")).get
+    val lines = Files.readAllLines(part.toPath)
+    assert(lines.get(0).contains("o_orderkey|"))
+    assert(lines.size() == inside + 1)
+
+    // PolygonFile mask: ASCII x/y contour of the same square
+    Files.write(java.nio.file.Paths.get(s"$dir/mask.txt"),
+      "0 0\n0 2000\n2000 2000\n2000 0\n".getBytes("UTF-8"))
+    val out2 = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "OVERLAY",
+      "INPUT_FILE_NAME" -> s"$dir/points",
+      "INPUT_FILE_TYPE" -> "Point",
+      "OVERLAY_TYPE" -> "PolygonFile",
+      "OVERLAY_SHAPE" -> s"$dir/mask.txt")).get
+    assert(out2.count() == inside)
   }
 
   test("DiffIoapi drives headerDiff + diffCells under the reference env contract") {
