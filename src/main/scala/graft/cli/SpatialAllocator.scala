@@ -135,14 +135,23 @@ object SpatialAllocator {
       }
     }
 
-    def applyFilter(df: DataFrame): DataFrame = cfg.get("FILTER_ATTR") match {
-      case Some(attr) =>
-        Filters.filterSpec(df, Seq(Filters.AttrCond(attr,
-          discrete = cfg.getOrElse("FILTER_TYPE", "DISCRETE") == "DISCRETE",
-          include = cfg.get("FILTER_INCLUDE").map(_.split(",").toSeq).getOrElse(Nil),
-          exclude = cfg.get("FILTER_EXCLUDE").map(_.split(",").toSeq).getOrElse(Nil))))
-      case None => df
-    }
+    def applyFilter(df: DataFrame): DataFrame =
+      cfg.get("FILTER_FILE").filter(_ != "NONE") match {
+        // the reference's filter-file contract (FILTER_FILE env,
+        // SA_ch03_vector.md:262,1004-1046) — multi-block keyword=value text
+        case Some(path) =>
+          Filters.filterSpec(df, Filters.parseFilterFile(
+            new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(path)), "UTF-8")))
+        case None => cfg.get("FILTER_ATTR") match {
+          case Some(attr) =>
+            Filters.filterSpec(df, Seq(Filters.AttrCond(attr,
+              discrete = cfg.getOrElse("FILTER_TYPE", "DISCRETE") == "DISCRETE",
+              include = cfg.get("FILTER_INCLUDE").map(_.split(",").toSeq).getOrElse(Nil),
+              exclude = cfg.get("FILTER_EXCLUDE").map(_.split(",").toSeq).getOrElse(Nil))))
+          case None => df
+        }
+      }
 
     // gridded .ncf sink shared by the IoapiFile output paths: long rows
     // (var, tstep, layer, row, col, value) under the GRIDDESC header

@@ -119,6 +119,52 @@ object Filters {
     }
   }
 
+  /** FILTER_FILE parser (SA_ch03_vector.md:1004-1046): blocks of
+    * `keyword=value` lines — ATTRIBUTE_NAME + ATTRIBUTE_TYPE
+    * (DISCRETE|CONTINUOUS) required per block, then INCLUDE_VALUES and/or
+    * EXCLUDE_VALUES (comma lists; globs for discrete, one range/relation
+    * for continuous). `#` starts a comment. Keywords are case-folded like
+    * the reference; attribute names and VALUES keep their case (the C
+    * uppercases both sides of every DBF compare — a destructive
+    * normalization this engine does not replicate). */
+  def parseFilterFile(text: String): Seq[AttrCond] = {
+    val kvs = text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"filter file line is not keyword=value: '$l'")
+        (l.substring(0, i).trim.toUpperCase(java.util.Locale.ROOT),
+         l.substring(i + 1).trim)
+      }.toVector
+    val blocks = kvs.foldLeft(Vector.empty[Vector[(String, String)]]) {
+      case (acc, kv @ ("ATTRIBUTE_NAME", _)) => acc :+ Vector(kv)
+      case (acc, kv) =>
+        require(acc.nonEmpty,
+          s"filter file: ${kv._1} before any ATTRIBUTE_NAME")
+        acc.init :+ (acc.last :+ kv)
+    }
+    require(blocks.nonEmpty, "filter file declares no ATTRIBUTE_NAME block")
+    blocks.map { b =>
+      val m = b.toMap
+      require(b.size == m.size,
+        s"duplicate keyword in filter block for ${m("ATTRIBUTE_NAME")}")
+      val discrete = m.getOrElse("ATTRIBUTE_TYPE",
+        throw new IllegalArgumentException(
+          s"filter block for ${m("ATTRIBUTE_NAME")} lacks ATTRIBUTE_TYPE")) match {
+        case "DISCRETE" => true
+        case "CONTINUOUS" => false
+        case other => throw new IllegalArgumentException(
+          s"ATTRIBUTE_TYPE=$other (DISCRETE|CONTINUOUS)")
+      }
+      val inc = m.get("INCLUDE_VALUES").map(_.split(",").toSeq).getOrElse(Nil)
+      val exc = m.get("EXCLUDE_VALUES").map(_.split(",").toSeq).getOrElse(Nil)
+      require(inc.nonEmpty || exc.nonEmpty,
+        s"filter block for ${m("ATTRIBUTE_NAME")} needs INCLUDE_VALUES " +
+          "or EXCLUDE_VALUES")
+      AttrCond(m("ATTRIBUTE_NAME"), discrete, inc, exc)
+    }
+  }
+
   /** Weight-function expressions (`0.75*urban+0.25*rural`): the reference
     * built an infix→postfix evaluator (postfix.c:24, eval.c:270-480); Spark's
     * SQL parser subsumes it. We validate the reference's operator subset

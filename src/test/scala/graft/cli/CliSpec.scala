@@ -387,6 +387,42 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Set(0L, 1L, 4L, 5L))
   }
 
+  test("FILTER_FILE drives FILTER_SHAPE with the reference's block format") {
+    val dir = tmp("cli-filterfile")
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+    parts.write.mode("overwrite").parquet(s"$dir/parts")
+    Files.write(java.nio.file.Paths.get(s"$dir/filter.txt"),
+      """# keep Brand#3x except Brand#33, and mid-size parts
+        |ATTRIBUTE_NAME=p_brand
+        |ATTRIBUTE_TYPE=DISCRETE
+        |INCLUDE_VALUES=Brand#3*
+        |EXCLUDE_VALUES=Brand#33
+        |
+        |ATTRIBUTE_NAME=p_size
+        |ATTRIBUTE_TYPE=CONTINUOUS
+        |INCLUDE_VALUES=10-40
+        |""".stripMargin.getBytes("UTF-8"))
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "FILTER_SHAPE",
+      "INPUT_FILE_NAME" -> s"$dir/parts",
+      "INPUT_FILE_TYPE" -> "Polygon",
+      "FILTER_FILE" -> s"$dir/filter.txt")).get
+    // same conditions as q09's env-var filter spec
+    val direct = graft.operators.Filters.filterSpec(parts, Seq(
+      graft.operators.Filters.AttrCond("p_brand", discrete = true,
+        include = Seq("Brand#3*"), exclude = Seq("Brand#33")),
+      graft.operators.Filters.AttrCond("p_size", discrete = false,
+        include = Seq("10-40"))))
+    assert(out.count() == direct.count() && out.count() > 0)
+    // FILTER_FILE=NONE is a no-op
+    val none = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "FILTER_SHAPE",
+      "INPUT_FILE_NAME" -> s"$dir/parts",
+      "INPUT_FILE_TYPE" -> "Polygon",
+      "FILTER_FILE" -> "NONE")).get
+    assert(none.count() == parts.count())
+  }
+
   test("OVERLAY_TYPE grid/polygon-file masks and the DelimitedFile sink") {
     val dir = tmp("cli-ovtype")
     TpchGeo.points(spark, sfDir).write.mode("overwrite").parquet(s"$dir/points")
