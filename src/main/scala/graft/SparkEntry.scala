@@ -889,7 +889,8 @@ object SparkEntry {
          |        FROM pf WHERE pa > 0 GROUP BY 1, 2)
          |SELECT CAST(170 AS INT) AS srg_code, fips, out_id,
          |  numer/denom AS frac, numer, denom,
-         |  sum(numer/denom) OVER (PARTITION BY fips ORDER BY out_id) AS qasum
+         |  sum(numer/denom) OVER (PARTITION BY fips
+         |    ORDER BY CAST(out_id AS VARCHAR)) AS qasum
          |FROM num JOIN den USING (fips)
          |WHERE denom >= 0.00001 AND numer <> 0
          |ORDER BY fips, out_id""".stripMargin,

@@ -51,11 +51,24 @@ object SpatialAllocator {
     }.getOrElse(CellDomain(0, 0, 8192, 8192))
     val zres = cfg.getOrElse("CELL_RES", "4").toInt
 
-    def gdEntry(): Option[GridDesc.Entry] = cfg.get("GRIDDESC").map { path =>
-      val text = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      GridDesc.parse(text).grids(req("OUTPUT_GRID_NAME"))
+    // the GRIDDESC catalog parses ONCE per run (reprojection, sinks and
+    // grid lookups all consult it)
+    lazy val gdCatalog: Option[GridDesc.Catalog] = cfg.get("GRIDDESC").map { path =>
+      GridDesc.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"))
     }
+    def gridByName(name: String): GridSpec =
+      gdCatalog.map(c => c.grids.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"grid '$name' not in GRIDDESC (has: ${c.grids.keys.toSeq.sorted.mkString(", ")})"))
+          .grid)
+        .getOrElse(graft.grid.GridCatalog.byName(name))
+    lazy val gdEntryV: Option[GridDesc.Entry] =
+      gdCatalog.map(c => c.grids.getOrElse(req("OUTPUT_GRID_NAME"),
+        throw new IllegalArgumentException(
+          s"grid '${req("OUTPUT_GRID_NAME")}' not in GRIDDESC " +
+            s"(has: ${c.grids.keys.toSeq.sorted.mkString(", ")})")))
+    def gdEntry(): Option[GridDesc.Entry] = gdEntryV
 
     def grid(): GridSpec = gdEntry().map(_.grid)
       .getOrElse(graft.grid.GridCatalog.byName(req("OUTPUT_GRID_NAME")))
@@ -79,13 +92,7 @@ object SpatialAllocator {
       // INPUT_GRID_NAME (regularGridReader.c:34; SA_ch03_vector.md:320) —
       // cell polygons with COL/ROW attributes, `path` unused
       case "RegularGrid" =>
-        val name = req("INPUT_GRID_NAME")
-        val g = cfg.get("GRIDDESC").map { gd =>
-          val text = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(gd)), "UTF-8")
-          GridDesc.parse(text).grids(name).grid
-        }.getOrElse(graft.grid.GridCatalog.byName(name))
-        Sources.regularGrid(spark, g)
+        Sources.regularGrid(spark, gridByName(req("INPUT_GRID_NAME")))
       case _ =>
         // binary shapefile front door when `path`.shp exists (the
         // reference's universal input); parquet otherwise
@@ -109,6 +116,13 @@ object SpatialAllocator {
         // targetProj() only resolves when a source CRS is declared — it
         // may consult the GRIDDESC entry, which need not exist otherwise
         case Some(spec) => targetProj() match {
+          case None =>
+            // a declared source CRS with no resolvable grid CRS would
+            // silently mix projections — fail instead
+            throw new IllegalArgumentException(
+              s"${pfx}_MAP_PRJN is set but the grid CRS is unknown: set " +
+                "OUTPUT_FILE_MAP_PRJN or provide a GRIDDESC entry for " +
+                "OUTPUT_GRID_NAME")
           case Some(to) =>
             val full = cfg.get(s"${pfx}_ELLIPSOID")
               .map(e => s"$spec,$e").getOrElse(spec)
@@ -119,7 +133,6 @@ object SpatialAllocator {
               case "Line" => Reproject.lines(df, from, to, maxSeg)
               case _ => Reproject.polygons(df, from, to, maxSeg)
             }
-          case None => df
         }
         case None => df
       }
@@ -196,7 +209,9 @@ object SpatialAllocator {
         // of grid cells (surrogate.c:455-470 — data lines carry the output
         // polygon id, remainder rows use id "0")
         if (cfg.get("OUTPUT_FILE_TYPE").contains("Polygon")) {
-          val outPolys = readLayer(req("OUTPUT_POLY_FILE"), "Polygon")
+          val outPolys = reprojected(
+              readLayer(req("OUTPUT_POLY_FILE"), "Polygon"),
+              "OUTPUT_POLY", "Polygon")
             .withColumnRenamed(
               cfg.getOrElse("OUTPUT_POLY_ATTRS", "out_id"), "out_id")
           val srgFull = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon") match {
@@ -214,9 +229,14 @@ object SpatialAllocator {
           }
           val srg = srgFull.where(col("denom") >= thr)
           cfg.get("SURROGATE_FILE").foreach { out =>
-            Smoke.writePoly(srgFull, grid(), projInfo(), out,
+            // Polygon output needs no grid: without OUTPUT_GRID_NAME the
+            // header is omitted rather than embedding an unrelated grid
+            val haveGrid = cfg.contains("OUTPUT_GRID_NAME")
+            val g = if (haveGrid) grid() else GridSpec("NOGRID", 0, 0, 0, 0, 0, 0)
+            val p = if (haveGrid) projInfo() else Smoke.ProjInfo()
+            Smoke.writePoly(srgFull, g, p, out,
               withQa = qaFields.any, denomThreshold = thr,
-              fields = qaFields, writeHeader = hdrOn)
+              fields = qaFields, writeHeader = hdrOn && haveGrid)
           }
           Some(srg)
         } else {
@@ -240,12 +260,18 @@ object SpatialAllocator {
         }
         val srg = srgFull.where(col("denom") >= thr)
         cfg.get("SURROGATE_FILE").foreach { out =>
-          // header tag tracks OUTPUT_FILE_TYPE (allocate.c:765-779):
-          // VariableGrid → #VARIABLE_GRID, Polygon → #POLYGON, else #GRID
+          // header tag tracks OUTPUT_FILE_TYPE (allocate.c:765-779);
+          // VariableGrid surrogates aren't computed by this driver, so
+          // the tag must not mislabel regular-grid data
           val tag = cfg.getOrElse("OUTPUT_FILE_TYPE", "RegularGrid") match {
-            case "VariableGrid" => "#VARIABLE_GRID"
-            case "Polygon"      => "#POLYGON"
-            case _              => "#GRID"
+            case "RegularGrid" | "EGrid" => "#GRID"
+            case "VariableGrid" => throw new IllegalArgumentException(
+              "OUTPUT_FILE_TYPE=VariableGrid surrogates are not wired " +
+                "through this driver (Sources.variableGrid covers the " +
+                "geometry; a #VARIABLE_GRID file must not carry " +
+                "regular-grid fractions)")
+            case other => throw new IllegalArgumentException(
+              s"OUTPUT_FILE_TYPE=$other (RegularGrid | EGrid | Polygon)")
           }
           Smoke.write(srgFull, grid(), projInfo(), out,
             withQa = qaFields.any, denomThreshold = thr, headerTag = tag,
@@ -334,8 +360,9 @@ object SpatialAllocator {
         }
 
       case "ALLOCATE" =>
-        val input = applyFilter(readLayer(req("INPUT_FILE_NAME"),
-          cfg.getOrElse("INPUT_FILE_TYPE", "Polygon")))
+        val inFtype = cfg.getOrElse("INPUT_FILE_TYPE", "Polygon")
+        val input = applyFilter(reprojected(
+          readLayer(req("INPUT_FILE_NAME"), inFtype), "INPUT_FILE", inFtype))
         val modeSpecs = req("ALLOCATE_ATTRS").split(",").map { kv =>
           val Array(a, m) = kv.trim.split("="); (a, m)
         }.toSeq
@@ -432,11 +459,7 @@ object SpatialAllocator {
             // the named grid's outline rectangle (the overlay region is
             // the grid's extent)
             import spark.implicits._
-            val g = cfg.get("GRIDDESC").map { gd =>
-              val text = new String(java.nio.file.Files.readAllBytes(
-                java.nio.file.Paths.get(gd)), "UTF-8")
-              GridDesc.parse(text).grids(shape).grid
-            }.getOrElse(graft.grid.GridCatalog.byName(shape))
+            val g = gridByName(shape)
             val (x2, y2) = (g.xorig + g.ncols * g.xcell,
                             g.yorig + g.nrows * g.ycell)
             Seq(Seq(Seq(g.xorig, g.yorig, x2, g.yorig, x2, y2, g.xorig, y2)))

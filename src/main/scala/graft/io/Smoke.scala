@@ -176,7 +176,8 @@ object Smoke {
   }
 
   /** Write a complete OUTPUT_FILE_TYPE=Polygon SMOKE file: #POLYGON
-    * header + county-ordered body, remainder rows last per county. */
+    * header + county-ordered body (lexicographic out_poly_id — the
+    * ratioPoly qasum order), remainder rows last per county. */
   def writePoly(srg: DataFrame, g: GridSpec, p: ProjInfo, path: String,
                 withQa: Boolean = true,
                 denomThreshold: Double = 1e-5,
@@ -188,7 +189,15 @@ object Smoke {
         val isRemainder = if (l.startsWith("#REMAINDER")) 1 else 0
         (t(0).trim.toInt, t(1), isRemainder, t(2))
       }
-    val all = if (writeHeader) header(g, p, "#POLYGON") +: body else body
+    writeFile(body, g, p, path, "#POLYGON", writeHeader)
+  }
+
+  /** Single-file assembly shared by write/writePoly: optional header line
+    * + pre-sorted body. */
+  private def writeFile(body: Seq[String], g: GridSpec, p: ProjInfo,
+                        path: String, tag: String,
+                        writeHeader: Boolean): Unit = {
+    val all = if (writeHeader) header(g, p, tag) +: body else body
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       all.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
@@ -210,9 +219,7 @@ object Smoke {
         val isRemainder = if (l.startsWith("#REMAINDER")) 1 else 0
         (t(0).trim.toInt, t(1), isRemainder, t(3).trim.toInt, t(2).trim.toInt)
       }
-    val all = if (writeHeader) header(g, p, headerTag) +: body else body
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      all.mkString("", "\n", "\n").getBytes("UTF-8"))
+    writeFile(body, g, p, path, headerTag, writeHeader)
   }
 
   /** Distributed SMOKE sink for table-scale output: county-grouped lines
@@ -224,14 +231,18 @@ object Smoke {
   def writeParts(srg: DataFrame, g: GridSpec, p: ProjInfo, dir: String,
                  withQa: Boolean = true, numParts: Int = 0,
                  denomThreshold: Double = 1e-5,
-                 headerTag: String = "#GRID"): Unit = {
+                 headerTag: String = "#GRID",
+                 fields: QaFields = QaFields.All,
+                 writeHeader: Boolean = true): Unit = {
     val parts = if (numParts > 0) numParts
                 else srg.sparkSession.sparkContext.defaultParallelism
     val ranged = srg.repartitionByRange(parts, col("srg_code"), col("fips"))
-    toLines(ranged, withQa, denomThreshold).write.mode("overwrite").text(s"$dir/body")
+    toLines(ranged, withQa, denomThreshold, fields)
+      .write.mode("overwrite").text(s"$dir/body")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/HEADER"),
-      (header(g, p, headerTag) + "\n").getBytes("UTF-8"))
+    if (writeHeader)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/HEADER"),
+        (header(g, p, headerTag) + "\n").getBytes("UTF-8"))
   }
 
   /** SMOKE source: parse lines back to (srg_code, fips, col, row, frac

@@ -156,8 +156,12 @@ object Filters {
         case other => throw new IllegalArgumentException(
           s"ATTRIBUTE_TYPE=$other (DISCRETE|CONTINUOUS)")
       }
-      val inc = m.get("INCLUDE_VALUES").map(_.split(",").toSeq).getOrElse(Nil)
-      val exc = m.get("EXCLUDE_VALUES").map(_.split(",").toSeq).getOrElse(Nil)
+      // trimmed like parseFilterFunction: an anchored glob built from
+      // " Brand#32" would silently match nothing
+      val inc = m.get("INCLUDE_VALUES")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      val exc = m.get("EXCLUDE_VALUES")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
       require(inc.nonEmpty || exc.nonEmpty,
         s"filter block for ${m("ATTRIBUTE_NAME")} needs INCLUDE_VALUES " +
           "or EXCLUDE_VALUES")

@@ -190,8 +190,12 @@ object Surrogate {
 
   /** Shared tail for OUTPUT_FILE_TYPE=Polygon surrogates (surrogate.c:
     * 455-470 writes `code fips out_poly_id frac`): same threshold-skip and
-    * keepSkipped semantics as `ratio`, qasum ordered by out_id (the
-    * reference's output-poly iteration order).
+    * keepSkipped semantics as `ratio`. The qasum accumulation order is the
+    * LEXICOGRAPHIC order of the output-poly id's STRING form — the one
+    * deterministic order available for any id type, and the SAME order
+    * Smoke.toLinesPoly renders in (ids are strings in the file format), so
+    * the printed running sum is monotone and the county's last row carries
+    * the total the #REMAINDER rule needs.
     * numer: (fips, out_id, numer); denom: (fips, denom). */
   def ratioPoly(numer: DataFrame, denom: DataFrame, srgCode: Int,
                 denomThreshold: Double = 1e-5, ordered: Boolean = true,
@@ -202,13 +206,14 @@ object Surrogate {
     val joined = numer.join(broadcast(denom), "fips")
       .where(denomPass && col("numer") =!= 0.0)
       .withColumn("frac", col("numer") / col("denom"))
-    val w = Window.partitionBy("fips").orderBy("out_id")
+    val w = Window.partitionBy("fips").orderBy(col("out_id").cast("string"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = joined
       .withColumn("qasum", sum("frac").over(w))
       .withColumn("srg_code", lit(srgCode))
       .select(POLY_OUT_COLS.map(col): _*)
-    if (ordered) out.orderBy("fips", "out_id") else out
+    if (ordered) out.orderBy(col("fips"), col("out_id").cast("string"))
+    else out
   }
 
   /** Point-weight surrogate onto OUTPUT POLYGONS instead of grid cells

@@ -23,6 +23,22 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Smoke.parseHeader(h) == GridCatalog.M08_NASH)
   }
 
+  test("ratioPoly and toLinesPoly agree on lexicographic out_id order") {
+    val s = spark
+    import s.implicits._
+    // ids 2 and 10: numeric order would put 2 first, string order "10" < "2";
+    // if the two disagreed, the county's last rendered row would not carry
+    // the total and a spurious #REMAINDER would appear
+    val numer = Seq(("A", 10, 1.0), ("A", 2, 3.0)).toDF("fips", "out_id", "numer")
+    val denom = Seq(("A", 4.0)).toDF("fips", "denom")
+    val srg = graft.operators.Surrogate.ratioPoly(numer, denom, 170)
+    val rows = srg.collect().map(r =>
+      (r.getAs[Int]("out_id"), r.getAs[Double]("frac"), r.getAs[Double]("qasum")))
+    assert(rows.toSeq == Seq((10, 0.25, 0.25), (2, 0.75, 1.0)))
+    val lines = Smoke.toLinesPoly(srg).collect()
+    assert(!lines.exists(_.startsWith("#REMAINDER")), lines.mkString("\n"))
+  }
+
   test("toLinesPoly renders polygon-output lines, remainder id 0, skipped prefix") {
     val s = spark
     import s.implicits._
