@@ -390,6 +390,18 @@ object SparkEntry {
         TpchGeo.counties(s), outPolys, domain, zres, srgCode = 170)
     }),
 
+    // --- OUTPUT_FILE_TYPE=EGrid surrogate (surrogate.c:389-432 derives
+    // COL/ROW from the diamond id): page-count fractions onto the q43
+    // staggered diamonds. Counts are integers and the denominators county
+    // point totals, so the closed diamond-inequality oracle hash-matches
+    // bit-exactly. Edge points (|dx|+|dy| = 500 exactly) count into BOTH
+    // adjacent diamonds in engine and oracle alike.
+    "q73_srg_egrid" -> ((s, dir) => {
+      val eg = graft.grid.GridSpec("EG", 0, 0, 1000, 1000, 9, 17)
+      Surrogate.surrogateToEGrid(TpchGeo.points(s, dir), TpchGeo.counties(s),
+        eg, domain, zres, srgCode = 180, kind = "Point")
+    }),
+
     // --- snapshot-table checkpoint/resume as a DRIVER gate (the north
     // rule's resumability requirement; SnapshotTable = the Iceberg-style
     // atomic-pointer table, Resumable.stage = the checkpoint driver):
@@ -864,6 +876,24 @@ object SparkEntry {
       s"""SELECT col, "row", sum(frac) AS value
          |FROM ($srgPointStmt)
          |GROUP BY 1, 2 ORDER BY "row", col""".stripMargin,
+
+    "q73_srg_egrid" ->
+      s"""WITH pts AS (${TpchGeo.pointsSql}),
+         |tagged AS (SELECT ${TpchGeo.fipsOfSql("x", "y")} AS fips, x, y
+         |           FROM pts),
+         |dm AS (SELECT CAST(id % 9 + 1 AS INT) AS col,
+         |  CAST(floor(id / 9.0) + 1 AS INT) AS "row",
+         |  CAST((id % 9) * 1000 +
+         |    (CASE WHEN (CAST(floor(id / 9.0) AS INT) + 1) % 2 = 0
+         |          THEN 500 ELSE 0 END) AS DOUBLE) AS cx,
+         |  CAST(CAST(floor(id / 9.0) AS INT) * 500 AS DOUBLE) AS cy
+         |FROM range(153) t(id)),
+         |den AS (SELECT fips, CAST(count(*) AS DOUBLE) AS denom
+         |        FROM tagged GROUP BY 1),
+         |num AS (SELECT fips, col, "row", CAST(count(*) AS DOUBLE) AS numer
+         |        FROM tagged JOIN dm ON abs(x - cx) + abs(y - cy) <= 500
+         |        GROUP BY 1, 2, 3)
+         |${srgSelect(180)}""".stripMargin,
 
     "q72_srg_poly_out" ->
       s"""WITH tr AS (${TpchGeo.tractsSql}),

@@ -239,6 +239,22 @@ object SpatialAllocator {
               fields = qaFields, writeHeader = hdrOn && haveGrid)
           }
           Some(srg)
+        } else if (cfg.get("OUTPUT_FILE_TYPE").contains("EGrid")) {
+          // surrogate onto the staggered diamonds generated from the SAME
+          // GRIDDESC entry (EGridReader.c); standard #GRID SMOKE format
+          // with COL/ROW derived from the diamond id
+          val srgFull = Surrogate.surrogateToEGrid(w, counties, grid(),
+            domain, zres, code,
+            kind = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon"), weight, thr,
+            curved = cfg.getOrElse("USE_CURVED_LINES", "NO") == "YES",
+            keepSkipped = true)
+          val srg = srgFull.where(col("denom") >= thr)
+          cfg.get("SURROGATE_FILE").foreach { out =>
+            Smoke.write(srgFull, grid(), projInfo(), out,
+              withQa = qaFields.any, denomThreshold = thr,
+              headerTag = "#GRID", fields = qaFields, writeHeader = hdrOn)
+          }
+          Some(srg)
         } else {
         // keepSkipped: below-threshold counties must REACH the sink so the
         // SURROGATE_FILE renders their #SKIPPED rows (surrogate.c:434-452);
@@ -264,7 +280,7 @@ object SpatialAllocator {
           // VariableGrid surrogates aren't computed by this driver, so
           // the tag must not mislabel regular-grid data
           val tag = cfg.getOrElse("OUTPUT_FILE_TYPE", "RegularGrid") match {
-            case "RegularGrid" | "EGrid" => "#GRID"
+            case "RegularGrid" => "#GRID"
             case "VariableGrid" => throw new IllegalArgumentException(
               "OUTPUT_FILE_TYPE=VariableGrid surrogates are not wired " +
                 "through this driver (Sources.variableGrid covers the " +

@@ -216,16 +216,13 @@ object Surrogate {
     else out
   }
 
-  /** Point-weight surrogate onto OUTPUT POLYGONS instead of grid cells
-    * (srgcreate OUTPUT_FILE_TYPE=Polygon): numerator per (county, output
-    * polygon), denominator = every point in the county whether or not it
-    * falls in any output polygon. outPolys: (out_id, geom). */
-  def pointSurrogateToPolys(points: DataFrame, counties: DataFrame,
-                            outPolys: DataFrame,
-                            domain: CellDomain, res: Int, srgCode: Int,
-                            weight: Option[String] = None,
-                            denomThreshold: Double = 1e-5,
-                            keepSkipped: Boolean = false): DataFrame = {
+  /** Point-weight numer/denom against an arbitrary output-polygon layer:
+    * numerator per (county, out_id), denominator = every point in the
+    * county whether or not it falls in any output polygon. */
+  private def pointToPolysParts(points: DataFrame, counties: DataFrame,
+                                outPolys: DataFrame, domain: CellDomain,
+                                res: Int, weight: Option[String])
+      : (DataFrame, DataFrame) = {
     val w = weight.map(col(_).cast("double")).getOrElse(lit(1.0))
     // county tag once; persisted because the denominator (all county
     // points) and the numerator (points also inside an output polygon,
@@ -238,6 +235,19 @@ object Surrogate {
     val numer = SpatialJoin.pointInPoly(tagged,
         outPolys.select(col("out_id"), col("geom")), domain, res)
       .groupBy("fips", "out_id").agg(sum("__w").as("numer"))
+    (numer, denom)
+  }
+
+  /** Point-weight surrogate onto OUTPUT POLYGONS instead of grid cells
+    * (srgcreate OUTPUT_FILE_TYPE=Polygon). outPolys: (out_id, geom). */
+  def pointSurrogateToPolys(points: DataFrame, counties: DataFrame,
+                            outPolys: DataFrame,
+                            domain: CellDomain, res: Int, srgCode: Int,
+                            weight: Option[String] = None,
+                            denomThreshold: Double = 1e-5,
+                            keepSkipped: Boolean = false): DataFrame = {
+    val (numer, denom) =
+      pointToPolysParts(points, counties, outPolys, domain, res, weight)
     ratioPoly(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
   }
 
@@ -252,6 +262,15 @@ object Surrogate {
                            weight: Option[String] = None,
                            denomThreshold: Double = 1e-5,
                            keepSkipped: Boolean = false): DataFrame = {
+    val (numer, denom) =
+      polyToPolysParts(weights, counties, outPolys, domain, res, weight)
+    ratioPoly(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
+  }
+
+  private def polyToPolysParts(weights: DataFrame, counties: DataFrame,
+                               outPolys: DataFrame, domain: CellDomain,
+                               res: Int, weight: Option[String])
+      : (DataFrame, DataFrame) = {
     val wexpr = weight.map(col(_).cast("double")).getOrElse(lit(0.0))
     val wts = weights
       .where(weight.map(c => col(c).cast("double") =!= 0.0).getOrElse(lit(true)))
@@ -276,7 +295,7 @@ object Surrogate {
       .map(_ => col("__wval") * (col("frag_area") / col("__warea")))
       .getOrElse(col("frag_area"))
     val numer = wdg.groupBy("fips", "out_id").agg(sum(numContrib).as("numer"))
-    ratioPoly(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
+    (numer, denom)
   }
 
   /** Line-weight surrogate onto OUTPUT POLYGONS: county line fragments
@@ -289,6 +308,15 @@ object Surrogate {
                            denomThreshold: Double = 1e-5,
                            curved: Boolean = false,
                            keepSkipped: Boolean = false): DataFrame = {
+    val (numer, denom) = lineToPolysParts(lines, counties, outPolys,
+      domain, res, weight, curved)
+    ratioPoly(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
+  }
+
+  private def lineToPolysParts(lines: DataFrame, counties: DataFrame,
+                               outPolys: DataFrame, domain: CellDomain,
+                               res: Int, weight: Option[String],
+                               curved: Boolean): (DataFrame, DataFrame) = {
     val lns = lines
       .where(weight.map(c => col(c).cast("double") =!= 0.0).getOrElse(lit(true)))
       .withColumn("__wlen", lineLengthCol(col("line"), curved))
@@ -313,6 +341,38 @@ object Surrogate {
       .map(_ => col("__wval") * (col("frag_len") / col("__wlen")))
       .getOrElse(col("frag_len"))
     val numer = wdg.groupBy("fips", "out_id").agg(sum(numContrib).as("numer"))
-    ratioPoly(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
+    (numer, denom)
+  }
+
+  /** srgcreate OUTPUT_FILE_TYPE=EGrid (EGridReader.c geometry): the
+    * surrogate runs against the staggered WRF-NMM diamonds generated from
+    * the SAME GRIDDESC entry, and COL/ROW derive from the diamond id
+    * ((polyID-1)%ncols+1, surrogate.c:389-432) so the standard grid SMOKE
+    * format applies — including the (row, col)-ordered qasum. */
+  def surrogateToEGrid(weightLayer: DataFrame, counties: DataFrame,
+                       grid: GridSpec, domain: CellDomain, res: Int,
+                       srgCode: Int, kind: String,
+                       weight: Option[String] = None,
+                       denomThreshold: Double = 1e-5,
+                       curved: Boolean = false,
+                       keepSkipped: Boolean = false): DataFrame = {
+    val diamonds = graft.sources.Sources.eGrid(weightLayer.sparkSession,
+        grid.name, grid.xorig, grid.yorig, grid.xcell, grid.ycell,
+        grid.ncols, grid.nrows)
+      .select(col("cell_id").as("out_id"), col("geom"))
+    val (numer, denom) = kind match {
+      case "Point" | "PointFile" =>
+        pointToPolysParts(weightLayer, counties, diamonds, domain, res, weight)
+      case "Line" =>
+        lineToPolysParts(weightLayer, counties, diamonds, domain, res,
+          weight, curved)
+      case _ =>
+        polyToPolysParts(weightLayer, counties, diamonds, domain, res, weight)
+    }
+    val rc = numer
+      .withColumn("col", cellIdCol(col("out_id"), grid))
+      .withColumn("row", cellIdRow(col("out_id"), grid))
+      .select("fips", "col", "row", "numer")
+    ratio(rc, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
   }
 }

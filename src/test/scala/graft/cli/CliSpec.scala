@@ -259,6 +259,40 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotPct == wantPct && gotPct.nonEmpty)
   }
 
+  test("SURROGATE OUTPUT_FILE_TYPE=EGrid runs against the staggered diamonds") {
+    val dir = tmp("cli-egrid")
+    TpchGeo.counties(spark).write.mode("overwrite").parquet(s"$dir/counties")
+    TpchGeo.points(spark, sfDir).write.mode("overwrite").parquet(s"$dir/points")
+    Files.write(java.nio.file.Paths.get(s"$dir/GRIDDESC.txt"),
+      """'LAM'
+        |2, 33, 45, -97, -97, 40
+        |' '
+        |'EG'
+        |'LAM', 0, 0, 1000, 1000, 9, 17, 1
+        |' '""".stripMargin.getBytes("UTF-8"))
+    val smoke = s"$dir/srg180.txt"
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "SURROGATE",
+      "OUTPUT_GRID_NAME" -> "EG",
+      "OUTPUT_FILE_TYPE" -> "EGrid",
+      "GRIDDESC" -> s"$dir/GRIDDESC.txt",
+      "DATA_FILE_NAME" -> s"$dir/counties",
+      "WEIGHT_FILE_NAME" -> s"$dir/points",
+      "WEIGHT_FILE_TYPE" -> "Point",
+      "SURROGATE_ID" -> "180",
+      "SURROGATE_FILE" -> smoke)).get
+    val direct = graft.operators.Surrogate.surrogateToEGrid(
+      TpchGeo.points(spark, sfDir), TpchGeo.counties(spark),
+      graft.grid.GridSpec("EG", 0, 0, 1000, 1000, 9, 17),
+      TpchGeo.domain, TpchGeo.zres, 180, kind = "Point")
+    assert(out.collect().map(_.toString).toSeq ==
+           direct.collect().map(_.toString).toSeq)
+    assert(out.count() > 0)
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(java.nio.file.Paths.get(smoke)).asScala
+    assert(lines.head.startsWith("#GRID\tEG"))
+  }
+
   test("WEIGHT/DATA_FILE_MAP_PRJN reproject input layers into the grid CRS") {
     val dir = tmp("cli-reproj")
     // lon/lat layers: counties as 2-degree tiles, points in degrees
