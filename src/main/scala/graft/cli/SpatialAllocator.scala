@@ -215,7 +215,7 @@ object SpatialAllocator {
             .withColumnRenamed(
               cfg.getOrElse("OUTPUT_POLY_ATTRS", "out_id"), "out_id")
           val srgFull = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon") match {
-            case "Point" =>
+            case "Point" | "PointFile" =>
               Surrogate.pointSurrogateToPolys(w, counties, outPolys,
                 domain, zres, code, weight, thr, keepSkipped = true)
             case "Line" =>
@@ -239,48 +239,40 @@ object SpatialAllocator {
               fields = qaFields, writeHeader = hdrOn && haveGrid)
           }
           Some(srg)
-        } else if (cfg.get("OUTPUT_FILE_TYPE").contains("EGrid")) {
-          // surrogate onto the staggered diamonds generated from the SAME
-          // GRIDDESC entry (EGridReader.c); standard #GRID SMOKE format
-          // with COL/ROW derived from the diamond id
-          val srgFull = Surrogate.surrogateToEGrid(w, counties, grid(),
-            domain, zres, code,
-            kind = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon"), weight, thr,
-            curved = cfg.getOrElse("USE_CURVED_LINES", "NO") == "YES",
-            keepSkipped = true)
-          val srg = srgFull.where(col("denom") >= thr)
-          cfg.get("SURROGATE_FILE").foreach { out =>
-            Smoke.write(srgFull, grid(), projInfo(), out,
-              withQa = qaFields.any, denomThreshold = thr,
-              headerTag = "#GRID", fields = qaFields, writeHeader = hdrOn)
-          }
-          Some(srg)
         } else {
         // keepSkipped: below-threshold counties must REACH the sink so the
         // SURROGATE_FILE renders their #SKIPPED rows (surrogate.c:434-452);
-        // everything downstream of the text file sees only live counties
-        val srgFull = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon") match {
-          case "Point" =>
-            Surrogate.pointSurrogate(w, counties, grid(), domain, zres, code,
-              weight, thr, keepSkipped = true)
-          case "Line" =>
-            // USE_CURVED_LINES=YES switches every length measure to
-            // great-circle (polyops.c:440-447, SA_ch03_vector.md:316)
-            Surrogate.lineSurrogate(w, counties, grid(), domain, zres, code,
-              weight, thr,
-              curved = cfg.getOrElse("USE_CURVED_LINES", "NO") == "YES",
+        // everything downstream of the text file sees only live counties.
+        // EGrid output swaps ONLY the surrogate computation (staggered
+        // diamonds from the same GRIDDESC entry, COL/ROW from the diamond
+        // id) — the sinks below, .ncf included, are shared
+        val curved = cfg.getOrElse("USE_CURVED_LINES", "NO") == "YES"
+        val wkind = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon")
+        val srgFull =
+          if (cfg.get("OUTPUT_FILE_TYPE").contains("EGrid"))
+            Surrogate.surrogateToEGrid(w, counties, grid(), domain, zres,
+              code, kind = wkind, weight, thr, curved = curved,
               keepSkipped = true)
-          case _ =>
-            Surrogate.polySurrogate(w, counties, grid(), domain, zres, code,
-              weight, thr, keepSkipped = true)
-        }
+          else wkind match {
+            case "Point" | "PointFile" =>
+              Surrogate.pointSurrogate(w, counties, grid(), domain, zres,
+                code, weight, thr, keepSkipped = true)
+            case "Line" =>
+              // USE_CURVED_LINES=YES switches every length measure to
+              // great-circle (polyops.c:440-447, SA_ch03_vector.md:316)
+              Surrogate.lineSurrogate(w, counties, grid(), domain, zres,
+                code, weight, thr, curved = curved, keepSkipped = true)
+            case _ =>
+              Surrogate.polySurrogate(w, counties, grid(), domain, zres,
+                code, weight, thr, keepSkipped = true)
+          }
         val srg = srgFull.where(col("denom") >= thr)
         cfg.get("SURROGATE_FILE").foreach { out =>
           // header tag tracks OUTPUT_FILE_TYPE (allocate.c:765-779);
           // VariableGrid surrogates aren't computed by this driver, so
           // the tag must not mislabel regular-grid data
           val tag = cfg.getOrElse("OUTPUT_FILE_TYPE", "RegularGrid") match {
-            case "RegularGrid" => "#GRID"
+            case "RegularGrid" | "EGrid" => "#GRID"
             case "VariableGrid" => throw new IllegalArgumentException(
               "OUTPUT_FILE_TYPE=VariableGrid surrogates are not wired " +
                 "through this driver (Sources.variableGrid covers the " +

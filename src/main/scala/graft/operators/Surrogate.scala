@@ -356,23 +356,60 @@ object Surrogate {
                        denomThreshold: Double = 1e-5,
                        curved: Boolean = false,
                        keepSkipped: Boolean = false): DataFrame = {
-    val diamonds = graft.sources.Sources.eGrid(weightLayer.sparkSession,
-        grid.name, grid.xorig, grid.yorig, grid.xcell, grid.ycell,
-        grid.ncols, grid.nrows)
-      .select(col("cell_id").as("out_id"), col("geom"))
     val (numer, denom) = kind match {
       case "Point" | "PointFile" =>
-        pointToPolysParts(weightLayer, counties, diamonds, domain, res, weight)
-      case "Line" =>
-        lineToPolysParts(weightLayer, counties, diamonds, domain, res,
-          weight, curved)
+        // CLOSED-FORM diamond assignment — diamond membership is pure
+        // column arithmetic (|x−cx|·halfY + |y−cy|·halfX ≤ halfX·halfY,
+        // exact on the integer lattice — no division wobble), so points
+        // never touch a geometry kernel or a materialized diamond layer,
+        // matching the regular-grid point path's "the grid never
+        // materializes" discipline. ≤ keeps edge points in BOTH adjacent
+        // diamonds — the same EDGE-in outcome the ray-cast gives.
+        val halfX = grid.xcell / 2.0; val halfY = grid.ycell / 2.0
+        val wcol = weight.map(col(_).cast("double")).getOrElse(lit(1.0))
+        val tagged = SpatialJoin.pointInPoly(weightLayer, counties, domain, res)
+          .where(wcol =!= 0.0)
+          .select(col("fips"), col("x"), col("y"), wcol.as("__w"))
+          .transform(graft.spark.PersistTracker.persist)
+        val d = tagged.groupBy("fips").agg(sum("__w").as("denom"))
+        val rm1 = floor((col("y") - lit(grid.yorig)) / halfY).cast("int")
+        val cand = tagged
+          .withColumn("__rm1", explode(sequence(rm1 - 1, rm1 + 1)))
+          .withColumn("row", (col("__rm1") + 1).cast("int"))
+          .withColumn("__off",
+            when(col("row") % 2 === 0, halfX).otherwise(lit(0.0)))
+          .withColumn("__cm1b",
+            floor((col("x") - lit(grid.xorig) - col("__off")) / grid.xcell)
+              .cast("int"))
+          .withColumn("__cm1", explode(array(col("__cm1b"), col("__cm1b") + 1)))
+          .withColumn("col", (col("__cm1") + 1).cast("int"))
+          .withColumn("__cx",
+            lit(grid.xorig) + col("__cm1") * grid.xcell + col("__off"))
+          .withColumn("__cy", lit(grid.yorig) + col("__rm1") * halfY)
+          .where(col("col").between(1, grid.ncols) &&
+            col("row").between(1, grid.nrows) &&
+            (abs(col("x") - col("__cx")) * halfY +
+             abs(col("y") - col("__cy")) * halfX) <= halfX * halfY)
+        val n = cand.groupBy("fips", "col", "row").agg(sum("__w").as("numer"))
+        (n, d)
       case _ =>
-        polyToPolysParts(weightLayer, counties, diamonds, domain, res, weight)
+        val diamonds = graft.sources.Sources.eGrid(weightLayer.sparkSession,
+            grid.name, grid.xorig, grid.yorig, grid.xcell, grid.ycell,
+            grid.ncols, grid.nrows)
+          .select(col("cell_id").as("out_id"), col("geom"))
+        val (nById, d) = kind match {
+          case "Line" =>
+            lineToPolysParts(weightLayer, counties, diamonds, domain, res,
+              weight, curved)
+          case _ =>
+            polyToPolysParts(weightLayer, counties, diamonds, domain, res,
+              weight)
+        }
+        (nById
+          .withColumn("col", cellIdCol(col("out_id"), grid))
+          .withColumn("row", cellIdRow(col("out_id"), grid))
+          .select("fips", "col", "row", "numer"), d)
     }
-    val rc = numer
-      .withColumn("col", cellIdCol(col("out_id"), grid))
-      .withColumn("row", cellIdRow(col("out_id"), grid))
-      .select("fips", "col", "row", "numer")
-    ratio(rc, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
+    ratio(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
   }
 }
