@@ -390,6 +390,27 @@ object SparkEntry {
         TpchGeo.counties(s), outPolys, domain, zres, srgCode = 170)
     }),
 
+    // --- OUTPUT_FILE_TYPE=VariableGrid surrogate (variableGridReader.c:
+    // 216-470): a WRF grid-dot CURVILINEAR grid — here a SHEARED lattice
+    // (XDOT = c·1000 + r·20, YDOT = r·1000, READ_XYDOT mode) so every
+    // cell is a genuine parallelogram, no rectilinear shortcut. Points
+    // sitting exactly on the sheared column boundaries ((50x − y) ≡ 0
+    // mod 50000) are filtered IDENTICALLY on both sides; the oracle
+    // inverts the affine lattice in closed form. Integer counts →
+    // bit-exact.
+    "q74_srg_vargrid_dots" -> ((s, dir) => {
+      val ys = for (r <- 0 until 9; _ <- 0 until 9) yield r * 1000.0
+      val xs = for (r <- 0 until 9; c <- 0 until 9) yield c * 1000.0 + r * 20.0
+      val dotText = "NCOLS = 9\nNROWS = 9\nYDOT =\n" + ys.mkString(",") +
+        "\nXDOT =\n" + xs.mkString(",") + "\n"
+      val cells = graft.sources.Sources.variableDotGrid(s, dotText,
+        (a, b) => (a, b), readXY = true)
+      val pts = TpchGeo.points(s, dir)
+        .where(expr("(50 * x - y) % 50000 != 0"))
+      Surrogate.surrogateToCellPolys(pts, TpchGeo.counties(s), cells,
+        domain, zres, srgCode = 190, kind = "Point")
+    }),
+
     // --- OUTPUT_FILE_TYPE=EGrid surrogate (surrogate.c:389-432 derives
     // COL/ROW from the diamond id): page-count fractions onto the q43
     // staggered diamonds. Counts are integers and the denominators county
@@ -876,6 +897,23 @@ object SparkEntry {
       s"""SELECT col, "row", sum(frac) AS value
          |FROM ($srgPointStmt)
          |GROUP BY 1, 2 ORDER BY "row", col""".stripMargin,
+
+    "q74_srg_vargrid_dots" ->
+      s"""WITH pts AS (${TpchGeo.pointsSql}),
+         |p2 AS (SELECT x, y FROM pts WHERE (50 * x - y) % 50000 <> 0),
+         |tagged AS (SELECT ${TpchGeo.fipsOfSql("x", "y")} AS fips, x, y
+         |           FROM p2),
+         |cellv AS (SELECT fips,
+         |    CAST(floor((50 * x - y) / 50000) + 1 AS INT) AS col,
+         |    CAST(floor(y / 1000) + 1 AS INT) AS "row"
+         |  FROM tagged),
+         |den AS (SELECT fips, CAST(count(*) AS DOUBLE) AS denom
+         |        FROM tagged GROUP BY 1),
+         |num AS (SELECT fips, col, "row", CAST(count(*) AS DOUBLE) AS numer
+         |        FROM cellv
+         |        WHERE col BETWEEN 1 AND 8 AND "row" BETWEEN 1 AND 8
+         |        GROUP BY 1, 2, 3)
+         |${srgSelect(190)}""".stripMargin,
 
     "q73_srg_egrid" ->
       s"""WITH pts AS (${TpchGeo.pointsSql}),

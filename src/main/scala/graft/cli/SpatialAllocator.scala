@@ -253,6 +253,27 @@ object SpatialAllocator {
             Surrogate.surrogateToEGrid(w, counties, grid(), domain, zres,
               code, kind = wkind, weight, thr, curved = curved,
               keepSkipped = true)
+          else if (cfg.get("OUTPUT_FILE_TYPE").contains("VariableGrid")) {
+            // WRF curvilinear grid from GRID_DOT_FILE
+            // (variableGridReader.c:216-470): lon/lat dots project via
+            // the grid CRS; READ_XYDOT=1 dots are projected offsets
+            // shifted by X_ORIG/Y_ORIG
+            val dotText = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(req("GRID_DOT_FILE"))), "UTF-8")
+            val readXY = cfg.get("READ_XYDOT").contains("1")
+            val proj = if (readXY) None else Some(targetProj().getOrElse(
+              throw new IllegalArgumentException(
+                "VariableGrid lon/lat dots need a grid CRS: set " +
+                  "OUTPUT_FILE_MAP_PRJN or a GRIDDESC entry")))
+            val cells = Sources.variableDotGrid(spark, dotText,
+              (lon, lat) => proj.map(_.forward(lon, lat)).getOrElse((lon, lat)),
+              readXY = readXY,
+              xorig = cfg.getOrElse("X_ORIG", "0").toDouble,
+              yorig = cfg.getOrElse("Y_ORIG", "0").toDouble)
+            Surrogate.surrogateToCellPolys(w, counties, cells, domain, zres,
+              code, kind = wkind, weight, thr, curved = curved,
+              keepSkipped = true)
+          }
           else wkind match {
             case "Point" | "PointFile" =>
               Surrogate.pointSurrogate(w, counties, grid(), domain, zres,
@@ -273,13 +294,10 @@ object SpatialAllocator {
           // the tag must not mislabel regular-grid data
           val tag = cfg.getOrElse("OUTPUT_FILE_TYPE", "RegularGrid") match {
             case "RegularGrid" | "EGrid" => "#GRID"
-            case "VariableGrid" => throw new IllegalArgumentException(
-              "OUTPUT_FILE_TYPE=VariableGrid surrogates are not wired " +
-                "through this driver (Sources.variableGrid covers the " +
-                "geometry; a #VARIABLE_GRID file must not carry " +
-                "regular-grid fractions)")
+            case "VariableGrid" => "#VARIABLE_GRID"
             case other => throw new IllegalArgumentException(
-              s"OUTPUT_FILE_TYPE=$other (RegularGrid | EGrid | Polygon)")
+              s"OUTPUT_FILE_TYPE=$other " +
+                "(RegularGrid | EGrid | VariableGrid | Polygon)")
           }
           Smoke.write(srgFull, grid(), projInfo(), out,
             withQa = qaFields.any, denomThreshold = thr, headerTag = tag,
@@ -289,6 +307,11 @@ object SpatialAllocator {
         // header carries the GRIDDESC projection, and only live counties
         // accumulate (the Fortran skips '#' comment lines)
         cfg.get("SURROGATE_NETCDF_FILE").foreach { p =>
+          // convert_txt2ncf's grid is the REGULAR output grid; variable-
+          // grid col/row indices would land in the wrong envelope
+          require(!cfg.get("OUTPUT_FILE_TYPE").contains("VariableGrid"),
+            "SURROGATE_NETCDF_FILE requires a RegularGrid/EGrid output " +
+              "(a #VARIABLE_GRID file has curvilinear cell indices)")
           val c = gdEntry().map(_.coord)
           graft.sources.Ioapi.srg2ncf(srg, grid(), p,
             gdtyp = c.map(_.ctype).getOrElse(6),

@@ -349,6 +349,37 @@ object Surrogate {
     * the SAME GRIDDESC entry, and COL/ROW derive from the diamond id
     * ((polyID-1)%ncols+1, surrogate.c:389-432) so the standard grid SMOKE
     * format applies — including the (row, col)-ordered qasum. */
+  /** Surrogate onto an ARBITRARY cell-polygon layer carrying COL/ROW —
+    * the WRF curvilinear grid-dot variable grid
+    * (variableGridReader.c:216-470, OUTPUT_FILE_TYPE=VariableGrid). The
+    * standard grid SMOKE format and (row, col)-ordered qasum apply.
+    * cells: (col, row, geom). */
+  def surrogateToCellPolys(weightLayer: DataFrame, counties: DataFrame,
+                           cells: DataFrame,
+                           domain: CellDomain, res: Int, srgCode: Int,
+                           kind: String,
+                           weight: Option[String] = None,
+                           denomThreshold: Double = 1e-5,
+                           curved: Boolean = false,
+                           keepSkipped: Boolean = false): DataFrame = {
+    val keyed = cells.select(
+      struct(col("col"), col("row")).as("out_id"), col("geom"))
+    val (nById, denom) = kind match {
+      case "Point" | "PointFile" =>
+        pointToPolysParts(weightLayer, counties, keyed, domain, res, weight)
+      case "Line" =>
+        lineToPolysParts(weightLayer, counties, keyed, domain, res,
+          weight, curved)
+      case _ =>
+        polyToPolysParts(weightLayer, counties, keyed, domain, res, weight)
+    }
+    val numer = nById
+      .withColumn("col", col("out_id.col"))
+      .withColumn("row", col("out_id.row"))
+      .select("fips", "col", "row", "numer")
+    ratio(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
+  }
+
   def surrogateToEGrid(weightLayer: DataFrame, counties: DataFrame,
                        grid: GridSpec, domain: CellDomain, res: Int,
                        srgCode: Int, kind: String,

@@ -127,4 +127,61 @@ object Sources {
     kept.select("cell_id", "col", "row", "geom", "parent_id", "depth")
       .unionByName(children)
   }
+
+  /** WRF grid-dot-file CURVILINEAR grid (variableGridReader.c:216-470 —
+    * the reference's OUTPUT_FILE_TYPE=VariableGrid): `NCOLS = n` /
+    * `NROWS = n` give DOT dimensions, then `LAT =` / `LON =` streams of
+    * comma-separated values, one per dot, row-major. With READ_XYDOT=1 the
+    * streams are `YDOT =` / `XDOT =` projected offsets shifted by
+    * (xorig, yorig) instead of lon/lat. Each of the (ncols−1)×(nrows−1)
+    * CELLS is the quadrilateral of its four surrounding dots, carrying
+    * 1-based COL/ROW.
+    *
+    * `project` maps each (lon, lat) dot into grid coordinates (the
+    * reference runs projectPoint with the output map projection); identity
+    * for READ_XYDOT inputs. The dot lattice is tiny (a model grid), parsed
+    * on the driver like GRIDDESC. */
+  def variableDotGrid(spark: SparkSession, text: String,
+                      project: (Double, Double) => (Double, Double),
+                      readXY: Boolean = false,
+                      xorig: Double = 0.0, yorig: Double = 0.0): DataFrame = {
+    import spark.implicits._
+    val lines = text.linesIterator.toVector
+    def intAfter(key: String): Int = lines
+      .collectFirst { case l if l.contains(key) =>
+        l.substring(l.indexOf(key) + key.length).trim.takeWhile(_.isDigit).toInt }
+      .getOrElse(throw new IllegalArgumentException(
+        s"grid dot file lacks '$key' (variableGridReader.c:252-259)"))
+    val dotCols = intAfter("NCOLS = ")
+    val dotRows = intAfter("NROWS = ")
+    val n = dotCols * dotRows
+    val (yKey, xKey) = if (readXY) ("YDOT =", "XDOT =") else ("LAT =", "LON =")
+    def stream(key: String): Array[Double] = {
+      val start = lines.indexWhere(_.contains(key))
+      require(start >= 0, s"grid dot file lacks '$key'")
+      val vals = lines.drop(start + 1).iterator
+        .takeWhile(l => !l.contains(if (key == yKey) xKey else yKey))
+        .flatMap(_.split(",").iterator.map(_.trim).filter(_.nonEmpty))
+        .map(_.toDouble).take(n).toArray
+      require(vals.length == n,
+        s"grid dot file '$key' stream has ${vals.length} values, need $n")
+      vals
+    }
+    val ys = stream(yKey); val xs = stream(xKey)
+    val px = new Array[Double](n); val py = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (readXY) { px(i) = xs(i) + xorig; py(i) = ys(i) + yorig }
+      else { val (a, b) = project(xs(i), ys(i)); px(i) = a; py(i) = b }
+      i += 1
+    }
+    val cells = for { r <- 0 until dotRows - 1; c <- 0 until dotCols - 1 } yield {
+      def dot(rr: Int, cc: Int) = rr * dotCols + cc
+      val Seq(ll, lr, ur, ul) =
+        Seq(dot(r, c), dot(r, c + 1), dot(r + 1, c + 1), dot(r + 1, c))
+      (r.toLong * (dotCols - 1) + c, c + 1, r + 1,
+        Seq(Seq(px(ll), py(ll), px(lr), py(lr), px(ur), py(ur), px(ul), py(ul))))
+    }
+    cells.toDF("cell_id", "col", "row", "geom")
+  }
 }

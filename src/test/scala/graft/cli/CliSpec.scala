@@ -259,6 +259,52 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotPct == wantPct && gotPct.nonEmpty)
   }
 
+  test("SURROGATE OUTPUT_FILE_TYPE=VariableGrid builds the grid from GRID_DOT_FILE") {
+    val dir = tmp("cli-vargrid")
+    TpchGeo.counties(spark).write.mode("overwrite").parquet(s"$dir/counties")
+    TpchGeo.points(spark, sfDir).write.mode("overwrite").parquet(s"$dir/points")
+    val ys = for (r <- 0 until 9; _ <- 0 until 9) yield r * 1000.0
+    val xs = for (r <- 0 until 9; c <- 0 until 9) yield c * 1000.0 + r * 20.0
+    Files.write(java.nio.file.Paths.get(s"$dir/dots.txt"),
+      ("NCOLS = 9\nNROWS = 9\nYDOT =\n" + ys.mkString(",") +
+        "\nXDOT =\n" + xs.mkString(",") + "\n").getBytes("UTF-8"))
+    val smoke = s"$dir/srg190.txt"
+    val out = SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "SURROGATE",
+      "OUTPUT_GRID_NAME" -> "TEST8",
+      "OUTPUT_FILE_TYPE" -> "VariableGrid",
+      "GRID_DOT_FILE" -> s"$dir/dots.txt",
+      "READ_XYDOT" -> "1",
+      "DATA_FILE_NAME" -> s"$dir/counties",
+      "WEIGHT_FILE_NAME" -> s"$dir/points",
+      "WEIGHT_FILE_TYPE" -> "Point",
+      "SURROGATE_ID" -> "190",
+      "SURROGATE_FILE" -> smoke)).get
+    val cells = graft.sources.Sources.variableDotGrid(spark,
+      new String(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/dots.txt")),
+        "UTF-8"), (a, b) => (a, b), readXY = true)
+    val direct = graft.operators.Surrogate.surrogateToCellPolys(
+      TpchGeo.points(spark, sfDir), TpchGeo.counties(spark), cells,
+      TpchGeo.domain, TpchGeo.zres, 190, kind = "Point")
+    assert(out.collect().map(_.toString).toSeq ==
+           direct.collect().map(_.toString).toSeq)
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(java.nio.file.Paths.get(smoke)).asScala
+    assert(lines.head.startsWith("#VARIABLE_GRID\tTEST8"))
+    // srg2ncf is grid-shaped only: VariableGrid output must fail fast
+    val e = intercept[IllegalArgumentException](SpatialAllocator.run(spark, Map(
+      "MIMS_PROCESSING" -> "SURROGATE",
+      "OUTPUT_GRID_NAME" -> "TEST8",
+      "OUTPUT_FILE_TYPE" -> "VariableGrid",
+      "GRID_DOT_FILE" -> s"$dir/dots.txt",
+      "READ_XYDOT" -> "1",
+      "DATA_FILE_NAME" -> s"$dir/counties",
+      "WEIGHT_FILE_NAME" -> s"$dir/points",
+      "WEIGHT_FILE_TYPE" -> "Point",
+      "SURROGATE_NETCDF_FILE" -> s"$dir/bad.ncf")))
+    assert(e.getMessage.contains("SURROGATE_NETCDF_FILE"))
+  }
+
   test("SURROGATE OUTPUT_FILE_TYPE=EGrid runs against the staggered diamonds") {
     val dir = tmp("cli-egrid")
     TpchGeo.counties(spark).write.mode("overwrite").parquet(s"$dir/counties")

@@ -87,4 +87,39 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.sum
     assert(math.abs(totalArea - 64e6) < 1e-3) // children tile their parents
   }
+
+  test("grid-dot variable grid: LAT/LON dots project, XY dots offset") {
+    // 3×3 dots → 2×2 quad cells; values row-major
+    val lats = for (r <- 0 until 3; _ <- 0 until 3) yield r * 1.0
+    val lons = for (_ <- 0 until 3; c <- 0 until 3) yield c * 1.0
+    val text = "NCOLS = 3\nNROWS = 3\nLAT =\n" + lats.mkString(",") +
+      "\nLON =\n" + lons.mkString(",") + "\n"
+    // a deliberately asymmetric projection proves lon/lat each route
+    val cells = Sources.variableDotGrid(spark, text,
+      (lon, lat) => (lon * 2.0, lat * 3.0))
+      .orderBy("cell_id").collect()
+    assert(cells.length == 4)
+    val c0 = cells.head
+    assert((c0.getAs[Int]("col"), c0.getAs[Int]("row")) == ((1, 1)))
+    // cell (1,1) corners: (0,0) (1,0) (1,1) (0,1) in degrees → scaled
+    assert(c0.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("geom")
+      .map(_.toSeq).toSeq.head == Seq(0.0, 0.0, 2.0, 0.0, 2.0, 3.0, 0.0, 3.0))
+
+    // XY mode (YDOT/XDOT) shifts by the origin instead of projecting
+    val xys = "NCOLS = 3\nNROWS = 3\nYDOT =\n" + lats.map(_ * 100).mkString(",") +
+      "\nXDOT =\n" + lons.map(_ * 100).mkString(",") + "\n"
+    val xyCells = Sources.variableDotGrid(spark, xys,
+      (a, b) => (a, b), readXY = true, xorig = 10.0, yorig = 20.0)
+      .orderBy("cell_id").collect()
+    assert(xyCells.head
+      .getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("geom")
+      .map(_.toSeq).toSeq.head ==
+      Seq(10.0, 20.0, 110.0, 20.0, 110.0, 120.0, 10.0, 120.0))
+
+    // truncated stream fails loudly, never silently under-builds
+    val bad = "NCOLS = 3\nNROWS = 3\nLAT =\n1,2,3\nLON =\n" + lons.mkString(",")
+    val e = intercept[IllegalArgumentException](
+      Sources.variableDotGrid(spark, bad, (a, b) => (a, b)))
+    assert(e.getMessage.contains("3 values, need 9"))
+  }
 }
