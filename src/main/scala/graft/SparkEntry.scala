@@ -403,7 +403,7 @@ object SparkEntry {
       val xs = for (r <- 0 until 9; c <- 0 until 9) yield c * 1000.0 + r * 20.0
       val dotText = "NCOLS = 9\nNROWS = 9\nYDOT =\n" + ys.mkString(",") +
         "\nXDOT =\n" + xs.mkString(",") + "\n"
-      val cells = graft.sources.Sources.variableDotGrid(s, dotText,
+      val (_, cells) = graft.sources.Sources.variableDotGrid(s, dotText,
         (a, b) => (a, b), readXY = true)
       val pts = TpchGeo.points(s, dir)
         .where(expr("(50 * x - y) % 50000 != 0"))

@@ -248,16 +248,15 @@ object SpatialAllocator {
         // id) — the sinks below, .ncf included, are shared
         val curved = cfg.getOrElse("USE_CURVED_LINES", "NO") == "YES"
         val wkind = cfg.getOrElse("WEIGHT_FILE_TYPE", "Polygon")
-        val srgFull =
-          if (cfg.get("OUTPUT_FILE_TYPE").contains("EGrid"))
-            Surrogate.surrogateToEGrid(w, counties, grid(), domain, zres,
-              code, kind = wkind, weight, thr, curved = curved,
-              keepSkipped = true)
-          else if (cfg.get("OUTPUT_FILE_TYPE").contains("VariableGrid")) {
-            // WRF curvilinear grid from GRID_DOT_FILE
-            // (variableGridReader.c:216-470): lon/lat dots project via
-            // the grid CRS; READ_XYDOT=1 dots are projected offsets
-            // shifted by X_ORIG/Y_ORIG
+        // WRF curvilinear grid from GRID_DOT_FILE (variableGridReader.c:
+        // 216-470): lon/lat dots project via the grid CRS; READ_XYDOT=1
+        // dots are projected offsets shifted by X_ORIG/Y_ORIG (explicit
+        // envs win, else the GRIDDESC entry's origin, never a silent 0
+        // against a georeferenced catalog). The returned GridSpec is
+        // CONSISTENT with the dot lattice and feeds the SMOKE header.
+        val vargrid: Option[(GridSpec, org.apache.spark.sql.DataFrame)] =
+          if (!cfg.get("OUTPUT_FILE_TYPE").contains("VariableGrid")) None
+          else Some {
             val dotText = new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(req("GRID_DOT_FILE"))), "UTF-8")
             val readXY = cfg.get("READ_XYDOT").contains("1")
@@ -265,15 +264,26 @@ object SpatialAllocator {
               throw new IllegalArgumentException(
                 "VariableGrid lon/lat dots need a grid CRS: set " +
                   "OUTPUT_FILE_MAP_PRJN or a GRIDDESC entry")))
-            val cells = Sources.variableDotGrid(spark, dotText,
+            def orig(env: String, pick: GridSpec => Double): Double =
+              cfg.get(env).map(_.toDouble)
+                .orElse(if (cfg.contains("OUTPUT_GRID_NAME"))
+                          gdEntry().map(e => pick(e.grid)) else None)
+                .getOrElse(0.0)
+            Sources.variableDotGrid(spark, dotText,
               (lon, lat) => proj.map(_.forward(lon, lat)).getOrElse((lon, lat)),
               readXY = readXY,
-              xorig = cfg.getOrElse("X_ORIG", "0").toDouble,
-              yorig = cfg.getOrElse("Y_ORIG", "0").toDouble)
-            Surrogate.surrogateToCellPolys(w, counties, cells, domain, zres,
+              xorig = orig("X_ORIG", _.xorig), yorig = orig("Y_ORIG", _.yorig),
+              name = cfg.getOrElse("OUTPUT_GRID_NAME", "VARGRID"))
+          }
+        val srgFull =
+          if (cfg.get("OUTPUT_FILE_TYPE").contains("EGrid"))
+            Surrogate.surrogateToEGrid(w, counties, grid(), domain, zres,
               code, kind = wkind, weight, thr, curved = curved,
               keepSkipped = true)
-          }
+          else if (vargrid.isDefined)
+            Surrogate.surrogateToCellPolys(w, counties, vargrid.get._2,
+              domain, zres, code, kind = wkind, weight, thr,
+              curved = curved, keepSkipped = true)
           else wkind match {
             case "Point" | "PointFile" =>
               Surrogate.pointSurrogate(w, counties, grid(), domain, zres,
@@ -289,9 +299,9 @@ object SpatialAllocator {
           }
         val srg = srgFull.where(col("denom") >= thr)
         cfg.get("SURROGATE_FILE").foreach { out =>
-          // header tag tracks OUTPUT_FILE_TYPE (allocate.c:765-779);
-          // VariableGrid surrogates aren't computed by this driver, so
-          // the tag must not mislabel regular-grid data
+          // header tag tracks OUTPUT_FILE_TYPE (allocate.c:765-779); the
+          // VariableGrid header carries the DOT-lattice grid spec, never
+          // an unrelated regular grid whose dims the body could exceed
           val tag = cfg.getOrElse("OUTPUT_FILE_TYPE", "RegularGrid") match {
             case "RegularGrid" | "EGrid" => "#GRID"
             case "VariableGrid" => "#VARIABLE_GRID"
@@ -299,7 +309,12 @@ object SpatialAllocator {
               s"OUTPUT_FILE_TYPE=$other " +
                 "(RegularGrid | EGrid | VariableGrid | Polygon)")
           }
-          Smoke.write(srgFull, grid(), projInfo(), out,
+          val sinkGrid = vargrid.map(_._1).getOrElse(grid())
+          val sinkProj =
+            if (vargrid.isDefined && !cfg.contains("OUTPUT_GRID_NAME"))
+              Smoke.ProjInfo()
+            else projInfo()
+          Smoke.write(srgFull, sinkGrid, sinkProj, out,
             withQa = qaFields.any, denomThreshold = thr, headerTag = tag,
             fields = qaFields, writeHeader = hdrOn)
         }

@@ -344,11 +344,6 @@ object Surrogate {
     (numer, denom)
   }
 
-  /** srgcreate OUTPUT_FILE_TYPE=EGrid (EGridReader.c geometry): the
-    * surrogate runs against the staggered WRF-NMM diamonds generated from
-    * the SAME GRIDDESC entry, and COL/ROW derive from the diamond id
-    * ((polyID-1)%ncols+1, surrogate.c:389-432) so the standard grid SMOKE
-    * format applies — including the (row, col)-ordered qasum. */
   /** Surrogate onto an ARBITRARY cell-polygon layer carrying COL/ROW —
     * the WRF curvilinear grid-dot variable grid
     * (variableGridReader.c:216-470, OUTPUT_FILE_TYPE=VariableGrid). The
@@ -380,6 +375,11 @@ object Surrogate {
     ratio(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
   }
 
+  /** srgcreate OUTPUT_FILE_TYPE=EGrid (EGridReader.c geometry): the
+    * surrogate runs against the staggered WRF-NMM diamonds generated from
+    * the SAME GRIDDESC entry, and COL/ROW derive from the diamond id
+    * ((polyID-1)%ncols+1, surrogate.c:389-432) so the standard grid SMOKE
+    * format applies — including the (row, col)-ordered qasum. */
   def surrogateToEGrid(weightLayer: DataFrame, counties: DataFrame,
                        grid: GridSpec, domain: CellDomain, res: Int,
                        srgCode: Int, kind: String,
@@ -424,22 +424,14 @@ object Surrogate {
         val n = cand.groupBy("fips", "col", "row").agg(sum("__w").as("numer"))
         (n, d)
       case _ =>
+        // line/polygon weights clip against the materialized diamonds —
+        // exactly the arbitrary-cell path; eGrid already carries COL/ROW
         val diamonds = graft.sources.Sources.eGrid(weightLayer.sparkSession,
-            grid.name, grid.xorig, grid.yorig, grid.xcell, grid.ycell,
-            grid.ncols, grid.nrows)
-          .select(col("cell_id").as("out_id"), col("geom"))
-        val (nById, d) = kind match {
-          case "Line" =>
-            lineToPolysParts(weightLayer, counties, diamonds, domain, res,
-              weight, curved)
-          case _ =>
-            polyToPolysParts(weightLayer, counties, diamonds, domain, res,
-              weight)
-        }
-        (nById
-          .withColumn("col", cellIdCol(col("out_id"), grid))
-          .withColumn("row", cellIdRow(col("out_id"), grid))
-          .select("fips", "col", "row", "numer"), d)
+          grid.name, grid.xorig, grid.yorig, grid.xcell, grid.ycell,
+          grid.ncols, grid.nrows)
+        return surrogateToCellPolys(weightLayer, counties, diamonds,
+          domain, res, srgCode, kind, weight, denomThreshold, curved,
+          keepSkipped)
     }
     ratio(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
   }

@@ -144,7 +144,8 @@ object Sources {
   def variableDotGrid(spark: SparkSession, text: String,
                       project: (Double, Double) => (Double, Double),
                       readXY: Boolean = false,
-                      xorig: Double = 0.0, yorig: Double = 0.0): DataFrame = {
+                      xorig: Double = 0.0, yorig: Double = 0.0,
+                      name: String = "VARGRID"): (GridSpec, DataFrame) = {
     import spark.implicits._
     val lines = text.linesIterator.toVector
     def intAfter(key: String): Int = lines
@@ -159,8 +160,12 @@ object Sources {
     def stream(key: String): Array[Double] = {
       val start = lines.indexWhere(_.contains(key))
       require(start >= 0, s"grid dot file lacks '$key'")
-      val vals = lines.drop(start + 1).iterator
-        .takeWhile(l => !l.contains(if (key == yKey) xKey else yKey))
+      // values may begin ON the key line ("LAT = 1.0, 2.0, …") or on the
+      // following lines — both real-world layouts parse
+      val headRest = lines(start)
+        .substring(lines(start).indexOf(key) + key.length)
+      val vals = (Iterator(headRest) ++ lines.drop(start + 1).iterator
+          .takeWhile(l => !l.contains(if (key == yKey) xKey else yKey)))
         .flatMap(_.split(",").iterator.map(_.trim).filter(_.nonEmpty))
         .map(_.toDouble).take(n).toArray
       require(vals.length == n,
@@ -182,6 +187,12 @@ object Sources {
       (r.toLong * (dotCols - 1) + c, c + 1, r + 1,
         Seq(Seq(px(ll), py(ll), px(lr), py(lr), px(ur), py(ur), px(ul), py(ul))))
     }
-    cells.toDF("cell_id", "col", "row", "geom")
+    // the grid spec CONSISTENT with the dot lattice (cell counts from the
+    // dots, origin/mean cell size from the projected bbox) — a SMOKE
+    // header must never claim dimensions the body's COL/ROW exceed
+    val spec = GridSpec(name, px.min, py.min,
+      (px.max - px.min) / (dotCols - 1), (py.max - py.min) / (dotRows - 1),
+      dotCols - 1, dotRows - 1)
+    (spec, cells.toDF("cell_id", "col", "row", "geom"))
   }
 }

@@ -280,7 +280,7 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WEIGHT_FILE_TYPE" -> "Point",
       "SURROGATE_ID" -> "190",
       "SURROGATE_FILE" -> smoke)).get
-    val cells = graft.sources.Sources.variableDotGrid(spark,
+    val (_, cells) = graft.sources.Sources.variableDotGrid(spark,
       new String(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/dots.txt")),
         "UTF-8"), (a, b) => (a, b), readXY = true)
     val direct = graft.operators.Surrogate.surrogateToCellPolys(
@@ -290,7 +290,9 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
            direct.collect().map(_.toString).toSeq)
     import scala.jdk.CollectionConverters._
     val lines = Files.readAllLines(java.nio.file.Paths.get(smoke)).asScala
+    // header carries the DOT-lattice dims (8x8 cells), named by the grid
     assert(lines.head.startsWith("#VARIABLE_GRID\tTEST8"))
+    assert(lines.head.split("\t")(6) == "8" && lines.head.split("\t")(7) == "8")
     // srg2ncf is grid-shaped only: VariableGrid output must fail fast
     val e = intercept[IllegalArgumentException](SpatialAllocator.run(spark, Map(
       "MIMS_PROCESSING" -> "SURROGATE",

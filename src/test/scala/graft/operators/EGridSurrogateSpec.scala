@@ -62,8 +62,12 @@ class EGridSurrogateSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"closed-form-only: $only1, raycast-only: $only2, count-diffs: $diff"
     })
     assert(cf.nonEmpty)
-    // edge points landed in exactly two diamonds each: total assignments
-    // exceed the number of points that hit the grid at all
-    assert(cf.values.sum > cf.values.size)
+    // edge points land in TWO diamonds: total assignments strictly exceed
+    // the number of DISTINCT points assigned anywhere — a symmetric
+    // EDGE-out regression on both paths would keep cf == rc but fail here
+    val distinctAssigned = SpatialJoin.pointInPoly(pts, diamonds, domain, 4)
+      .select("pid").distinct().count()
+    assert(cf.values.sum > distinctAssigned,
+      s"sum=${cf.values.sum} distinct=$distinctAssigned")
   }
 }

@@ -95,9 +95,13 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val text = "NCOLS = 3\nNROWS = 3\nLAT =\n" + lats.mkString(",") +
       "\nLON =\n" + lons.mkString(",") + "\n"
     // a deliberately asymmetric projection proves lon/lat each route
-    val cells = Sources.variableDotGrid(spark, text,
+    val (spec, cellsDf) = Sources.variableDotGrid(spark, text,
       (lon, lat) => (lon * 2.0, lat * 3.0))
-      .orderBy("cell_id").collect()
+    // the derived spec matches the projected dot lattice exactly
+    assert(spec.ncols == 2 && spec.nrows == 2 &&
+      spec.xorig == 0.0 && spec.yorig == 0.0 &&
+      spec.xcell == 2.0 && spec.ycell == 3.0)
+    val cells = cellsDf.orderBy("cell_id").collect()
     assert(cells.length == 4)
     val c0 = cells.head
     assert((c0.getAs[Int]("col"), c0.getAs[Int]("row")) == ((1, 1)))
@@ -110,11 +114,18 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "\nXDOT =\n" + lons.map(_ * 100).mkString(",") + "\n"
     val xyCells = Sources.variableDotGrid(spark, xys,
       (a, b) => (a, b), readXY = true, xorig = 10.0, yorig = 20.0)
-      .orderBy("cell_id").collect()
+      ._2.orderBy("cell_id").collect()
     assert(xyCells.head
       .getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("geom")
       .map(_.toSeq).toSeq.head ==
       Seq(10.0, 20.0, 110.0, 20.0, 110.0, 120.0, 10.0, 120.0))
+
+    // values beginning ON the key line parse too (common Fortran layout)
+    val sameLine = "NCOLS = 3\nNROWS = 3\nLAT = " + lats.mkString(",") +
+      "\nLON = " + lons.mkString(",") + "\n"
+    val slCells = Sources.variableDotGrid(spark, sameLine,
+      (lon, lat) => (lon * 2.0, lat * 3.0))._2.orderBy("cell_id").collect()
+    assert(slCells.length == 4)
 
     // truncated stream fails loudly, never silently under-builds
     val bad = "NCOLS = 3\nNROWS = 3\nLAT =\n1,2,3\nLON =\n" + lons.mkString(",")
