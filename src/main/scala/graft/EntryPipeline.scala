@@ -217,8 +217,11 @@ object EntryPipeline {
         |      FROM t)
         |SELECT doc_id, n_tokens, tok_start,
         |  tok_start // 256 AS seq_first,
-        |  (tok_start + n_tokens - 1) // 256 AS seq_last,
-        |  (tok_start + n_tokens - 1) // 256 - tok_start // 256 + 1 AS n_seqs
+        |  CASE WHEN n_tokens = 0 THEN tok_start // 256
+        |       ELSE (tok_start + n_tokens - 1) // 256 END AS seq_last,
+        |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE (tok_start + n_tokens - 1) // 256 - tok_start // 256 + 1
+        |       END AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q61_url_canon" ->

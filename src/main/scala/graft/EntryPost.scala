@@ -51,7 +51,8 @@ object EntryPost {
       PostOps.qaSummary(
         srg100(s, dir).select("srg_code", "fips", "col", "row", "frac")
           .unionByName(
-            srg120(s, dir).select("srg_code", "fips", "col", "row", "frac")))),
+            srg120(s, dir).select("srg_code", "fips", "col", "row", "frac")),
+        codes = Seq(100, 120))),
 
     // QA not-1 report on the merged table (all counties deviate)
     "q28_qa_not1" -> ((s, dir) =>

@@ -49,8 +49,11 @@ object EntryText {
       TextOps.minHashLshPairs(
           TextFixtures.nearDupCorpus(s, dir, " graftmark"),
           // 32 bands × 2 rows: P(miss | jac ≥ 0.8) = (1-0.8²)³² ≈ 6e-15 —
-          // the LSH output is indistinguishable from exact at this τ
-          "doc_id", "text", n = 3, numHashes = 64, bands = 32, tau = 0.8)
+          // the LSH output is indistinguishable from exact at this τ.
+          // Assume = crawl-scale setting: collapse without the probe pass
+          // (exact dups are certain in this fixture as at crawl scale)
+          "doc_id", "text", n = 3, numHashes = 64, bands = 32, tau = 0.8,
+          preDedupExact = graft.text.PreCollapse.Assume)
         .orderBy("id_a", "id_b")),
 
     // SimHash near-dup pairs. Rows-only in the driver because the simhash
@@ -59,7 +62,8 @@ object EntryText {
     // brute-force hamming-join parity test (SimhashParitySpec).
     "q16_simhash" -> ((s, dir) =>
       TextOps.simhashPairs(TextFixtures.nearDupCorpus(s, dir, " graftmark"),
-          "doc_id", "text", n = 3, maxHamming = 8, tables = 9)
+          "doc_id", "text", n = 3, maxHamming = 8, tables = 9,
+          preDedupExact = graft.text.PreCollapse.Assume)
         .orderBy("id_a", "id_b")),
 
     // brute-force cosine top-k (baseline ANN)
@@ -74,7 +78,8 @@ object EntryText {
     // embedding-cosine near-dup pairs via LSH buckets + exact verify
     "q18_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
-          TextFixtures.embedDupCorpus(s, dir), tau = 0.99)
+          TextFixtures.embedDupCorpus(s, dir), tau = 0.99,
+          preDedupExact = graft.text.PreCollapse.Assume)
         .orderBy("id_a", "id_b")),
 
     // multimodal: binary media column → batched stub decode via mapPartitions

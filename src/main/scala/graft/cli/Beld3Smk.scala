@@ -93,16 +93,16 @@ object Beld3Smk {
     // non-intersecting tiles never build a frame at all. The merged result
     // is localCheckpoint'ed (the Knn/components discipline) because both
     // the .ncf write and the QA pass consume it.
-    val merged: Map[String, (Seq[Ioapi.VarDef], DataFrame)] =
+    val merged: Map[String, (Seq[Ioapi.VarDef], Int, DataFrame)] =
       Kinds.flatMap { kind =>
         val perTile = files.collect { case (k, _, path) if k == kind =>
           val f = graft.sources.NetCDF.read(path)
           val hdr = Ioapi.headerOf(f)
           if (!intersects(hdr.grid)) None
           else {
-            val (_, _, df) = Ioapi.readParsed(spark, f, dropZeros = true)
+            val (_, nrec, df) = Ioapi.readParsed(spark, f, dropZeros = true)
             val scale = (hdr.grid.xcell * hdr.grid.ycell) / outCellArea
-            Some((hdr.vars,
+            Some((hdr.vars, nrec,
               Allocate.gridToPoly(df, hdr.grid, cells, "out_id", "value",
                   Seq("var", "tstep"))
                 .withColumn("value", col("alloc") * scale)
@@ -114,10 +114,13 @@ object Beld3Smk {
           val varDefs = perTile.map(_._1.map(v => (v.name, v.vtype)))
           require(varDefs.distinct.size == 1,
             s"${kind}-file tiles disagree on the variable list")
-          val all = perTile.map(_._2).reduce(_ unionByName _)
+          val all = perTile.map(_._3).reduce(_ unionByName _)
             .groupBy("out_id", "var", "tstep").agg(sum("value").as("value"))
             .localCheckpoint(true)
-          Some(kind -> (perTile.head._1, all))
+          // the merged time structure is the widest tile's (BELD3 tiles are
+          // time-independent nrec=1, but BELD4/nonstandard tiles carry
+          // TSTEP>1 — preserve the records instead of rejecting them)
+          Some(kind -> (perTile.head._1, perTile.map(_._2).max, all))
         }
       }.toMap
 
@@ -127,13 +130,13 @@ object Beld3Smk {
       .withColumn("layer", lit(1))
       .select("var", "tstep", "layer", "row", "col", "value")
 
-    val outputs = merged.map { case (kind, (vars, df)) =>
+    val outputs = merged.map { case (kind, (vars, nrec, df)) =>
       val path = s"${prefix}_$kind.ncf"
       val c = entry.coord
       val h = Ioapi.headerFor(outGrid, vars, gdtyp = c.ctype,
         pAlp = c.alpha, pBet = c.beta, pGam = c.gamma,
         xcent = c.xcent, ycent = c.ycent)
-      Ioapi.write(toLong(df), h, path, numRecs = 1)
+      Ioapi.write(toLong(df), h, path, numRecs = nrec)
       kind -> path
     }
 
@@ -142,7 +145,7 @@ object Beld3Smk {
     // flag at total = 0 (beld3smk.c:496-509)
     val qaTol = cfg.getOrElse("QA_TOLERANCE", "0.01").toDouble
     val qa = (merged.get("a"), merged.get("b")) match {
-      case (Some((_, a)), Some((_, b))) =>
+      case (Some((_, _, a)), Some((_, _, b))) =>
         def toColRow(df: DataFrame) = df
           .withColumn("col", graft.spark.GeoFunctions.cellIdCol(col("out_id"), outGrid))
           .withColumn("row", graft.spark.GeoFunctions.cellIdRow(col("out_id"), outGrid))

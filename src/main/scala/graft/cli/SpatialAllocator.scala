@@ -469,8 +469,8 @@ object SpatialAllocator {
                 .map(a => s"'$a', CAST(`$a` AS DOUBLE)").mkString(", ")
               val long = out.selectExpr("out_id",
                   s"stack(${attrs.length}, $stackArgs) AS (var, value)")
-                .withColumn("col", (col("out_id") % g.ncols).cast("int") + 1)
-                .withColumn("row", (col("out_id") / g.ncols).cast("int") + 1)
+                .withColumn("col", graft.spark.GeoFunctions.cellIdCol(col("out_id"), g))
+                .withColumn("row", graft.spark.GeoFunctions.cellIdRow(col("out_id"), g))
                 .withColumn("tstep", lit(0)).withColumn("layer", lit(1))
                 .where(col("value").isNotNull)
                 .select("var", "tstep", "layer", "row", "col", "value")

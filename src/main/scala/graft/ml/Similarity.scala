@@ -292,17 +292,22 @@ object Similarity {
     * keys ⇒ identical candidate coverage). */
   def embeddingNearDupPairs(df: DataFrame, tau: Double,
                             tables: Int = 8, planes: Int = 10,
-                            preDedupExact: Boolean = true): DataFrame = {
+                            preDedupExact: graft.text.PreCollapse =
+                              graft.text.PreCollapse.Probe): DataFrame = {
     val keys = lshKeysUdf(tables, planes)
     val vecs = df.select(col("vec_id"), col("embedding"))
-    // adaptive duplicate probe (cheap hash aggregate): a hash collision
+    // tri-state duplicate probe (cheap hash aggregate): a hash collision
     // can only cause a false POSITIVE (runs the collapse and finds no
     // group — harmless); identical vectors always hash equal, so real
-    // duplicates are never missed
-    val anyDups = preDedupExact && {
-      val r = vecs.agg(count(lit(1)),
-        count_distinct(xxhash64(col("embedding")))).collect()(0)
-      r.getLong(0) != r.getLong(1)
+    // duplicates are never missed. Assume skips the probe pass entirely
+    // (crawl scale), Off is the pure lazy plan.
+    val anyDups = preDedupExact match {
+      case graft.text.PreCollapse.Off    => false
+      case graft.text.PreCollapse.Assume => true
+      case graft.text.PreCollapse.Probe =>
+        val r = vecs.agg(count(lit(1)),
+          count_distinct(xxhash64(col("embedding")))).collect()(0)
+        r.getLong(0) != r.getLong(1)
     }
     val candidates =
       if (!anyDups) {

@@ -65,6 +65,10 @@ object Ioapi {
 
   /** I/O API nextime: advance (YYYYDDD, HHMMSS) by an HHMMSS step. */
   def nextTime(jdate: Int, jtime: Int, step: Int): (Int, Int) = {
+    // The negative-step branch of the I/O API nextime contract (circular
+    // buffer files) is out of scope; fail loud rather than emit a
+    // malformed negative HHMMSS into TFLAG.
+    require(step >= 0, s"nextTime: negative TSTEP $step not supported")
     def secs(t: Int) = t / 10000 * 3600 + t / 100 % 100 * 60 + t % 100
     def hhmmss(s: Int) = s / 3600 * 10000 + s % 3600 / 60 * 100 + s % 60
     def daysInYear(y: Int) =
@@ -93,18 +97,34 @@ object Ioapi {
       s"$path: variable name '${v.name}' exceeds I/O API NAMLEN3 (16 chars)"))
     val cells = h.ncols.toLong * h.nrows * h.nlays
     val haveLayer = df.columns.contains("layer")
-    val rows = df.select(col("var"), col("tstep").cast("int"),
+    val proj = df.select(col("var"), col("tstep").cast("int"),
         (if (haveLayer) col("layer") else lit(1)).cast("int").as("layer"),
         col("row").cast("int"), col("col").cast("int"),
         col("value").cast("double"))
-      .collect()
+    // Guard BEFORE materializing (Shapefile.guardedCollect discipline): a
+    // mistakenly-huge frame must fail the envelope contract without ever
+    // reaching the driver. nrec comes from a tiny max-aggregate — one
+    // narrow job, no collect.
     val nrec =
       if (numRecs >= 0) numRecs
-      else rows.iterator.map(_.getInt(1)).foldLeft(-1)(math.max) + 1
+      else {
+        val m = proj.agg(max(col("tstep"))).head()
+        if (m.isNullAt(0)) 0 else m.getInt(0) + 1
+      }
     require(nrec >= 1, s"$path: no records to write")
     val bytesNeeded = h.vars.map(v => cells * nrec * (if (v.vtype == NC_DOUBLE) 8 else 4)).sum
     require(bytesNeeded <= NetCDF.MaxBytes,
       s"$path: $bytesNeeded data bytes exceed the single-node I/O API envelope")
+    // A frame inside the envelope has ≤ cells·nrec·nvars slots; duplicates
+    // accumulate (below) so allow 4× headroom, but a fact table that blows
+    // past it fails fast at the limit instead of OOMing the driver.
+    val maxRows = math.min(cells * nrec * h.vars.length * 4L,
+      Int.MaxValue.toLong - 1).toInt
+    val rows = proj.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"$path: > $maxRows rows for ${h.vars.length} vars × $cells cells × " +
+        s"$nrec records — gridded I/O API output is a dimension layer; " +
+        "use parquet for fact tables")
     val varIdx = h.vars.map(_.name).zipWithIndex.toMap
     // NC_INT vars accumulate in DOUBLE and truncate once at the end: the
     // reference's REAL VAL_IN truncates at write, not per addend (0.6 +

@@ -53,19 +53,31 @@ object PipelineOps {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
 
   /** Reconstruct each doc's text with dropped paragraphs removed (empty
-    * string when every paragraph was a repeat). Paragraph text re-joins the
-    * keep decisions on (id, idx) — the wide text column stays out of the
-    * hash aggregation above. */
+    * string when every paragraph was a repeat).
+    *
+    * Scale: exploded paragraph text NEVER crosses an exchange. The keep
+    * decisions aggregate per doc into an int array (ids/hashes/ints only
+    * in both shuffles), that one-row-per-doc array joins back to the
+    * corpus on id, and the split/filter/rejoin runs doc-locally in one
+    * narrow projection. The only exchange that sees text is the final
+    * id-join moving each doc's text intact, once — at 100 TB that is the
+    * floor for co-locating a per-doc decision with the doc. */
   def dedupParagraphText(df: DataFrame, idCol: String, textCol: String,
                          sepRegex: String = "\n\n", sep: String = "\n\n"): DataFrame = {
-    val paras = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), sepRegex)).as(Seq("idx", "para")))
-    val kept = paragraphDedup(df, idCol, textCol, sepRegex)
-      .where(col("keep")).select("id", "idx")
-    paras.join(kept, Seq("id", "idx"))
+    // (id, sorted kept idx[]) — one row per doc. collect_list skips the
+    // nulls from `when`, so an all-repeats doc yields an empty array (and
+    // split("") = [""] guarantees every doc has at least one paragraph
+    // row, so no doc drops out of the groupBy).
+    val keptIdx = paragraphDedup(df, idCol, textCol, sepRegex)
       .groupBy("id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("para")))),
-        p => p.getField("para")), sep).as("text"))
+      .agg(array_sort(collect_list(when(col("keep"), col("idx")))).as("__kept"))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(keptIdx, Seq("id"))
+      .select(col("id"),
+        array_join(
+          filter(split(col("__text"), sepRegex),
+            (_, i) => array_contains(col("__kept"), i)),
+          sep).as("text"))
   }
 
   // -------------------------------------------------------- decontamination
@@ -130,9 +142,15 @@ object PipelineOps {
     df.withColumn("tok_start",
         coalesce(sum(col(tokCol).cast("long")).over(w), lit(0L)))
       .withColumn("seq_first", expr(s"tok_start div $seqLen"))
+      // zero-token rows emit nothing: seq_last = seq_first and n_seqs = 0
+      // (the unguarded (tok_start - 1) div seqLen is off by one whenever
+      // tok_start is a later multiple of seqLen)
       .withColumn("seq_last",
-        expr(s"(tok_start + ${tokCol} - 1) div $seqLen"))
-      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+        when(col(tokCol) === 0, expr(s"tok_start div $seqLen"))
+          .otherwise(expr(s"(tok_start + ${tokCol} - 1) div $seqLen")))
+      .withColumn("n_seqs",
+        when(col(tokCol) === 0, lit(0L))
+          .otherwise(col("seq_last") - col("seq_first") + 1))
   }
 
   // ---------------------------------------------------- URL canonicalization

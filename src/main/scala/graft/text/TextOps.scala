@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   *     path — kept for oracle verification and small corpora; LSH is the
   *     100 TB path.
   */
+/** Exact-duplicate pre-collapse policy for the LSH dedup family
+  * (minHashLshPairs / simhashPairs / embeddingNearDupPairs). Output is
+  * identical across all three modes (MinHashSkewSpec); they trade probe
+  * I/O against collapse machinery. */
+sealed trait PreCollapse
+object PreCollapse {
+  /** ONE hash aggregate over the corpus decides whether the collapse
+    * machinery pays for itself — right for mid-size corpora where
+    * dup-freeness is plausible. Costs a full input pass. */
+  case object Probe extends PreCollapse
+  /** Always collapse, never probe — the crawl-scale setting: duplicates
+    * are certain there, so the probe pass buys nothing and doubles input
+    * I/O. */
+  case object Assume extends PreCollapse
+  /** Never collapse: pure lazy plan builder for corpora the caller
+    * guarantees are already exact-deduped. */
+  case object Off extends PreCollapse
+}
+
 object TextOps {
 
   // ------------------------------------------------------------ exact dedup
@@ -391,18 +410,22 @@ object TextOps {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, tau: Double = 0.8,
-                      preDedupExact: Boolean = true,
+                      preDedupExact: PreCollapse = PreCollapse.Probe,
                       maxBucketSize: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
 
-    // adaptive: the collapse machinery (signature group-by + member
-    // expansion joins) only pays for itself when exact duplicates exist.
-    // One cheap aggregate over 128-bit hashes decides; a dup-free corpus
-    // (common for already-exact-deduped inputs) takes the direct path.
-    // Output is identical either way (MinHashSkewSpec parity).
-    val anyDups = preDedupExact && hasExactDups(base)
+    // Probe: one cheap aggregate over 128-bit hashes decides whether the
+    // collapse machinery (signature group-by + member expansion joins)
+    // pays for itself — a dup-free corpus takes the direct path. Assume
+    // skips the probe pass (crawl scale: dups certain). Off is the pure
+    // lazy plan. Output is identical in all modes (MinHashSkewSpec).
+    val anyDups = preDedupExact match {
+      case PreCollapse.Off    => false
+      case PreCollapse.Assume => true
+      case PreCollapse.Probe  => hasExactDups(base)
+    }
 
     // (rep-id keyed) doc set the banding runs over + member expansion map
     val (prepared, memberMap) =
@@ -486,7 +509,7 @@ object TextOps {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxHamming: Int = 3,
                    tables: Int = 4,
-                   preDedupExact: Boolean = true): DataFrame = {
+                   preDedupExact: PreCollapse = PreCollapse.Probe): DataFrame = {
     require(tables >= maxHamming + 1,
       s"tables ($tables) must be >= maxHamming+1 (${maxHamming + 1}) for complete recall")
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
@@ -496,9 +519,13 @@ object TextOps {
     // per row — the collapse shrinks the slice join, not the map): join
     // over representatives, expand members after (intra-group pairs are
     // exact duplicates at hamming 0). Output proven identical in
-    // MinHashSkewSpec. Same adaptive probe: dup-free corpora skip the
-    // collapse machinery entirely.
-    val anyDups = preDedupExact && hasExactDups(base)
+    // MinHashSkewSpec. Same tri-state probe knob: dup-free corpora skip
+    // the collapse machinery entirely, crawl-scale callers skip the probe.
+    val anyDups = preDedupExact match {
+      case PreCollapse.Off    => false
+      case PreCollapse.Assume => true
+      case PreCollapse.Probe  => hasExactDups(base)
+    }
     val (prepared, memberMap) =
       if (!anyDups)
         (base.select(col("id"), simhashUdf(n)(col("__text")).as("sh")), None)

@@ -45,6 +45,10 @@ class IoapiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nextTime(2008366, 230000, 10000) == ((2009001, 0)))
     // 90-minute step
     assert(nextTime(2007001, 13000, 13000) == ((2007001, 30000)))
+    // negative TSTEP (circular-buffer convention) fails loud instead of
+    // emitting a malformed negative HHMMSS into TFLAG
+    val e = intercept[IllegalArgumentException] { nextTime(2007001, 0, -10000) }
+    assert(e.getMessage.contains("negative TSTEP"))
   }
 
   test("write → read round trip: header, TFLAG, and exact values") {
@@ -68,6 +72,43 @@ class IoapiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f = NetCDF.read(p)
     val tflag = f.data("TFLAG").asInstanceOf[Array[Int]]
     assert(tflag.toSeq == Seq(2007001, 0, 2007001, 0, 2007001, 10000, 2007001, 10000))
+  }
+
+  test("write guards the byte envelope BEFORE collecting to the driver") {
+    import spark.implicits._
+    // a grid whose cells alone blow the 1 GiB envelope: the contract must
+    // fire off a tiny max(tstep) aggregate + arithmetic — were the old
+    // collect-first order still in place, the 500M-row frame below would
+    // OOM the driver before the require
+    val huge = GridSpec("THUGE", 0, 0, 1, 1, 40000, 40000)
+    val h = headerFor(huge, Seq(VarDef("V", "u", "v")))
+    val big = spark.range(500L * 1000 * 1000)
+      .select(lit("V").as("var"), lit(0).as("tstep"), lit(1).as("layer"),
+        lit(1).as("row"), (col("id") % 40000 + 1).cast("int").as("col"),
+        lit(1.0).as("value"))
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      Ioapi.write(big, h, tmp("huge.ncf"))
+    }
+    assert(e.getMessage.contains("envelope"))
+    // fail-fast: the guard must not have scanned the 500M rows
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+  }
+
+  test("write guards the row count: a fact-table-sized frame fails at the limit") {
+    import spark.implicits._
+    // tiny grid (2×2, 1 var, nrec pinned to 1) → maxRows = 16; a frame
+    // with far more rows than the grid has slots must fail the bounded
+    // collect instead of materializing
+    val g2 = GridSpec("T2", 0, 0, 1, 1, 2, 2)
+    val h = headerFor(g2, Seq(VarDef("V", "u", "v")))
+    val many = spark.range(1000)
+      .select(lit("V").as("var"), lit(0).as("tstep"), lit(1).as("layer"),
+        lit(1).as("row"), lit(1).as("col"), lit(1.0).as("value"))
+    val e = intercept[IllegalArgumentException] {
+      Ioapi.write(many, h, tmp("many.ncf"), numRecs = 1)
+    }
+    assert(e.getMessage.contains("parquet for fact tables"))
   }
 
   test("dropZeros keeps the frame sparse") {

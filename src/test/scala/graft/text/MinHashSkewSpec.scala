@@ -38,16 +38,16 @@ class MinHashSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     (baseDocs ++ dups).toDF("doc_id", "text")
   }
 
-  test("pre-dedup path output equals the naive path exactly") {
+  test("pre-dedup path output equals the naive path exactly (all 3 modes)") {
     val df = corpus()
-    def run(pre: Boolean) =
+    def run(pre: PreCollapse) =
       TextOps.minHashLshPairs(df, "doc_id", "text",
           n = 3, numHashes = 64, bands = 32, tau = 0.8, preDedupExact = pre)
         .orderBy("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    val naive = run(false)
-    val deduped = run(true)
-    assert(deduped === naive)
+    val naive = run(PreCollapse.Off)
+    assert(run(PreCollapse.Probe) === naive)
+    assert(run(PreCollapse.Assume) === naive)
     // sanity: the hot cluster produced its full intra-group pair set
     assert(naive.count { case (a, b, j) => a >= 100 && b >= 100 && j == 1.0 } === 190)
   }
@@ -71,20 +71,20 @@ class MinHashSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((100L until 120L).forall(idsInPairs.contains))
   }
 
-  test("simhash pre-dedup path output equals the naive path exactly") {
+  test("simhash pre-dedup path output equals the naive path exactly (all 3 modes)") {
     val df = corpus()
-    def run(pre: Boolean) =
+    def run(pre: PreCollapse) =
       TextOps.simhashPairs(df, "doc_id", "text",
           n = 3, maxHamming = 8, tables = 9, preDedupExact = pre)
         .orderBy("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    val naive = run(false)
-    val deduped = run(true)
-    assert(deduped === naive)
+    val naive = run(PreCollapse.Off)
+    assert(run(PreCollapse.Probe) === naive)
+    assert(run(PreCollapse.Assume) === naive)
     assert(naive.count { case (a, b, h) => a >= 100 && b >= 100 && h == 0 } === 190)
   }
 
-  test("embedding pre-dedup path output equals the naive path exactly") {
+  test("embedding pre-dedup path output equals the naive path exactly (all 3 modes)") {
     val s = spark
     import s.implicits._
     val base = Seq.tabulate(8)(i =>
@@ -93,14 +93,14 @@ class MinHashSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val near = (100L, base(0)._2.map(v => v * 1.000001f))
     val dups = (200L until 215L).map(i => (i, base(0)._2))
     val df = (base ++ Seq(near) ++ dups).toDF("vec_id", "embedding")
-    def run(pre: Boolean) =
+    def run(pre: PreCollapse) =
       graft.ml.Similarity.embeddingNearDupPairs(df, tau = 0.99,
           preDedupExact = pre)
         .orderBy("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    val naive = run(false)
-    val deduped = run(true)
-    assert(deduped === naive)
+    val naive = run(PreCollapse.Off)
+    assert(run(PreCollapse.Probe) === naive)
+    assert(run(PreCollapse.Assume) === naive)
     // the 16-member identical cluster (vec 0 + 15 copies) yields all pairs
     assert(naive.count(_._3 == 1.0) >= 120)
   }
@@ -110,7 +110,7 @@ class MinHashSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException] {
       TextOps.minHashLshPairs(df, "doc_id", "text",
         n = 3, numHashes = 64, bands = 32, tau = 0.8,
-        preDedupExact = false, // identical docs all collide -> hot buckets
+        preDedupExact = PreCollapse.Off, // identical docs all collide -> hot buckets
         maxBucketSize = Some(10L)).collect()
     }
     assert(e.getMessage.contains("maxBucketSize"))
@@ -120,7 +120,7 @@ class MinHashSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = corpus()
     val out = TextOps.minHashLshPairs(df, "doc_id", "text",
       n = 3, numHashes = 64, bands = 32, tau = 0.8,
-      preDedupExact = true, maxBucketSize = Some(10L))
+      preDedupExact = PreCollapse.Assume, maxBucketSize = Some(10L))
     assert(out.count() > 0)
   }
 }

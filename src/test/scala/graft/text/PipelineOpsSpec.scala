@@ -59,6 +59,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "keep two")))          // boiler dropped, order preserved
   }
 
+  test("dedupParagraphText emits empty string for an all-repeats doc") {
+    val df = docs(1L -> "boiler\n\nplate", 2L -> "plate\n\nboiler")
+    val out = PipelineOps.dedupParagraphText(df, "doc_id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "boiler\n\nplate"), (2L, "")))
+  }
+
+  test("dedupParagraphText: no exchange carries exploded paragraph text") {
+    val df = docs(1L -> "a\n\nb", 2L -> "b\n\nc")
+    val plan = PipelineOps.dedupParagraphText(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // keep-decision shuffles move (ph, id, idx) and (id, idx[]) only; the
+    // sole text-bearing exchange is the final id-join moving each doc's
+    // text intact, once
+    plan.split("\n")
+      .filter(l => l.contains("Exchange") || l.contains("Aggregate"))
+      .foreach(l => assert(!l.contains("para#"),
+        s"exploded paragraph text in a wide operator:\n$l"))
+  }
+
   // -------------------------------------------------------- decontamination
 
   test("decontaminate counts distinct benchmark n-gram hits, zero for clean docs") {
