@@ -174,6 +174,7 @@ object SparkEntry {
         "laea_e" -> Ellipsoidal.LaeaE(45, -100, g),
         "merc_e" -> Ellipsoidal.MercE.atTs(30, -90, g),
         "polar_e" -> Ellipsoidal.PolarStereE(60, -100, g),
+        "sinu_e" -> Ellipsoidal.SinuE(-100, g),
         "stere_e" -> Ellipsoidal.StereE(40, -97, g))
       val pts = s.read.parquet(s"$dir/customer.parquet")
         .where(col("c_custkey") <= 30)
@@ -661,7 +662,19 @@ object SparkEntry {
       fam("stere_e", s"$aA*cos($x)*sin($dl)",
         s"$aA*(cos($x0)*sin($x) - sin($x0)*cos($x)*cos($dl))")
     }
-    val unions = Seq(aea, laea, merc, polar, stere).mkString("\nUNION ALL ")
+    val sinu = {
+      // meridian arc M(φ) — the same Snyder 3-21 truncation as
+      // Ellipsoidal.meridianArc, so both sides agree to ulps
+      val arc =
+        s"""($a*((1.0 - $e2/4 - 3*$e2*$e2/64 - 5*$e2*$e2*$e2/256)*$phi
+           | - (3*$e2/8 + 3*$e2*$e2/32 + 45*$e2*$e2*$e2/1024)*sin(2*$phi)
+           | + (15*$e2*$e2/256 + 45*$e2*$e2*$e2/1024)*sin(4*$phi)
+           | - (35*$e2*$e2*$e2/3072)*sin(6*$phi)))""".stripMargin.replace("\n", "")
+      fam("sinu_e",
+        s"$a*(radians(lon) - radians(-100))*cos($phi)/sqrt(1.0 - $e2*sin($phi)*sin($phi))",
+        arc)
+    }
+    val unions = Seq(aea, laea, merc, polar, sinu, stere).mkString("\nUNION ALL ")
     s"""WITH pts AS (
        |  SELECT c_custkey AS k,
        |    -120.0 + ((c_custkey * 7919) % 6000) / 100.0 AS lon,

@@ -187,13 +187,7 @@ object Ellipsoidal {
     def inverse(x: Double, y: Double): (Double, Double) = {
       val mM = m0 + (y - y0) / k0
       val e2 = ell.e2
-      val mu = mM / (ell.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
-      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
-      val e12 = e1 * e1; val e13 = e12 * e1; val e14 = e12 * e12
-      val phi1 = mu + (3 * e1 / 2 - 27 * e13 / 32) * math.sin(2 * mu) +
-        (21 * e12 / 16 - 55 * e14 / 32) * math.sin(4 * mu) +
-        (151 * e13 / 96) * math.sin(6 * mu) +
-        (1097 * e14 / 512) * math.sin(8 * mu)
+      val phi1 = footpointLat(mM, ell)
       val sin1 = math.sin(phi1); val cos1 = math.cos(phi1); val tan1 = math.tan(phi1)
       val c1 = ep2 * cos1 * cos1
       val t1 = tan1 * tan1
@@ -214,6 +208,57 @@ object Ellipsoidal {
 
   def utmZoneE(zone: Int, ell: Ellipsoid): TmercE =
     TmercE(-183.0 + 6.0 * zone, ell)
+
+  /** Sinusoidal, ellipsoidal (Snyder eq. 30-8/30-9 forward, 30-10..30-21
+    * inverse): x = a·Δλ·cosφ/√(1−e²sin²φ), y = M(φ); the inverse recovers
+    * φ from the meridian distance via the footpoint series. Equal-area
+    * like its spherical twin (property-tested in EllipsoidalSpec). */
+  final case class SinuE(lon0: Double, ell: Ellipsoid,
+                         x0: Double = 0.0, y0: Double = 0.0) extends Proj {
+    private val l0 = math.toRadians(lon0)
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val sinP = math.sin(phi)
+      val x = ell.a * (math.toRadians(lon) - l0) * math.cos(phi) /
+        math.sqrt(1.0 - ell.e2 * sinP * sinP) + x0
+      (x, meridianArc(phi, ell) + y0)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = footpointLat(y - y0, ell)
+      val sinP = math.sin(phi)
+      val lam = l0 + (x - x0) * math.sqrt(1.0 - ell.e2 * sinP * sinP) /
+        (ell.a * math.cos(phi))
+      (Proj.normLon(math.toDegrees(lam)), math.toDegrees(phi))
+    }
+    val name = "sinu_e"
+  }
+
+  /** φ from meridian distance M — the rectifying-latitude (footpoint)
+    * series, Snyder eq. 7-19 with 3-26, polished with Newton steps on
+    * M(φ) − mM (dM/dφ = a(1−e²)/(1−e²sin²φ)^{3/2}, the meridian radius)
+    * so the inverse is self-consistent with meridianArc to machine
+    * precision rather than series truncation. Shared by the TM and
+    * sinusoidal inverses. */
+  def footpointLat(mM: Double, ell: Ellipsoid): Double = {
+    val e2 = ell.e2
+    val mu = mM / (ell.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+    val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    val e12 = e1 * e1; val e13 = e12 * e1; val e14 = e12 * e12
+    var phi = mu + (3 * e1 / 2 - 27 * e13 / 32) * math.sin(2 * mu) +
+      (21 * e12 / 16 - 55 * e14 / 32) * math.sin(4 * mu) +
+      (151 * e13 / 96) * math.sin(6 * mu) +
+      (1097 * e14 / 512) * math.sin(8 * mu)
+    var it = 0
+    while (it < 3) {
+      val s = math.sin(phi)
+      val w = 1.0 - e2 * s * s
+      val dM = ell.a * (1.0 - e2) / (w * math.sqrt(w))
+      val d = (meridianArc(phi, ell) - mM) / dM
+      phi -= d
+      it = if (math.abs(d) < 1e-14) 3 else it + 1
+    }
+    phi
+  }
 
   // ------------------------------------------------- shared Snyder helpers
 

@@ -292,8 +292,7 @@ object Proj {
                    if (c.gamma == 0.0) 1.0 else c.gamma, c.xcent, c.ycent, c.alpha)
       case 9  => Ellipsoidal.LaeaE(c.alpha, c.beta, ell, c.gamma, c.xcent)
       case 10 => Ellipsoidal.AeaE(c.alpha, c.beta, c.ycent, c.xcent, ell)
-      case 11 => throw new IllegalArgumentException(
-        "sinusoidal has no ellipsoidal form here — use the sphere (the I/O API default)")
+      case 11 => Ellipsoidal.SinuE(c.alpha, ell, c.beta, c.gamma)
       case t  => throw new IllegalArgumentException(s"GRIDDESC ctype $t not supported (1-11)")
     }
 

@@ -201,6 +201,44 @@ class EllipsoidalSpec extends AnyFunSuite {
     }
   }
 
+  test("SinuE: roundtrip, sphere limit, and the equal-area property") {
+    for (ell <- Seq(Ellipsoid.GRS80, Ellipsoid.Clarke1866))
+      roundTrip(Ellipsoidal.SinuE(-100, ell),
+        -150 to -50 by 10, -70 to 70 by 10, 1e-9)
+    // sphere limit: a=b matches the spherical closed form (Snyder 30-1/30-2)
+    val s = Ellipsoid.Sphere
+    for (lon <- Seq(-110.0, -97.0, -80.0); lat <- Seq(-30.0, 10.0, 47.0)) {
+      val (xe, ye) = Ellipsoidal.SinuE(-100, s).forward(lon, lat)
+      val (xs, ys) = Proj.Sinu(-100).forward(lon, lat)
+      assert(math.abs(xe - xs) < 1e-4 && math.abs(ye - ys) < 1e-4,
+        s"sinu sphere limit ($lon,$lat): ($xe,$ye) vs ($xs,$ys)")
+    }
+    // equal-area: projected quad area equals the ellipsoidal zone area
+    // a²·Δλ·(q2−q1)/2 (Snyder 3-12) — same gate as AEA/LAEA
+    val ell = Ellipsoid.GRS80
+    val p = Ellipsoidal.SinuE(-100, ell)
+    val (lon0, lon1, lat0, lat1) = (-98.0, -97.0, 37.0, 38.0)
+    val nSeg = 200
+    val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (i <- 0 until nSeg) pts += ((lon0 + (lon1 - lon0) * i / nSeg, lat0))
+    for (i <- 0 until nSeg) pts += ((lon1, lat0 + (lat1 - lat0) * i / nSeg))
+    for (i <- 0 until nSeg) pts += ((lon1 - (lon1 - lon0) * i / nSeg, lat1))
+    for (i <- 0 until nSeg) pts += ((lon0, lat1 - (lat1 - lat0) * i / nSeg))
+    val proj = pts.map { case (lo, la) => p.forward(lo, la) }
+    var area = 0.0
+    for (i <- proj.indices) {
+      val (x1, y1) = proj(i)
+      val (x2, y2) = proj((i + 1) % proj.length)
+      area += x1 * y2 - x2 * y1
+    }
+    area = math.abs(area) / 2
+    val want = ell.a * ell.a * math.toRadians(lon1 - lon0) *
+      (Ellipsoidal.qFun(math.toRadians(lat1), ell) -
+       Ellipsoidal.qFun(math.toRadians(lat0), ell)) / 2
+    assert(math.abs(area / want - 1.0) < 1e-6,
+      s"sinu_e: projected $area vs ellipsoidal $want")
+  }
+
   test("StereE and MercE are conformal on the ellipsoid") {
     val ell = Ellipsoid.GRS80
     val d = 1e-7
