@@ -130,6 +130,51 @@ object EntryPipeline {
         .select(col("id").as("doc_id"), col("canon_hash"), col("n_captures"),
           col("kept").cast("int").as("kept"))
         .orderBy("doc_id")
+    }),
+
+    // real-bytes image decode: every doc becomes a genuine BMP container
+    // (24bpp; doc_id%3==0 → ancient BITMAPCOREHEADER, doc_id%5==0 →
+    // top-down negative height) parsed back by the real header walk —
+    // every output fact recomputed by the oracle from the synthesis
+    // formulas, so the parser is checked against the spec, not the writer
+    "q75_bmp_meta" -> ((s, dir) => {
+      import graft.multimodal.{Containers, MultimodalOps}
+      val mkBmp = udf((docId: Long, nChars: Long, text: String) => {
+        val w = (nChars % 64).toInt + 1
+        val h = (docId % 48).toInt + 1
+        val px = new Array[Byte](Containers.Bmp.stride(w, 24) * h)
+        val tb = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+        if (tb.nonEmpty) {
+          var i = 0
+          while (i < px.length) { px(i) = tb(i % tb.length); i += 1 }
+        }
+        if (docId % 3 == 0) Containers.Bmp.writeCore(w, h, px)
+        else Containers.Bmp.write(w, if (docId % 5 == 0) -h else h, px)
+      })
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          mkBmp(col("doc_id"), col("n_chars"), col("text")).as("media"))
+      MultimodalOps.decodeBmpFacts(media, "doc_id", "media").orderBy("id")
+    }),
+
+    // real-bytes audio decode: PCM RIFF/WAVE with junk LIST chunks (odd
+    // lengths → even-padding rule) before "data", parsed by the real
+    // chunk walk; all facts oracle-recomputed from the synthesis formulas
+    "q76_wav_meta" -> ((s, dir) => {
+      import graft.multimodal.{Containers, MultimodalOps}
+      val mkWav = udf((docId: Long, nChars: Long) => {
+        val rate = 8000 + (docId % 5).toInt * 2000
+        val channels = 1 + (nChars % 2).toInt
+        val bits = 8 * (1 + (docId % 2).toInt)
+        val block = channels * bits / 8
+        val nSamples = (nChars % 500).toInt + 1
+        Containers.Wav.write(rate, channels, bits,
+          new Array[Byte](nSamples * block),
+          junkChunks = (docId % 3).toInt, junkLen = (docId % 7).toInt)
+      })
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), mkWav(col("doc_id"), col("n_chars")).as("media"))
+      MultimodalOps.decodeWavFacts(media, "doc_id", "media").orderBy("id")
     })
   )
 
@@ -364,6 +409,55 @@ object EntryPipeline {
         |      FROM documents)
         |SELECT source, count(*) AS n_total,
         |  CAST(sum(CASE WHEN (doc_id * 131 + 7) % 100 < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
-        |FROM r GROUP BY 1 ORDER BY source""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // q75/q76: the oracle recomputes every header fact from the synthesis
+    // formulas — the BMP/WAV bytes themselves are parsed only Spark-side,
+    // so a parser that misreads the spec (stride padding, chunk even-pad,
+    // core-vs-info header offsets) hash-mismatches here
+    "q75_bmp_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    n_chars % 64 + 1 AS w,
+        |    doc_id % 48 + 1 AS h,
+        |    (((n_chars % 64 + 1) * 24 + 31) // 32) * 4 AS st,
+        |    CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 40 END AS hdr,
+        |    CASE WHEN doc_id % 3 = 0 THEN 26 ELSE 54 END AS off,
+        |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0 THEN 1 ELSE 0 END AS td
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(hdr AS BIGINT) AS header_size,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(td AS BIGINT) AS top_down,
+        |  CAST(24 AS BIGINT) AS bpp,
+        |  CAST(st AS BIGINT) AS row_stride,
+        |  CAST(off AS BIGINT) AS data_offset,
+        |  CAST(st * h AS BIGINT) AS pixel_bytes,
+        |  CAST(off + st * h AS BIGINT) AS file_size
+        |FROM f ORDER BY id""".stripMargin,
+
+    "q76_wav_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    8000 + (doc_id % 5) * 2000 AS rate,
+        |    1 + (n_chars % 2) AS ch,
+        |    8 * (1 + (doc_id % 2)) AS bits,
+        |    (n_chars % 500) + 1 AS ns,
+        |    doc_id % 3 AS junks,
+        |    (doc_id % 7) + ((doc_id % 7) % 2) AS junkpad
+        |  FROM documents),
+        |f AS (SELECT *, ch * bits // 8 AS block FROM p)
+        |SELECT doc_id AS id,
+        |  CAST(4 + 24 + junks * (8 + junkpad) + 8 + ns * block AS BIGINT) AS riff_len,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(rate * block AS BIGINT) AS byte_rate,
+        |  CAST(block AS BIGINT) AS block_align,
+        |  CAST(bits AS BIGINT) AS bits,
+        |  CAST(ns * block AS BIGINT) AS data_len,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(ns * 1000000 // rate AS BIGINT) AS duration_us
+        |FROM f ORDER BY id""".stripMargin
   )
 }

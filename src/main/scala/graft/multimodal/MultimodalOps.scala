@@ -20,9 +20,27 @@ object MultimodalOps {
   case class MediaMeta(byteLen: Long, contentHash: String,
                        width: Int, height: Int)
 
+  /** Pluggable decode layer: implementations parse (or fake) the media
+    * bytes; the Spark-side batching/schema plumbing is codec-agnostic. */
+  trait ImageCodec extends Serializable {
+    def imageMeta(bytes: Array[Byte]): MediaMeta
+  }
+
+  /** Real-bytes codec: parses genuine BMP container headers
+    * (Containers.Bmp — magic, DIB header walk, LE field decode) and keeps
+    * the hash/length bookkeeping of the fake twin. */
+  object BmpCodec extends ImageCodec {
+    def imageMeta(bytes: Array[Byte]): MediaMeta = {
+      val m = Containers.Bmp.meta(bytes)
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      MediaMeta(bytes.length.toLong, hash, m.width, m.height)
+    }
+  }
+
   /** STUB decode — replace body with a real codec (e.g. javax.imageio /
     * ffmpeg bindings) in production; signature and batching stay as-is. */
-  object FakeCodec {
+  object FakeCodec extends ImageCodec {
     def imageMeta(bytes: Array[Byte]): MediaMeta = {
       val len = bytes.length.toLong
       val hash = java.security.MessageDigest.getInstance("MD5")
@@ -65,16 +83,71 @@ object MultimodalOps {
   /** Batch decode via mapPartitions: one codec instance per partition, rows
     * streamed — the shape a real (expensive-init) decoder needs. Input:
     * (id: Long, media: binary); output adds the meta struct columns. */
-  def decodeImageMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+  def decodeImageMeta(df: DataFrame, idCol: String, mediaCol: String,
+                      codec: ImageCodec = FakeCodec): DataFrame = {
     val outSchema = StructType(
       StructField("id", LongType) +: metaSchema.fields.toIndexedSeq)
     val enc = Encoders.row(outSchema)
     df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
       .mapPartitions { rows =>
-        // per-partition codec init happens here (stubbed)
+        // per-partition codec init happens here
         rows.map { r =>
-          val m = FakeCodec.imageMeta(r.getAs[Array[Byte]]("media"))
+          val m = codec.imageMeta(r.getAs[Array[Byte]]("media"))
           Row(r.getLong(0), m.byteLen, m.contentHash, m.width, m.height)
+        }
+      }(enc)
+  }
+
+  /** Full BMP header facts via the real container parser
+    * (Containers.Bmp.meta) — same mapPartitions batch shape as
+    * decodeImageMeta, every output column an integer fact a SQL oracle can
+    * recompute from the fixture synthesis formulas. */
+  def decodeBmpFacts(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("header_size", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("top_down", LongType, nullable = false),
+      StructField("bpp", LongType, nullable = false),
+      StructField("row_stride", LongType, nullable = false),
+      StructField("data_offset", LongType, nullable = false),
+      StructField("pixel_bytes", LongType, nullable = false),
+      StructField("file_size", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val m = Containers.Bmp.meta(r.getAs[Array[Byte]]("media"))
+          Row(r.getLong(0), m.headerSize, m.width.toLong, m.height.toLong,
+            if (m.topDown) 1L else 0L, m.bpp.toLong, m.rowStride.toLong,
+            m.dataOffset, m.pixelBytes, m.fileSize)
+        }
+      }(enc)
+  }
+
+  /** Full RIFF/WAVE facts via the real chunk-walking parser
+    * (Containers.Wav.meta). */
+  def decodeWavFacts(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("riff_len", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("byte_rate", LongType, nullable = false),
+      StructField("block_align", LongType, nullable = false),
+      StructField("bits", LongType, nullable = false),
+      StructField("data_len", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_us", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val m = Containers.Wav.meta(r.getAs[Array[Byte]]("media"))
+          Row(r.getLong(0), m.riffLen, m.channels.toLong, m.sampleRate,
+            m.byteRate, m.blockAlign.toLong, m.bitsPerSample.toLong,
+            m.dataLen, m.nSamples, m.durationUs)
         }
       }(enc)
   }
