@@ -254,6 +254,24 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  /** Per-query recall of an approximate top-k against the brute-force
+    * baseline: (qid, n_exact, n_hit). Both inputs are tiny top-k frames
+    * (|Q|·k rows) — a left-semi join over (qid, cid) counts hits; queries
+    * the approximate pass missed entirely surface with n_hit = 0. This is
+    * the quality gate a production ANN job publishes next to its index
+    * build (recall@k vs exact on a probe sample). */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("qid").cast("long").as("qid"), col("cid"))
+    val nEx = ex.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    val nHit = ex
+      .join(approx.select(col("qid").cast("long").as("qid"), col("cid")),
+        Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    nEx.join(nHit, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
   /** The query's nprobe nearest pseudo-centroids (same centroid derivation
     * as ivfAssignUdf). */
   private def ivfProbes(v: Array[Float], nlist: Int, nprobe: Int): Array[Int] = {
