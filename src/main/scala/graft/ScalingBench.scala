@@ -2,15 +2,24 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.fixtures.{Pages, TpchGeo}
+import graft.fixtures.{Pages, TextFixtures, TpchGeo}
 import graft.operators.Surrogate
+import graft.text.PipelineOps
 
-/** Scaling-efficiency evidence for the north rule: the SAME flagship page
-  * pipeline (scan → geotag → cell-encode → spatial join → surrogate ratio)
-  * on the SAME input at two parallelism levels — local[8] vs local[32] is
-  * this sandbox's stand-in for N vs 4N executors (no real cluster here).
+/** Scaling-efficiency evidence for the north rule: the SAME job on the
+  * SAME input at two parallelism levels — local[4] vs local[16] is this
+  * sandbox's stand-in for N vs 4N executors (no real cluster here).
   *
-  * Reported per level: wall seconds (median of `iters` after a warmup) and
+  * Two scenarios (SPARK_GRAFT_SCENARIO):
+  *   - `srg` (default): the flagship page pipeline — scan → geotag →
+  *     cell-encode → spatial join → surrogate ratio.
+  *   - `clean`: the corpus-cleaning layer — scan → composite C4-style
+  *     clean pass (lang-ID, quality, repetition, exact dedup,
+  *     decontamination) with first-fail audit, i.e. q63 at fixture scale.
+  *     Heavier per page than `srg` (expression stack + one md5 exchange),
+  *     so its default fixture is smaller for comparable wall time.
+  *
+  * Reported per level: wall seconds (best of `iters` after a warmup) and
   * pages/sec; efficiency = (throughput_4N / throughput_N) / 4.
   *
   * Run: sbt "runMain graft.ScalingBench" — writes one JSON line to stdout
@@ -20,7 +29,11 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "2000").toInt
+    val scenario = sys.env.getOrElse("SPARK_GRAFT_SCENARIO", "srg")
+    require(scenario == "srg" || scenario == "clean",
+      s"unknown SPARK_GRAFT_SCENARIO '$scenario' (srg | clean)")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS",
+      if (scenario == "clean") "400" else "2000").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val tableDir = sys.env.getOrElse("SPARK_GRAFT_PAGES_DIR",
       s"/tmp/graft_bench_pages_r$replicas")
@@ -54,15 +67,15 @@ object ScalingBench {
         .appName(s"scaling-$p").getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try {
-        val pagesIn = spark.read.parquet(tableDir).count().toDouble // warmup
-        job(spark, tableDir).count()                                // warmup
+        val pagesIn = spark.read.parquet(tableDir).count().toDouble  // warmup
+        job(scenario, spark, tableDir, sfDir).count()                // warmup
         val times = (1 to iters).map { _ =>
           // the surrogate operator persists its sparse per-cell matrix; a
           // repeat run would hit the cache and measure nothing — clear it so
           // every timed run recomputes the full pipeline
           spark.sharedState.cacheManager.clearCache()
           val t0 = System.nanoTime()
-          job(spark, tableDir).count()
+          job(scenario, spark, tableDir, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
         val best = times.min // steady-state throughput, standard for scaling
@@ -70,20 +83,31 @@ object ScalingBench {
       } finally spark.stop()
     }
 
-    val Seq((p1, t1, thr1, n), (p2, t2, thr2, _)) = results
+    require(results.length == 2,
+      s"SPARK_GRAFT_LEVELS must name exactly two levels (N,4N), got $levels")
+    val (p1, t1, thr1, n) = results(0)
+    val (p2, t2, thr2, _) = results(1)
     val eff = (thr2 / thr1) / (p2.toDouble / p1)
     val json =
       s"""{"metric":"scaling_efficiency","value":${f"$eff%.4f"},"unit":"ratio",""" +
-      s""""pages":$n,"levels":{"local[$p1]":{"sec":$t1,"pages_per_sec":${thr1.round}},""" +
+      s""""scenario":"$scenario","pages":$n,""" +
+      s""""levels":{"local[$p1]":{"sec":$t1,"pages_per_sec":${thr1.round}},""" +
       s""""local[$p2]":{"sec":$t2,"pages_per_sec":${thr2.round}}},"sf":"$sfDir"}"""
     println(json)
 
+    val jobDesc =
+      if (scenario == "clean")
+        """Corpus-cleaning layer (parquet scan → composite C4-style clean
+          |pass: lang-ID, quality, repetition, exact dedup, decontamination
+          |— q63 shape)""".stripMargin.replace("\n", " ")
+      else
+        """Flagship page pipeline (parquet scan → geotag → spatial join →
+          |surrogate ratio)""".stripMargin.replace("\n", " ")
     val md =
       s"""
-         |## Scaling run (${java.time.Instant.now()})
+         |## Scaling run — $scenario (${java.time.Instant.now()})
          |
-         |Flagship page pipeline (parquet scan → geotag → spatial join →
-         |surrogate ratio) over a materialized ${n.toLong}-page table
+         |$jobDesc over a materialized ${n.toLong}-page table
          |(documents × $replicas from `$sfDir`, 128 parquet files), best of
          |$iters runs after warmup; identical input at both levels.
          |
@@ -100,13 +124,29 @@ object ScalingBench {
     java.nio.file.Files.write(p, (prev + md).getBytes("UTF-8"))
   }
 
-  /** The measured job: parquet scan → geotag → spatial join → surrogate
-    * ratio. The county side broadcasts (dimension table); the only wide
-    * exchanges are the two keyed aggregations — the 100 TB plan shape. */
-  private def job(spark: SparkSession, tableDir: String): DataFrame =
-    Surrogate.pointSurrogate(
-      Pages.geotag(spark.read.parquet(tableDir)),
-      TpchGeo.counties(spark),
-      TpchGeo.grid, TpchGeo.domain, TpchGeo.zres, srgCode = 300,
-      ordered = false) // a parquet sink needs no global sort
+  /** The measured jobs. `srg`: parquet scan → geotag → spatial join →
+    * surrogate ratio — the county side broadcasts (dimension table); the
+    * only wide exchanges are the two keyed aggregations. `clean`: the
+    * composite clean pass — narrow expression stack over the text column,
+    * one (md5, id) dedup exchange, broadcast decontamination; ends in a
+    * 6-row audit aggregate, so count() forces the whole pipeline. Both are
+    * the 100 TB plan shapes of their layers. */
+  private def job(scenario: String, spark: SparkSession, tableDir: String,
+                  sfDir: String): DataFrame = scenario match {
+    case "clean" =>
+      PipelineOps.cleanCorpusAudit(
+        spark.read.parquet(tableDir)
+          .select(regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("pid"),
+            col("text")),
+        "pid", "text",
+        TextFixtures.benchmarkNgrams(spark, sfDir),
+        TextFixtures.langProfiles, TextFixtures.qualityStopwords,
+        keepLang = "en", minQuality = 0.48, maxDupFrac = 0.06, n = 8)
+    case _ =>
+      Surrogate.pointSurrogate(
+        Pages.geotag(spark.read.parquet(tableDir)),
+        TpchGeo.counties(spark),
+        TpchGeo.grid, TpchGeo.domain, TpchGeo.zres, srgCode = 300,
+        ordered = false) // a parquet sink needs no global sort
+  }
 }
