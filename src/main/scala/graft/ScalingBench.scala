@@ -43,6 +43,9 @@ object ScalingBench {
     // the host, not the engine — see BENCH.md for both numbers.
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "4,16")
       .split(",").map(_.trim.toInt).toSeq
+    // fail in milliseconds, not after tens of minutes of benchmarking
+    require(levels.length == 2,
+      s"SPARK_GRAFT_LEVELS must name exactly two levels (N,4N), got $levels")
 
     // one-time: materialize the page table as a many-file parquet layout so
     // the measured job starts from a scan (the 100 TB shape) and its
@@ -83,8 +86,6 @@ object ScalingBench {
       } finally spark.stop()
     }
 
-    require(results.length == 2,
-      s"SPARK_GRAFT_LEVELS must name exactly two levels (N,4N), got $levels")
     val (p1, t1, thr1, n) = results(0)
     val (p2, t2, thr2, _) = results(1)
     val eff = (thr2 / thr1) / (p2.toDouble / p1)

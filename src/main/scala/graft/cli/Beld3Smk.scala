@@ -93,7 +93,7 @@ object Beld3Smk {
     // non-intersecting tiles never build a frame at all. The merged result
     // is localCheckpoint'ed (the Knn/components discipline) because both
     // the .ncf write and the QA pass consume it.
-    val merged: Map[String, (Seq[Ioapi.VarDef], Int, DataFrame)] =
+    val merged: Map[String, MergedKind] =
       Kinds.flatMap { kind =>
         val perTile = files.collect { case (k, _, path) if k == kind =>
           val f = graft.sources.NetCDF.read(path)
@@ -102,7 +102,7 @@ object Beld3Smk {
           else {
             val (_, nrec, df) = Ioapi.readParsed(spark, f, dropZeros = true)
             val scale = (hdr.grid.xcell * hdr.grid.ycell) / outCellArea
-            Some((hdr.vars, nrec,
+            Some((hdr, nrec,
               Allocate.gridToPoly(df, hdr.grid, cells, "out_id", "value",
                   Seq("var", "tstep"))
                 .withColumn("value", col("alloc") * scale)
@@ -111,16 +111,23 @@ object Beld3Smk {
         }.flatten
         if (perTile.isEmpty) None
         else {
-          val varDefs = perTile.map(_._1.map(v => (v.name, v.vtype)))
+          val varDefs = perTile.map(_._1.vars.map(v => (v.name, v.vtype)))
           require(varDefs.distinct.size == 1,
             s"${kind}-file tiles disagree on the variable list")
+          // the merged time structure is the widest tile's (BELD3 tiles are
+          // time-independent nrec=1, but BELD4/nonstandard tiles carry
+          // TSTEP>1 — preserve the records instead of rejecting them); the
+          // source header's timing carries through to the output so
+          // multi-record files keep their real date-time axis
+          val timings = perTile.map(h => (h._1.sdate, h._1.stime, h._1.tstep))
+          require(timings.distinct.size == 1,
+            s"${kind}-file tiles disagree on SDATE/STIME/TSTEP: ${timings.distinct.mkString(", ")}")
           val all = perTile.map(_._3).reduce(_ unionByName _)
             .groupBy("out_id", "var", "tstep").agg(sum("value").as("value"))
             .localCheckpoint(true)
-          // the merged time structure is the widest tile's (BELD3 tiles are
-          // time-independent nrec=1, but BELD4/nonstandard tiles carry
-          // TSTEP>1 — preserve the records instead of rejecting them)
-          Some(kind -> (perTile.head._1, perTile.map(_._2).max, all))
+          val h0 = perTile.head._1
+          Some(kind -> MergedKind(h0.vars, perTile.map(_._2).max,
+            h0.sdate, h0.stime, h0.tstep, all))
         }
       }.toMap
 
@@ -130,33 +137,50 @@ object Beld3Smk {
       .withColumn("layer", lit(1))
       .select("var", "tstep", "layer", "row", "col", "value")
 
-    val outputs = merged.map { case (kind, (vars, nrec, df)) =>
+    val outputs = merged.map { case (kind, m) =>
       val path = s"${prefix}_$kind.ncf"
       val c = entry.coord
-      val h = Ioapi.headerFor(outGrid, vars, gdtyp = c.ctype,
+      val h = Ioapi.headerFor(outGrid, m.vars, gdtyp = c.ctype,
         pAlp = c.alpha, pBet = c.beta, pGam = c.gamma,
-        xcent = c.xcent, ycent = c.ycent)
-      Ioapi.write(toLong(df), h, path, numRecs = nrec)
+        xcent = c.xcent, ycent = c.ycent,
+        sdate = m.sdate, stime = m.stime, tstep = m.tstep)
+      Ioapi.write(toLong(m.df), h, path, numRecs = m.nrec)
       kind -> path
     }
 
     // 100% landuse QA over the merged a+b variables via the shared
     // Beld.qa100 check, fed the FULL domain cell list so uncovered cells
-    // flag at total = 0 (beld3smk.c:496-509)
+    // flag at total = 0 (beld3smk.c:496-509). The check is PER RECORD —
+    // a multi-record (BELD4-style) merge must total 100 at every tstep,
+    // and a cell absent from some tstep fails at 0; the reported row is
+    // the cell's most-deviant record.
     val qaTol = cfg.getOrElse("QA_TOLERANCE", "0.01").toDouble
     val qa = (merged.get("a"), merged.get("b")) match {
-      case (Some((_, _, a)), Some((_, _, b))) =>
+      case (Some(ma), Some(mb)) =>
         def toColRow(df: DataFrame) = df
           .withColumn("col", graft.spark.GeoFunctions.cellIdCol(col("out_id"), outGrid))
           .withColumn("row", graft.spark.GeoFunctions.cellIdRow(col("out_id"), outGrid))
-        val totals = toColRow(
-            a.unionByName(b).groupBy("out_id").agg(sum("value").as("total")))
-          .select("col", "row", "total")
-        graft.operators.Beld.qa100(totals, qaTol,
-            domainCells = Some(toColRow(cells.select("out_id"))))
-          .select("col", "row", "total")
+        val nrecQa = math.max(ma.nrec, mb.nrec)
+        val perRec = ma.df.unionByName(mb.df)
+          .groupBy("out_id", "tstep").agg(sum("value").as("total"))
+        val domain = cells.select("out_id")
+          .crossJoin(broadcast(spark.range(nrecQa).toDF("tstep")))
+        val failing = domain
+          .join(perRec, Seq("out_id", "tstep"), "left_outer")
+          .withColumn("total", coalesce(col("total"), lit(0.0)))
+          .where(abs(col("total") - 100.0) > qaTol)
+        val worstPerCell = failing
+          .groupBy("out_id")
+          .agg(max_by(col("total"), abs(col("total") - 100.0)).as("total"))
+        toColRow(worstPerCell).select("col", "row", "total")
       case _ => spark.emptyDataFrame
     }
     Result(outputs, qa)
   }
+
+  /** One merged output kind: consistent variable list and source-header
+    * timing across tiles, widest record count, and the summed frame. */
+  private final case class MergedKind(vars: Seq[Ioapi.VarDef], nrec: Int,
+                                      sdate: Int, stime: Int, tstep: Int,
+                                      df: DataFrame)
 }

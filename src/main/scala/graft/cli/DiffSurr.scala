@@ -46,7 +46,10 @@ object DiffSurr {
         s"Usage: $progName srgt_file1 srgt_category1 srgt_file2 srgt_category2 tolerance",
         1)
     val Array(sfile1, c1, sfile2, c2, tolS) = args
-    val scat1 = c1.toInt; val scat2 = c2.toInt; val eps = tolS.toFloat
+    // atoi/atof semantics (diffsurr.c:257-260): junk parses as 0, so a
+    // non-numeric category falls through to the empty-category error path
+    // instead of crashing with a stack trace
+    val scat1 = atoi(c1); val scat2 = atoi(c2); val eps = atof(tolS)
     mesg("Tolerance = %f".formatLocal(java.util.Locale.US, eps))
 
     val a = readSrgtFile(sfile1, scat1, mesg, warn)
@@ -65,6 +68,18 @@ object DiffSurr {
         s"The surrogate values differ for categories $scat1 and $scat2", 4)
     mesg("The surrogate comparison was successful!")
     Outcome(0, out.toSeq, err.toSeq)
+  }
+
+  /** C `atoi`: parse an optional-signed leading integer prefix, 0 on junk. */
+  private[cli] def atoi(s: String): Int = {
+    val m = "^\\s*([+-]?\\d+)".r.findFirstMatchIn(s)
+    m.map(_.group(1).toInt).getOrElse(0)
+  }
+
+  /** C `atof`: leading floating-point prefix, 0.0 on junk. */
+  private[cli] def atof(s: String): Float = {
+    val m = "^\\s*([+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?)".r.findFirstMatchIn(s)
+    m.map(_.group(1).toFloat).getOrElse(0f)
   }
 
   /** ReadSrgtFile (diffsurr.c:353-461): skip the one header line, drop
@@ -119,7 +134,9 @@ object DiffSurr {
     * sorted arrays; a key mismatch first tries to resynchronize by
     * skipping entries whose fraction is ≤ eps, then stops the comparison;
     * fraction differences beyond eps are counted. Returns true when the
-    * files agree. */
+    * files agree. Like the C, the walk ends at the SHORTER file's end —
+    * trailing entries present in only one file are not compared (the C
+    * loop is `while (i < na && j < nb)` with no leftover check). */
   private[cli] def compareSurrogates(a: Array[Srg], b: Array[Srg], eps: Float,
                                      mesg: String => Unit,
                                      warn: String => Unit): Boolean = {

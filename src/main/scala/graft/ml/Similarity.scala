@@ -299,7 +299,8 @@ object Similarity {
     * re-join for verification afterwards (same shape as minHashLshPairs;
     * at 10^9 × 768-dim the id-only exchange is GBs instead of TBs).
     *
-    * Skew hardening (`preDedupExact`, default true): EXACT-duplicate
+    * Skew hardening (`preDedupExact`, default PreCollapse.Probe;
+    * Assume skips the probe, Off disables): EXACT-duplicate
     * vectors (re-crawled pages embed identically) collide in every LSH
     * table, making the bucket self-join quadratic in the duplicate count.
     * Identical embeddings collapse to their min-id representative — ONE

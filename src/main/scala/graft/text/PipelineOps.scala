@@ -71,13 +71,20 @@ object PipelineOps {
     val keptIdx = paragraphDedup(df, idCol, textCol, sepRegex)
       .groupBy("id")
       .agg(array_sort(collect_list(when(col("keep"), col("idx")))).as("__kept"))
+    // one-pass UDF, not filter(split(...), array_contains(__kept, i)):
+    // the HOF form is O(P²) per doc (a full __kept scan per paragraph) and
+    // Catalyst's project collapsing re-inlines the shared split() into the
+    // lambda (the measured q62/q63 pathology); __kept is sorted, so a
+    // single split + index walk is O(P) and still doc-local
+    val rebuild = udf((text: String, kept: Seq[Int]) =>
+      if (text == null) null
+      else {
+        val paras = text.split(sepRegex, -1)
+        kept.iterator.map(paras(_)).mkString(sep)
+      })
     df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(keptIdx, Seq("id"))
-      .select(col("id"),
-        array_join(
-          filter(split(col("__text"), sepRegex),
-            (_, i) => array_contains(col("__kept"), i)),
-          sep).as("text"))
+      .select(col("id"), rebuild(col("__text"), col("__kept")).as("text"))
   }
 
   // -------------------------------------------------------- decontamination

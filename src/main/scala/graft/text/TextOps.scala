@@ -386,7 +386,9 @@ object TextOps {
     *
     * Skew hardening for web scale:
     *
-    *   - `preDedupExact` (default true): EXACT duplicates are the dominant
+    *   - `preDedupExact` (default PreCollapse.Probe — a cheap hash probe
+    *     decides; Assume skips the probe for crawl-scale inputs where
+    *     duplicates are certain, Off disables): EXACT duplicates are the dominant
     *     LSH hot-bucket cause at crawl scale (boilerplate pages repeated
     *     10^5-10^6×, identical signatures → every band collides → the
     *     self-join goes quadratic in the duplicate count). Identical texts
@@ -405,8 +407,8 @@ object TextOps {
     *
     * NOTE: the adaptive probe and the bucket guard are DRIVER ACTIONS at
     * call time — this operator (like all pair-join dedup) is batch-only;
-    * pass preDedupExact = false, maxBucketSize = None for a pure lazy
-    * plan-builder. */
+    * pass preDedupExact = PreCollapse.Off, maxBucketSize = None for a
+    * pure lazy plan-builder (Assume also stays lazy — only Probe acts). */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, tau: Double = 0.8,

@@ -710,6 +710,57 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qa == Map((2, 2) -> 101.0))
   }
 
+  test("Beld3Smk multi-record tiles: per-record QA, source timing preserved") {
+    import graft.sources.{Ioapi, NetCDF}
+    import spark.implicits._
+    val dir = tmp("cli-beldsmk2")
+    Files.write(java.nio.file.Paths.get(s"$dir/GRIDDESC.txt"),
+      """'LAM'
+        |2, 33, 45, -97, -97, 40
+        |' '
+        |'TESTB'
+        |'LAM', 0, 0, 1000, 1000, 2, 2, 1
+        |' '""".stripMargin.getBytes("UTF-8"))
+    val left  = graft.grid.GridSpec("T1", 0, 0, 500, 500, 2, 4)
+    val right = graft.grid.GridSpec("T2", 1000, 0, 500, 500, 2, 4)
+    // two records per tile; non-default source timing must carry through
+    def hdrFor(g: graft.grid.GridSpec, vn: String) = Ioapi.headerFor(g,
+      Seq(Ioapi.VarDef(vn, vtype = NetCDF.NC_DOUBLE)),
+      sdate = 2011123, stime = 10000, tstep = 20000)
+    def rows(vn: String, v: (Int, Int, Int) => Double) = (for {
+      t <- 0 to 1; r <- 1 to 4; c <- 1 to 2
+    } yield (vn, t, 1, r, c, v(t, c, r))).toDF("var", "tstep", "layer", "row", "col", "value")
+    // tstep 0 totals 100 everywhere; tstep 1 totals 101 in out cell (2,2)
+    // (right tile rows ≥ 3 carry 56 instead of 55) — per-record QA must
+    // flag exactly that cell, not drown the domain in cross-record sums
+    Ioapi.write(rows("v_a", (t, _, _) => if (t == 0) 60.0 else 55.0),
+      hdrFor(left, "v_a"), s"$dir/b3_a.tile1.nzero.ncf", numRecs = 2)
+    Ioapi.write(rows("v_a", (t, _, r) =>
+        if (t == 0) 60.0 else if (r >= 3) 56.0 else 55.0),
+      hdrFor(right, "v_a"), s"$dir/b3_a.tile2.nzero.ncf", numRecs = 2)
+    Ioapi.write(rows("v_b", (t, _, _) => if (t == 0) 40.0 else 45.0),
+      hdrFor(left, "v_b"), s"$dir/b3_b.tile1.nzero.ncf", numRecs = 2)
+    Ioapi.write(rows("v_b", (t, _, _) => if (t == 0) 40.0 else 45.0),
+      hdrFor(right, "v_b"), s"$dir/b3_b.tile2.nzero.ncf", numRecs = 2)
+
+    val r = Beld3Smk.run(spark, Map(
+      "OUTPUT_GRID_NAME" -> "TESTB",
+      "GRIDDESC" -> s"$dir/GRIDDESC.txt",
+      "INPUT_DATA_DIR" -> dir,
+      "OUTPUT_FILE_PREFIX" -> s"$dir/out"))
+
+    // both records survive the merge with the SOURCE header's time axis
+    val (ha, backA) = Ioapi.read(spark, s"$dir/out_a.ncf", dropZeros = true)
+    assert((ha.sdate, ha.stime, ha.tstep) == ((2011123, 10000, 20000)))
+    val byRec = backA.collect().groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    assert(byRec.keySet == Set(0, 1) && byRec.values.forall(_ == 4))
+
+    // per-record QA: only the one deviating (cell, record) surfaces
+    val qa = r.qa.collect().map(x =>
+      (x.getAs[Int]("col"), x.getAs[Int]("row")) -> x.getAs[Double]("total")).toMap
+    assert(qa == Map((2, 2) -> 101.0))
+  }
+
   test("SURROGATE mode writes srg2ncf output; shapefile front door works") {
     import graft.sources.{Ioapi, Shapefile}
     val dir = tmp("cli-ncfout")

@@ -87,4 +87,19 @@ class DiffSurrSpec extends AnyFunSuite {
   test("usage error: wrong arg count exits 1") {
     assert(DiffSurr.run(Array("onlyone"), "diffsurr").exitCode === 1)
   }
+
+  test("non-numeric args follow atoi/atof semantics, not a stack trace") {
+    val a = srgFile("100\t37001\t1\t1\t0.5")
+    // category 'abc' → atoi 0 → no entries for category 0 → exit 1
+    val o = run(a, a, cat1 = "abc")
+    assert(o.exitCode === 1)
+    assert(o.err.exists(_.contains("No surrogate entries for category 0")))
+    // junk tolerance → atof 0.0; equal files still compare clean
+    assert(run(a, a, tol = "junk").exitCode === 0)
+    // leading numeric prefix parses like C atoi ("100x" → 100)
+    assert(run(a, a, cat1 = "100x", cat2 = "100").exitCode === 0)
+    assert(DiffSurr.atoi("  -42abc") === -42)
+    assert(DiffSurr.atof("2.5e-3xyz") === 0.0025f)
+    assert(DiffSurr.atof(".5") === 0.5f)
+  }
 }
