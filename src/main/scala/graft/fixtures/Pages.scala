@@ -68,6 +68,42 @@ object Pages {
         col("lang"))
   }
 
+  /** Pages with REALISTIC markup — head/title, script + style elements,
+    * comments inside and outside the body, attributes, and entity-escaped
+    * body text around an injected entity-rich segment. The `text` column
+    * holds the enriched plain text; `html` holds its marked-up bytes, so
+    * `Html.extractText(html) == text` byte-for-byte — the checkable form
+    * of the north star's byte-identity invariant (q77). */
+  def htmlPages(spark: SparkSession, dir: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" x<y & \"q\" 'z'")).as("text"))
+      .select(col("doc_id"), col("text"),
+        encode(concat(
+          lit("<html lang=\"en\"><!-- id:"), idStr, lit(" --><head><title>Doc "),
+          idStr, lit(" &amp; friends</title><script type=\"text/javascript\">var id="),
+          idStr, lit(";</script><style>p { color: #333; }</style></head><body class=\"doc\"><p>"),
+          graft.text.Html.escapeEntities(col("text")),
+          lit("</p><!-- footer:"), idStr, lit(" --><script>track("), idStr,
+          lit(");</script></body></html>")), "UTF-8").as("html"))
+  }
+
+  /** DuckDB twin of htmlPages() (html as VARCHAR — md5 hashes the same
+    * UTF-8 bytes either way). */
+  val htmlPagesSql: String = {
+    val enriched = "text || ' x<y & \"q\" ' || chr(39) || 'z' || chr(39)"
+    val esc = graft.text.Html.escapeEntitiesSql("text")
+    s"""SELECT doc_id, text,
+       |  '<html lang="en"><!-- id:' || doc_id || ' --><head><title>Doc ' ||
+       |  doc_id || ' &amp; friends</title><script type="text/javascript">var id=' ||
+       |  doc_id || ';</script><style>p { color: #333; }</style></head><body class="doc"><p>' ||
+       |  $esc ||
+       |  '</p><!-- footer:' || doc_id || ' --><script>track(' || doc_id ||
+       |  ');</script></body></html>' AS html
+       |FROM (SELECT doc_id, $enriched AS text FROM documents) e""".stripMargin
+  }
+
   /** Batched geotag stage: parse the page id out of the url (metadata), map
     * to planar (x, y) on the integer lattice. Pure column arithmetic —
     * whole-stage codegen, no UDF. Coordinates on a 500-lattice line (county /
