@@ -23,6 +23,31 @@ object EntryRound4 {
           md5(x).as("x_md5"),
           (md5(x) === md5(col("text"))).cast("int").as("roundtrip_ok"))
         .orderBy("doc_id")
+    }),
+
+    // decontamination via a Bloom-sketch prefilter + exact verify join —
+    // the eval-set-too-big-to-broadcast regime; output contract-equal to
+    // q59 (the oracle is literally the same SQL)
+    "q78_decontam_bloom" -> ((s, dir) =>
+      PipelineOps.decontaminateBloom(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          TextFixtures.benchmarkNgrams(s, dir), n = 8, fpp = 0.001)
+        .select(col("id").as("doc_id"), col("n_hits"),
+          col("contaminated").cast("int").as("contaminated"))
+        .orderBy("doc_id")),
+
+    // CCNet-style perplexity bucketing: unigram LM (add-one) trained on the
+    // even-id half, every doc scored in integer micro-nats, head/middle/
+    // tail tertiles — exact integer sums make the oracle bit-exact
+    "q79_ngram_lm" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val (lm, oov) = graft.text.NgramLm.trainUnigram(
+        docs.where(col("doc_id") % 2 === 0), "text")
+      graft.text.NgramLm.bucketNtile(
+          graft.text.NgramLm.score(docs, "doc_id", "text", lm, oov))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("sum_unll"),
+          col("avg_unll"), col("ppl_bucket").cast("int").as("ppl_bucket"))
+        .orderBy("doc_id")
     })
   )
 
@@ -35,6 +60,37 @@ object EntryRound4 {
          |  CAST(CASE WHEN md5($x) = md5(text) THEN 1 ELSE 0 END AS INT)
          |    AS roundtrip_ok
          |FROM p ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // identical to q59's oracle: the Bloom path must be indistinguishable
+    "q78_decontam_bloom" ->
+      s"""WITH b AS (SELECT DISTINCT ngram AS g FROM (${TextFixtures.benchmarkNgramsSql}) bb),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)]) AS g
+         |       FROM w),
+         |h AS (SELECT doc_id, count(*) AS c FROM sh JOIN b USING (g) GROUP BY 1)
+         |SELECT doc_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+         |  CAST(CASE WHEN coalesce(h.c, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+         |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q79_ngram_lm" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |             FROM documents WHERE doc_id % 2 = 0),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |nv AS (SELECT (SELECT count(*) FROM tok) + (SELECT count(*) FROM cnt) AS denom),
+        |lm AS (SELECT w, CAST(round(-ln((c + 1.0) / denom) * 1e6, 0) AS BIGINT) AS unll
+        |       FROM cnt, nv),
+        |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sc AS (SELECT doc_id, coalesce(lm.unll,
+        |         (SELECT CAST(round(-ln(1.0 / denom) * 1e6, 0) AS BIGINT) FROM nv)) AS unll
+        |       FROM dtok LEFT JOIN lm USING (w)),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(unll) AS BIGINT) AS sum_unll
+        |        FROM sc GROUP BY 1),
+        |fin AS (SELECT doc_id, n_tokens, sum_unll,
+        |          CAST(sum_unll // n_tokens AS BIGINT) AS avg_unll FROM agg)
+        |SELECT doc_id, n_tokens, sum_unll, avg_unll,
+        |  CAST(ntile(3) OVER (ORDER BY avg_unll, doc_id) AS INT) AS ppl_bucket
+        |FROM fin ORDER BY doc_id""".stripMargin
   )
 }

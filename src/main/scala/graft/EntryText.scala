@@ -56,15 +56,35 @@ object EntryText {
           preDedupExact = graft.text.PreCollapse.Assume)
         .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup pairs. Rows-only in the driver because the simhash
-    // bit-vote fingerprint is not expressible in DuckDB SQL; completeness
-    // (tables = maxHamming+1 ⇒ pigeonhole recall) is instead proven by a
-    // brute-force hamming-join parity test (SimhashParitySpec).
-    "q16_simhash" -> ((s, dir) =>
-      TextOps.simhashPairs(TextFixtures.nearDupCorpus(s, dir, " graftmark"),
-          "doc_id", "text", n = 3, maxHamming = 8, tables = 9,
+    // SimHash near-dup pairs, emitted as their parity gate: the bit-vote
+    // fingerprint is not DuckDB-expressible, so (q37/q38 discipline) the
+    // query computes BOTH the LSH pair set and the brute-force all-pairs
+    // hamming join (native bit_count(xor) over a broadcast nested loop —
+    // exact ground truth) and certifies per doc that the two partner sets
+    // are identical; the oracle pins the gate, which pigeonhole
+    // (tables = maxHamming + 1) guarantees. SimhashParitySpec remains the
+    // unit-level gate on the same property.
+    "q16_simhash" -> ((s, dir) => {
+      val corpus = TextFixtures.nearDupCorpus(s, dir, " graftmark")
+      val lsh = TextOps.simhashPairs(corpus, "doc_id", "text",
+          n = 3, maxHamming = 8, tables = 9,
           preDedupExact = graft.text.PreCollapse.Assume)
-        .orderBy("id_a", "id_b")),
+        .select("id_a", "id_b", "hamming")
+      val sh = corpus.select(col("doc_id").as("id"),
+        TextOps.simhashUdf(3)(col("text")).as("sh"))
+      val brute = sh.as("a").crossJoin(broadcast(sh.as("b")))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
+        .where(col("hamming") <= 8)
+      val badIds = lsh.exceptAll(brute).union(brute.exceptAll(lsh))
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct().withColumn("__bad", lit(1))
+      corpus.select(col("doc_id")).join(badIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("__bad").isNull.cast("int").as("simhash_eq_brute"))
+        .orderBy("doc_id")
+    }),
 
     // brute-force cosine top-k (baseline ANN)
     "q17_ann_cosine" -> ((s, dir) => {
@@ -235,7 +255,12 @@ object EntryText {
     "q15_minhash_dedup" ->
       jaccardPairsSql(TextFixtures.nearDupCorpusSql(" graftmark"), 0.8),
 
-    // q16_simhash: intentionally no oracle (rows-only check)
+    // q16 pins the parity gate (the query computes LSH and brute-force
+    // hamming partner sets in-engine; equality is guaranteed by pigeonhole)
+    "q16_simhash" ->
+      s"""SELECT doc_id, CAST(1 AS INT) AS simhash_eq_brute
+         |FROM (${TextFixtures.nearDupCorpusSql(" graftmark")}) c
+         |ORDER BY doc_id""".stripMargin,
 
     "q17_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -114,6 +114,45 @@ object PipelineOps {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Bloom-prefiltered decontamination — EXACT output (same contract as
+    * `decontaminate`), built for the regime where the benchmark n-gram set
+    * is too large to broadcast as an exact in-memory set but its Bloom
+    * sketch (~1.2 bytes/item·ln(1/fpp)/ln²2) still fits every executor:
+    *
+    *   1. one pass over the benchmark builds a Bloom filter of its distinct
+    *      n-grams (`DataFrameStatFunctions.bloomFilter` — a distributed
+    *      aggregate, no driver-side set);
+    *   2. the corpus filters its shingles through the broadcast sketch
+    *      MAP-SIDE — docs with zero candidate grams (the overwhelming
+    *      majority at crawl scale) never emit a single join row;
+    *   3. surviving (id, gram) candidates — true hits plus an fpp-bounded
+    *      trickle of false positives — verify EXACTLY against the benchmark
+    *      in a shuffle join whose left side is already tiny.
+    *
+    * Bloom filters have no false negatives, and step 3 kills the false
+    * positives, so the output equals `decontaminate`'s for ANY fpp
+    * (DecontaminateBloomSpec asserts parity at fpp = 0.5). */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, n: Int,
+                         fpp: Double = 0.001): DataFrame = {
+    val bench = benchmark.select(col("ngram").as("g")).distinct()
+      .transform(graft.spark.PersistTracker.persist) // bloom build + verify join
+    val bf = bench.stat.bloomFilter("g", math.max(bench.count(), 1L), fpp)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val candGrams = udf((shingles: Seq[String]) =>
+      shingles.filter(bfB.value.mightContainString))
+    val grams = docs
+      .select(col(idCol).as("id"),
+        candGrams(TextOps.shingleUdf(n)(col(textCol))).as("__cands"))
+      .where(size(col("__cands")) > 0)
+      .select(col("id"), explode(col("__cands")).as("g"))
+    val hits = grams.join(bench, "g").groupBy("id").agg(count(lit(1)).as("__h"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__h"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Narrow decontamination variant for streams and small benchmark sets:
     * the n-gram set rides the closure as a literal array and the check is
     * one `arrays_overlap` per row — zero shuffle, zero aggregation, so it
