@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.fixtures.{Pages, TextFixtures}
+import graft.table.SnapshotTable
 import graft.text.{Html, PipelineOps, TextOps}
 
 /** Round-4 queries: HTML→text extraction (the byte-identity invariant made
@@ -10,6 +11,28 @@ import graft.text.{Html, PipelineOps, TextOps}
   * decontamination, and n-gram LM perplexity bucketing. Same oracle
   * discipline: integer counts, identical expression chains both sides. */
 object EntryRound4 {
+
+  /** Idempotently build the merge fixture table: v1 = documents
+    * range-partitioned by doc_id (8 files with disjoint manifest bounds),
+    * v2 = copy-on-write MERGE of (every-10th doc updated) ∪ (every-25th
+    * re-inserted under a new id). Returns (table, v1, v2). Reruns (bench
+    * warmup/timed) see version ≥ 2 and skip straight to the reads. */
+  private def mergedSnapshots(s: SparkSession, dir: String): (SnapshotTable, Int, Int) = {
+    val t = new SnapshotTable(SparkEntry.scratch(s, "merge", dir))
+    def docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    if (t.currentVersion.isEmpty)
+      t.commit(docs.repartitionByRange(8, col("doc_id")), "append", "docs")
+    if (t.currentVersion.contains(1)) {
+      val upd = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(lit("UPDATED "), col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("NEW "), col("text")).as("text")))
+      t.merge(s, upd, "doc_id")
+    }
+    (t, 1, 2)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HTML→text extraction over realistic markup: the oracle RE-EXTRACTS
@@ -48,6 +71,29 @@ object EntryRound4 {
         .select(col("id").as("doc_id"), col("n_tokens"), col("sum_unll"),
           col("avg_unll"), col("ppl_bucket").cast("int").as("ppl_bucket"))
         .orderBy("doc_id")
+    }),
+
+    // copy-on-write MERGE (upsert) on the snapshot table: the post-merge
+    // state read through the manifest (a mix of carried-over and rewritten
+    // files) must equal the SQL upsert — and time travel to v1 still works
+    "q80_snapshot_merge" -> ((s, dir) => {
+      val (t, v1, v2) = mergedSnapshots(s, dir)
+      val before = t.readAt(s, v1).agg(count(lit(1))).head().getLong(0)
+      t.readAt(s, v2)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"),
+          lit(before).as("rows_v1"))
+        .orderBy("doc_id")
+    }),
+
+    // change-data-feed between the two snapshots: delete+insert pairs for
+    // updated keys, bare inserts for new keys; carried-over files are
+    // never read (file-identity short circuit), and rewritten-but-equal
+    // rows cancel in the symmetric difference
+    "q81_snapshot_cdf" -> ((s, dir) => {
+      val (t, v1, v2) = mergedSnapshots(s, dir)
+      t.changes(s, v1, v2)
+        .select(col("_op"), col("doc_id"), md5(col("text")).as("text_hash"))
+        .orderBy("doc_id", "_op")
     })
   )
 
@@ -91,6 +137,32 @@ object EntryRound4 {
         |          CAST(sum_unll // n_tokens AS BIGINT) AS avg_unll FROM agg)
         |SELECT doc_id, n_tokens, sum_unll, avg_unll,
         |  CAST(ntile(3) OVER (ORDER BY avg_unll, doc_id) AS INT) AS ppl_bucket
-        |FROM fin ORDER BY doc_id""".stripMargin
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
+    "q80_snapshot_merge" ->
+      """WITH upd AS (
+        |  SELECT doc_id, 'UPDATED ' || text AS text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'NEW ' || text FROM documents WHERE doc_id % 25 = 0),
+        |fin AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        |  UNION ALL SELECT doc_id, text FROM upd)
+        |SELECT doc_id, md5(text) AS text_hash,
+        |  (SELECT count(*) FROM documents) AS rows_v1
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
+    "q81_snapshot_cdf" ->
+      """WITH d AS (
+        |  SELECT 'delete' AS _op, doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |i AS (
+        |  SELECT 'insert' AS _op, doc_id, 'UPDATED ' || text AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 'insert', doc_id + 200000, 'NEW ' || text
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT _op, doc_id, md5(text) AS text_hash
+        |FROM (SELECT * FROM d UNION ALL SELECT * FROM i) u
+        |ORDER BY doc_id, _op""".stripMargin
   )
 }

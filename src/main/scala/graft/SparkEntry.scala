@@ -35,7 +35,7 @@ object SparkEntry {
   /** Process-unique scratch path for the binary-envelope queries:
     * concurrent Verify/Bench runs over the same sfDir must not race on
     * one /tmp file (the applicationId is unique per SparkContext). */
-  private def scratch(s: SparkSession, tag: String, dir: String): String =
+  private[graft] def scratch(s: SparkSession, tag: String, dir: String): String =
     s"/tmp/graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
       s.sparkContext.applicationId
 

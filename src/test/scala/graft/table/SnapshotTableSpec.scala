@@ -68,8 +68,9 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.commit((1 to 30).toDF("n"), "append", "c")
 
     // capture the real (uuid-suffixed) data dirs BEFORE expiry
-    val doomedDirs = Seq(1, 2).map(v =>
-      java.nio.file.Paths.get(t.snapshotAt(v).dataDir(t.root)))
+    val doomedDirs = Seq(1, 2).flatMap(v =>
+      t.snapshotAt(v).files.map(f =>
+        java.nio.file.Paths.get(f.path).getParent).distinct)
     doomedDirs.foreach(d => assert(Files.exists(d)))
 
     val expired = t.expireSnapshots(keepLast = 1)
