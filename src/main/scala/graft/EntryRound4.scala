@@ -12,26 +12,34 @@ import graft.text.{Html, PipelineOps, TextOps}
   * discipline: integer counts, identical expression chains both sides. */
 object EntryRound4 {
 
-  /** Idempotently build the merge fixture table: v1 = documents
-    * range-partitioned by doc_id (8 files with disjoint manifest bounds),
-    * v2 = copy-on-write MERGE of (every-10th doc updated) ∪ (every-25th
-    * re-inserted under a new id). Returns (table, v1, v2). Reruns (bench
-    * warmup/timed) see version ≥ 2 and skip straight to the reads. */
+  /** Build the merge fixture table UNDER A FRESH SUB-ROOT EVERY CALL:
+    * v1 = documents range-partitioned by doc_id (8 files with disjoint
+    * manifest bounds), v2 = copy-on-write MERGE of (docs 0..49 updated —
+    * a band inside the FIRST file's range at every SF, so most files
+    * genuinely carry over by path) ∪ (every-25th doc re-inserted under a
+    * new id, above every file's bound). The fresh root makes each bench
+    * invocation time the SAME work (base write + merge + reads) instead
+    * of a warm cache, and the carry-over assertion makes the driver gate
+    * exercise the copy-on-write mix, not just the spec. */
   private def mergedSnapshots(s: SparkSession, dir: String): (SnapshotTable, Int, Int) = {
-    val t = new SnapshotTable(SparkEntry.scratch(s, "merge", dir))
+    val t = new SnapshotTable(SparkEntry.scratch(s, "merge", dir) + "/" +
+      java.util.UUID.randomUUID().toString.take(8))
     def docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    if (t.currentVersion.isEmpty)
-      t.commit(docs.repartitionByRange(8, col("doc_id")), "append", "docs")
-    if (t.currentVersion.contains(1)) {
-      val upd = docs.where(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), concat(lit("UPDATED "), col("text")).as("text"))
-        .unionByName(docs.where(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(lit("NEW "), col("text")).as("text")))
-      t.merge(s, upd, "doc_id")
-    }
-    (t, 1, 2)
+    val s1 = t.commit(docs.repartitionByRange(8, col("doc_id")), "append", "docs")
+    val upd = docs.where(col("doc_id") < 50)
+      .select(col("doc_id"), concat(lit("UPDATED "), col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(lit("NEW "), col("text")).as("text")))
+    val s2 = t.merge(s, upd, "doc_id")
+    val reused = s2.files.map(_.path).toSet
+      .intersect(s1.files.map(_.path).toSet).size
+    // range boundaries come from sampling, so allow one split band —
+    // but a merge that rewrote everything would void the gate's point
+    require(reused >= 6,
+      s"copy-on-write carry-over degenerated: only $reused of ${s1.files.length} files reused")
+    (t, s1.version, s2.version)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -108,17 +116,9 @@ object EntryRound4 {
          |FROM p ORDER BY doc_id""".stripMargin
     },
 
-    // identical to q59's oracle: the Bloom path must be indistinguishable
-    "q78_decontam_bloom" ->
-      s"""WITH b AS (SELECT DISTINCT ngram AS g FROM (${TextFixtures.benchmarkNgramsSql}) bb),
-         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |         unnest([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)]) AS g
-         |       FROM w),
-         |h AS (SELECT doc_id, count(*) AS c FROM sh JOIN b USING (g) GROUP BY 1)
-         |SELECT doc_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
-         |  CAST(CASE WHEN coalesce(h.c, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
-         |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // LITERALLY q59's oracle (one shared definition): the Bloom path must
+    // be indistinguishable from the broadcast-exact path
+    "q78_decontam_bloom" -> EntryPipeline.oracles("q59_decontaminate"),
 
     "q79_ngram_lm" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
@@ -141,7 +141,7 @@ object EntryRound4 {
 
     "q80_snapshot_merge" ->
       """WITH upd AS (
-        |  SELECT doc_id, 'UPDATED ' || text AS text FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id, 'UPDATED ' || text AS text FROM documents WHERE doc_id < 50
         |  UNION ALL
         |  SELECT doc_id + 200000, 'NEW ' || text FROM documents WHERE doc_id % 25 = 0),
         |fin AS (
@@ -154,10 +154,10 @@ object EntryRound4 {
 
     "q81_snapshot_cdf" ->
       """WITH d AS (
-        |  SELECT 'delete' AS _op, doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |  SELECT 'delete' AS _op, doc_id, text FROM documents WHERE doc_id < 50),
         |i AS (
         |  SELECT 'insert' AS _op, doc_id, 'UPDATED ' || text AS text
-        |  FROM documents WHERE doc_id % 10 = 0
+        |  FROM documents WHERE doc_id < 50
         |  UNION ALL
         |  SELECT 'insert', doc_id + 200000, 'NEW ' || text
         |  FROM documents WHERE doc_id % 25 = 0)

@@ -115,11 +115,14 @@ class SnapshotTable(val root: String) {
     val id = f"d-${java.util.UUID.randomUUID().toString.take(12)}"
     val dataDir = Paths.get(root, "data", id)
     df.write.parquet(dataDir.toString)
-    val files = Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => FileMetrics(p.toString, parquetRowCount(p), Files.size(p),
-        parquetIntStats(p)))
-      .toSeq.sortBy(_.path)
+    val listing = Files.list(dataDir)
+    val files =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => FileMetrics(p.toString, parquetRowCount(p), Files.size(p),
+          parquetIntStats(p)))
+        .toSeq.sortBy(_.path)
+      finally listing.close()
     (id, files)
   }
 
@@ -154,8 +157,12 @@ class SnapshotTable(val root: String) {
         }
       }
     }
+    // CREATE_NEW: a lost commit race fails loudly instead of clobbering a
+    // concurrent writer's manifest (the conditional-put half of the
+    // protocol; the pointer swap below is the atomic-rename half)
     Files.write(metaDir.resolve(s"v$version.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
 
     // atomic pointer swap — readers never observe a half-written state
     val tmp = metaDir.resolve(s"CURRENT.tmp.$id")
@@ -243,7 +250,10 @@ class SnapshotTable(val root: String) {
     import org.apache.spark.sql.functions.{col, countDistinct, count, lit}
     val cur = current.getOrElse(
       throw new IllegalStateException(s"nothing to merge into under $root"))
-    val dup = updates.agg(count(lit(1)).as("n"), countDistinct(col(keyCol)).as("d")).head()
+    val dup = updates.agg(count(lit(1)).as("n"), countDistinct(col(keyCol)).as("d"),
+      count(col(keyCol)).as("nn")).head()
+    require(dup.getLong(0) == dup.getLong(2),
+      s"updates carry ${dup.getLong(0) - dup.getLong(2)} NULL $keyCol key(s) — a NULL key can never match")
     require(dup.getLong(0) == dup.getLong(1),
       s"updates carry duplicate $keyCol values (${dup.getLong(0)} rows, ${dup.getLong(1)} keys) — merge requires one row per key")
 

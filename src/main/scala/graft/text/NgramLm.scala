@@ -35,6 +35,8 @@ object NgramLm {
     val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
       .transform(graft.spark.PersistTracker.persist)
     val firstRow = counts.agg(sum("c").as("n"), count(lit(1)).as("v")).head()
+    require(!firstRow.isNullAt(0) && firstRow.getLong(1) > 0,
+      "training split is empty — the LM needs at least one document")
     val denom = (firstRow.getLong(0) + firstRow.getLong(1)).toDouble
     val lm = counts.select(col("w"),
       round(-log((col("c") + lit(1.0)) / lit(denom)) * lit(1e6), 0)
