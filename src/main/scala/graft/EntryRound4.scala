@@ -102,6 +102,17 @@ object EntryRound4 {
       t.changes(s, v1, v2)
         .select(col("_op"), col("doc_id"), md5(col("text")).as("text_hash"))
         .orderBy("doc_id", "_op")
+    }),
+
+    // REAL decompression through the multimodal decode path: gzip frames
+    // gunzipped by a genuine pure-JVM codec; the oracle recomputes byte
+    // length and md5 from the ORIGINAL text, certifying the decompressed
+    // bytes end to end
+    "q82_gzip_decode" -> ((s, dir) => {
+      import graft.multimodal.MultimodalOps
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), MultimodalOps.gzipUdf(col("text")).as("media"))
+      MultimodalOps.decompressGzipFacts(media, "doc_id", "media").orderBy("id")
     })
   )
 
@@ -163,6 +174,11 @@ object EntryRound4 {
         |  FROM documents WHERE doc_id % 25 = 0)
         |SELECT _op, doc_id, md5(text) AS text_hash
         |FROM (SELECT * FROM d UNION ALL SELECT * FROM i) u
-        |ORDER BY doc_id, _op""".stripMargin
+        |ORDER BY doc_id, _op""".stripMargin,
+
+    "q82_gzip_decode" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS x_md5
+        |FROM documents ORDER BY id""".stripMargin
   )
 }

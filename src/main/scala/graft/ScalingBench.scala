@@ -10,7 +10,7 @@ import graft.text.PipelineOps
   * SAME input at two parallelism levels — local[4] vs local[16] is this
   * sandbox's stand-in for N vs 4N executors (no real cluster here).
   *
-  * Two scenarios (SPARK_GRAFT_SCENARIO):
+  * Three scenarios (SPARK_GRAFT_SCENARIO):
   *   - `srg` (default): the flagship page pipeline — scan → geotag →
   *     cell-encode → spatial join → surrogate ratio.
   *   - `clean`: the corpus-cleaning layer — scan → composite C4-style
@@ -18,6 +18,10 @@ import graft.text.PipelineOps
   *     decontamination) with first-fail audit, i.e. q63 at fixture scale.
   *     Heavier per page than `srg` (expression stack + one md5 exchange),
   *     so its default fixture is smaller for comparable wall time.
+  *   - `extract`: the raw-crawl → text layer — scan of html bytes →
+  *     codegen extraction chain → md5 (q77 shape). Purely narrow (zero
+  *     shuffle): its efficiency is the embarrassingly-parallel ceiling
+  *     the shuffling scenarios are judged against.
   *
   * Reported per level: wall seconds (best of `iters` after a warmup) and
   * pages/sec; efficiency = (throughput_4N / throughput_N) / 4.
@@ -30,8 +34,8 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scenario = sys.env.getOrElse("SPARK_GRAFT_SCENARIO", "srg")
-    require(scenario == "srg" || scenario == "clean",
-      s"unknown SPARK_GRAFT_SCENARIO '$scenario' (srg | clean)")
+    require(Set("srg", "clean", "extract")(scenario),
+      s"unknown SPARK_GRAFT_SCENARIO '$scenario' (srg | clean | extract)")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS",
       if (scenario == "clean") "400" else "2000").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
@@ -96,14 +100,19 @@ object ScalingBench {
       s""""local[$p2]":{"sec":$t2,"pages_per_sec":${thr2.round}}},"sf":"$sfDir"}"""
     println(json)
 
-    val jobDesc =
-      if (scenario == "clean")
+    val jobDesc = scenario match {
+      case "clean" =>
         """Corpus-cleaning layer (parquet scan → composite C4-style clean
           |pass: lang-ID, quality, repetition, exact dedup, decontamination
           |— q63 shape)""".stripMargin.replace("\n", " ")
-      else
+      case "extract" =>
+        """HTML→text extraction layer (parquet scan of raw html bytes →
+          |codegen regexp extraction chain → md5 — q77 shape, purely
+          |narrow)""".stripMargin.replace("\n", " ")
+      case _ =>
         """Flagship page pipeline (parquet scan → geotag → spatial join →
           |surrogate ratio)""".stripMargin.replace("\n", " ")
+    }
     val md =
       s"""
          |## Scaling run — $scenario (${java.time.Instant.now()})
@@ -134,6 +143,14 @@ object ScalingBench {
     * the 100 TB plan shapes of their layers. */
   private def job(scenario: String, spark: SparkSession, tableDir: String,
                   sfDir: String): DataFrame = scenario match {
+    case "extract" =>
+      // the raw-crawl → text layer: decode + extract every page's html
+      // bytes, reduced to one max-of-md5 row so count() forces full
+      // evaluation of the narrow chain on every page (the count()-pruning
+      // bench trap — see Bench's noop-sink note)
+      spark.read.parquet(tableDir).select(col("html"))
+        .select(md5(graft.text.Html.extractText(col("html"))).as("h"))
+        .agg(max(col("h")).as("hmax"))
     case "clean" =>
       PipelineOps.cleanCorpusAudit(
         spark.read.parquet(tableDir)

@@ -182,4 +182,48 @@ object MultimodalOps {
 
   val frameSampleUdf = udf((bytes: Array[Byte], stride: Int) =>
     FakeCodec.sampleFrames(bytes, stride))
+
+  // ------------------------------------------------------- gzip payloads
+
+  /** Fixture side: gzip a string deterministically (java.util.zip writes
+    * MTIME = 0 and no name/comment, so the frame depends only on input). */
+  val gzipUdf = udf((text: String) => {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(text.getBytes("UTF-8")); gz.close()
+    bos.toByteArray
+  })
+
+  /** REAL decompression through the decode path: gunzip a compressed
+    * binary payload column (pure-JVM java.util.zip — a genuine codec, not
+    * a header walk) and emit the byte length + md5 of the DECOMPRESSED
+    * content. The oracle recomputes both from the original text, so the
+    * gate certifies the decompressed bytes end to end. Same mapPartitions
+    * batch shape as the other decoders; the copy buffer is allocated once
+    * per partition, the place heavier codecs put their native contexts.
+    * Truncated or non-gzip payloads fail loudly (ZipException). */
+  def decompressGzipFacts(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("x_md5", StringType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        val buf = new Array[Byte](8192)
+        rows.map { r =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+          val bos = new java.io.ByteArrayOutputStream()
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+          val bytes = bos.toByteArray
+          val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          Row(r.getLong(0), bytes.length.toLong,
+            md5.map(b => f"$b%02x").mkString)
+        }
+      }(enc)
+  }
 }
