@@ -56,6 +56,18 @@ class NgramLmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(1, 1, 2, 2, 2, 3, 3))
   }
 
+  test("score plan: document text never enters an exchange (only tokens and integer scores move)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (lm, oov) = NgramLm.trainUnigram(
+      docs.where(col("doc_id") % 2 === 0), "text")
+    val plan = NgramLm.score(docs, "doc_id", "text", lm, oov)
+      .queryExecution.executedPlan.toString
+    plan.split("\n")
+      .filter(l => l.contains("Exchange"))
+      .foreach(l => assert(!l.contains("text#"),
+        s"document text in a shuffle:\n$l"))
+  }
+
   test("ppl separates clean text from shuffled-vocab noise") {
     import spark.implicits._
     val train = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
