@@ -145,12 +145,16 @@ object ScalingBench {
                   sfDir: String): DataFrame = scenario match {
     case "extract" =>
       // the raw-crawl → text layer: decode + extract every page's html
-      // bytes, reduced to one max-of-md5 row so count() forces full
-      // evaluation of the narrow chain on every page (the count()-pruning
-      // bench trap — see Bench's noop-sink note)
+      // bytes, reduced by a GROUPED aggregate over the md5 prefix.
+      // Grouped, not global: count() over a grouping-LESS aggregate is
+      // constant-folded to its known 1-row cardinality and would time
+      // nothing (measured — the count()-pruning trap in a new costume);
+      // a grouped aggregate's cardinality is data-dependent, so count()
+      // must evaluate the extraction on every page
       spark.read.parquet(tableDir).select(col("html"))
         .select(md5(graft.text.Html.extractText(col("html"))).as("h"))
-        .agg(max(col("h")).as("hmax"))
+        .groupBy(substring(col("h"), 1, 2).as("hp"))
+        .agg(count(lit(1)).as("n"))
     case "clean" =>
       PipelineOps.cleanCorpusAudit(
         spark.read.parquet(tableDir)

