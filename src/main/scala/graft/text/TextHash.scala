@@ -27,21 +27,37 @@ object TextHash {
     h
   }
 
-  /** Distinct hashed word n-gram shingles of a doc (sorted for determinism). */
+  /** Distinct hashed word n-gram shingles of a doc (sorted for
+    * determinism). Hash values are fnv1a over the gram's UTF-8 bytes —
+    * computed over the TEXT's byte spans in place (a space-joined n-gram
+    * of a space-split text is a contiguous substring, so the bytes are
+    * identical) rather than by materializing each gram string: the
+    * string-building form this replaced allocated ~20 KB/doc and was the
+    * dominant allocation of every shingle consumer (MinHash, PPJoin,
+    * SimHash); hash values are UNCHANGED (ShingleSpanSpec). */
   def shingleHashes(text: String, n: Int): Array[Long] = {
-    val ws = text.split(" ", -1) // keep trailing empties: parity with Spark split + DuckDB string_split
-    if (ws.length < n) return Array.emptyLongArray
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val bytes = text.getBytes("UTF-8")
+    var nTok = 1
     var i = 0
-    while (i <= ws.length - n) {
-      val sb = new StringBuilder
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(ws(i + j)); j += 1
-      }
-      set.add(fnv1a(sb.toString))
+    while (i < bytes.length) { if (bytes(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < n) return Array.emptyLongArray
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
       i += 1
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var g = 0
+    while (g <= nTok - n) {
+      val from = starts(g)
+      val until = if (g + n < nTok) starts(g + n) - 1 else bytes.length
+      var h = 0xcbf29ce484222325L
+      i = from
+      while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      set.add(h)
+      g += 1
     }
     val out = new Array[Long](set.size)
     val it = set.iterator(); var k = 0
