@@ -113,6 +113,28 @@ object EntryRound4 {
       val media = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), MultimodalOps.gzipUdf(col("text")).as("media"))
       MultimodalOps.decompressGzipFacts(media, "doc_id", "media").orderBy("id")
+    }),
+
+    // deterministic training-order shuffle: (shard, pos) as a pure function
+    // of (id, seed) — the oracle re-derives the identical md5 key and
+    // hex-nibble shard, so the full layout is checked, not cardinalities
+    "q83_train_shuffle" -> ((s, dir) =>
+      PipelineOps.trainingShuffle(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          numShards = 8, seed = "epoch0")
+        .select(col("id").as("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")),
+
+    // per-domain cap: the 25 largest pages per domain (n_chars DESC,
+    // doc_id tiebreak) through the skew-safe two-phase top-k
+    "q84_domain_cap" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val d = TextFixtures.urlCorpus(s, dir)
+        .select(col("doc_id"), PipelineOps.urlDomain(col("url")).as("domain"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      PipelineOps.capPerDomain(d, "doc_id", "domain", "n_chars", k = 25)
+        .select(col("id").as("doc_id"), col("domain"), col("domain_rank"))
+        .orderBy("domain", "domain_rank")
     })
   )
 
@@ -179,6 +201,34 @@ object EntryRound4 {
     "q82_gzip_decode" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS x_md5
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "q83_train_shuffle" ->
+      """WITH kd AS (SELECT doc_id, md5(doc_id || ':epoch0') AS k FROM documents),
+        |sh AS (SELECT doc_id, k,
+        |  CAST(((instr('0123456789abcdef', substring(k, 1, 1)) - 1) * 256 +
+        |        (instr('0123456789abcdef', substring(k, 2, 1)) - 1) * 16 +
+        |        (instr('0123456789abcdef', substring(k, 3, 1)) - 1)) % 8 AS INT)
+        |    AS shard
+        |  FROM kd)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT)
+        |    AS pos
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q84_domain_cap" -> {
+      val domainSql = """regexp_replace(
+        |  lower(regexp_extract(url, '^[a-zA-Z]+://([^/:]*)', 1)),
+        |  '^www\.', '', 'g')""".stripMargin
+      s"""WITH u AS (${graft.fixtures.TextFixtures.urlCorpusSql}),
+         |d AS (SELECT doc_id, $domainSql AS domain, n_chars
+         |      FROM u JOIN documents USING (doc_id)),
+         |r AS (SELECT doc_id, domain,
+         |        row_number() OVER (PARTITION BY domain
+         |                           ORDER BY n_chars DESC, doc_id) AS domain_rank
+         |      FROM d)
+         |SELECT doc_id, domain, CAST(domain_rank AS INT) AS domain_rank
+         |FROM r WHERE domain_rank <= 25 ORDER BY domain, domain_rank""".stripMargin
+    }
   )
 }

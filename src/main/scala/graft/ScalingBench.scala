@@ -65,6 +65,7 @@ object ScalingBench {
     }
 
     val results = levels.map { p =>
+      val loadStart = hostLoad()
       val spark = SparkSession.builder()
         .master(s"local[$p]")
         .config("spark.sql.shuffle.partitions", p)
@@ -86,18 +87,18 @@ object ScalingBench {
           (System.nanoTime() - t0) / 1e9
         }
         val best = times.min // steady-state throughput, standard for scaling
-        (p, best, pagesIn / best, pagesIn)
+        (p, best, pagesIn / best, pagesIn, s"$loadStart → ${hostLoad()}")
       } finally spark.stop()
     }
 
-    val (p1, t1, thr1, n) = results(0)
-    val (p2, t2, thr2, _) = results(1)
+    val (p1, t1, thr1, n, load1) = results(0)
+    val (p2, t2, thr2, _, load2) = results(1)
     val eff = (thr2 / thr1) / (p2.toDouble / p1)
     val json =
       s"""{"metric":"scaling_efficiency","value":${f"$eff%.4f"},"unit":"ratio",""" +
       s""""scenario":"$scenario","pages":$n,""" +
-      s""""levels":{"local[$p1]":{"sec":$t1,"pages_per_sec":${thr1.round}},""" +
-      s""""local[$p2]":{"sec":$t2,"pages_per_sec":${thr2.round}}},"sf":"$sfDir"}"""
+      s""""levels":{"local[$p1]":{"sec":$t1,"pages_per_sec":${thr1.round},"load":"$load1"},""" +
+      s""""local[$p2]":{"sec":$t2,"pages_per_sec":${thr2.round},"load":"$load2"}},"sf":"$sfDir"}"""
     println(json)
 
     val jobDesc = scenario match {
@@ -121,10 +122,10 @@ object ScalingBench {
          |(documents × $replicas from `$sfDir`, 128 parquet files), best of
          |$iters runs after warmup; identical input at both levels.
          |
-         || parallelism | wall (s) | pages/sec |
-         || --- | --- | --- |
-         || local[$p1] (N) | ${f"$t1%.2f"} | ${thr1.round} |
-         || local[$p2] (4N) | ${f"$t2%.2f"} | ${thr2.round} |
+         || parallelism | wall (s) | pages/sec | loadavg+procs start → end |
+         || --- | --- | --- | --- |
+         || local[$p1] (N) | ${f"$t1%.2f"} | ${thr1.round} | $load1 |
+         || local[$p2] (4N) | ${f"$t2%.2f"} | ${thr2.round} | $load2 |
          |
          |**Scaling efficiency N→4N = ${f"$eff%.3f"}** (target ≥ 0.8).
          |""".stripMargin
@@ -133,6 +134,18 @@ object ScalingBench {
       new String(java.nio.file.Files.readAllBytes(p), "UTF-8") else "# BENCH\n"
     java.nio.file.Files.write(p, (prev + md).getBytes("UTF-8"))
   }
+
+  /** One /proc/loadavg sample — "1m 5m 15m running/total procs" — captured
+    * around each level so a co-tenant storm on this shared host (total
+    * procs jumping from the ~330 baseline toward 800) is visible IN the
+    * run record instead of requiring external load-log forensics. The
+    * benchmark's own threads contribute ≤ level+sbt to the 1-min figure;
+    * the total-proc count is the co-tenant tell. */
+  private def hostLoad(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split(" ").take(4).mkString(" ")
+    catch { case _: Exception => "n/a" }
 
   /** The measured jobs. `srg`: parquet scan → geotag → spatial join →
     * surrogate ratio — the county side broadcasts (dimension table); the

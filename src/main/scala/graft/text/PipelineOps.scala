@@ -261,6 +261,70 @@ object PipelineOps {
     regexp_replace(
       lower(regexp_extract(url, "^[a-zA-Z]+://([^/:]*)", 1)), "^www\\.", "")
 
+  // -------------------------------------------------- training-order shuffle
+
+  /** Deterministic training-order shuffle: give every document a stable
+    * pseudo-random training position — (shard, pos) — as a pure function
+    * of (id, seed). Key = md5(id ":" seed) (engine-independent,
+    * avalanche-uniform); shard = the key's first three hex nibbles mod
+    * `numShards`; pos = the key's rank within its shard.
+    *
+    * Scale: the key is a narrow codegen'd map and the ONLY exchange is the
+    * hash partition on `shard`; the in-shard rank's window partition key
+    * IS the exchange key, so the sort stays partition-local — the plan is
+    * exactly "repartition + sortWithinPartitions + one file per shard",
+    * the 100 TB training-order materialization. Shards balance by key
+    * uniformity (±O(√(n/S))); the layout is repartition-invariant
+    * (spec-asserted), any shard can be re-derived from ids alone (resume),
+    * and a new epoch is a new seed, not a new plan. */
+  def trainingShuffle(df: DataFrame, idCol: String, numShards: Int,
+                      seed: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      md5(concat(col(idCol).cast("string"), lit(":"), lit(seed))).as("k"))
+    // hex-nibble parse via instr over a literal alphabet — the one spelling
+    // of hex→int that Spark SQL and DuckDB share (conv/from_hex don't)
+    val shard = expr(
+      s"""CAST(((instr('0123456789abcdef', substring(k, 1, 1)) - 1) * 256 +
+         |      (instr('0123456789abcdef', substring(k, 2, 1)) - 1) * 16 +
+         |      (instr('0123456789abcdef', substring(k, 3, 1)) - 1)) % $numShards
+         |     AS INT)""".stripMargin)
+    keyed.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("k", "id")))
+      .select(col("id"), col("shard"), col("pos"))
+  }
+
+  // ---------------------------------------------------------- domain cap
+
+  /** Per-domain document cap (crawl-diversity control): keep at most `k`
+    * documents per domain, best-first by (`rankCol` DESC, id ASC), and
+    * return the kept rows with their exact in-domain rank.
+    *
+    * Scale: one window over domains would put every page of a mega-domain
+    * (10⁸ pages of a single host in a crawl) into one task. Phase 1 takes
+    * the top-k per (domain, salt) — id-derived salt, deterministic —
+    * bounding every domain to salts·k rows; phase 2 ranks those survivors
+    * exactly. Correct because each true top-k row is top-k within its own
+    * salt (monotone prune). Both windows' partition keys are their
+    * exchange keys (partition-local sorts), and rows carry only
+    * (id, domain, rank value) — never text. */
+  def capPerDomain(df: DataFrame, idCol: String, domainCol: String,
+                   rankCol: String, k: Int, salts: Int = 16): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(domainCol).as("domain"),
+      col(rankCol).as("__r"))
+    val order = Seq(col("__r").desc, col("id").asc)
+    val pruned = base
+      .withColumn("__salt", pmod(col("id"), lit(salts)))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("domain", "__salt").orderBy(order: _*)))
+      .where(col("__pr") <= k)
+    pruned
+      .withColumn("domain_rank", row_number().over(
+        Window.partitionBy("domain").orderBy(order: _*)))
+      .where(col("domain_rank") <= k)
+      .select(col("id"), col("domain"), col("domain_rank"))
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   /** RE2-compatible PII patterns (no lookarounds — identical semantics in

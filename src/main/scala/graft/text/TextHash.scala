@@ -205,24 +205,37 @@ object TextHash {
 
   // --------------------------------------------------- span n-gram hashes
 
-  /** Second independent 64-bit FNV-1a stream (different offset basis /
-    * prime pair, per the public FNV alternate parameters) — paired with
-    * `fnv1a` it gives an effective 128-bit gram identity, whose collision
-    * probability at web scale (~1e13 grams vs 1e6 benchmark grams) is
-    * ~1e-19 — the md5-exact-dedup argument (TextOps.exactDedupGroups). */
-  private final val Fnv2Basis = 0x6c62272e07bb0142L
-  private final val Fnv2Prime = 0x00000100000001b3L
-
-  private def fnv1aRange(bytes: Array[Byte], from: Int, until: Int,
-                         basis: Long, prime: Long): Long = {
-    var h = basis
+  private def fnv1aRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
     var i = from
     while (i < until) {
       h ^= (bytes(i) & 0xffL)
-      h *= prime
+      h *= 0x100000001b3L
       i += 1
     }
     h
+  }
+
+  /** Second 64-bit stream for the 128-bit gram identity: a Murmur3-style
+    * rotate-multiply recurrence (k·C₁ rotl31 ⊕, rotl27·5+C₂ per byte,
+    * length folded into the finalizer) — STRUCTURALLY unrelated to
+    * FNV-1a's xor-then-multiply, so a pair of grams colliding in one
+    * stream has no correlated mechanism to collide in the other. Paired
+    * with `fnv1a` this gives an effective-128-bit identity whose
+    * collision probability at web scale (~1e13 grams vs 1e6 benchmark
+    * grams) is ~1e-19 — the md5-exact-dedup argument
+    * (TextOps.exactDedupGroups). */
+  private def murmurRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0x87c37b91114253d5L
+    var i = from
+    while (i < until) {
+      var k = (bytes(i) & 0xffL) * 0xff51afd7ed558ccdL
+      k = java.lang.Long.rotateLeft(k, 31)
+      h ^= k
+      h = java.lang.Long.rotateLeft(h, 27) * 5L + 0x52dce729L
+      i += 1
+    }
+    mix64(h ^ (until - from).toLong)
   }
 
   /** Distinct 128-bit hashes of every word n-gram of `text`, computed over
@@ -256,8 +269,8 @@ object TextHash {
     while (g <= nTok - n) {
       val from = starts(g)
       val until = if (g + n < nTok) starts(g + n) - 1 else bytes.length
-      val h1 = fnv1aRange(bytes, from, until, 0xcbf29ce484222325L, 0x100000001b3L)
-      val h2 = fnv1aRange(bytes, from, until, Fnv2Basis, Fnv2Prime)
+      val h1 = fnv1aRange(bytes, from, until)
+      val h2 = murmurRange(bytes, from, until)
       // distinctness keyed on a 64-bit mix of the pair: a set-key
       // collision (≈2⁻⁶⁴ per within-doc gram pair) would drop one
       // distinct gram from one doc — the same negligible-and-bounded
@@ -272,7 +285,6 @@ object TextHash {
     * `spanNgramHashes` (hashes the same bytes a doc-side span hashes). */
   def ngramHashPair(gram: String): Array[Long] = {
     val b = gram.getBytes("UTF-8")
-    Array(fnv1aRange(b, 0, b.length, 0xcbf29ce484222325L, 0x100000001b3L),
-          fnv1aRange(b, 0, b.length, Fnv2Basis, Fnv2Prime))
+    Array(fnv1aRange(b, 0, b.length), murmurRange(b, 0, b.length))
   }
 }

@@ -389,6 +389,82 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ----------------------------------------------- training-order shuffle
+
+  test("trainingShuffle: permutation layout, repartition-invariant, seed-sensitive") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = PipelineOps.trainingShuffle(df, "doc_id", numShards = 8, seed = "e0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every id appears exactly once
+    assert(out.map(_._1).sorted.toSeq === (0L until 500L))
+    // per shard, pos is a dense 1..n permutation
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length),
+        s"shard $sh pos not dense")
+    }
+    // shards balance within ±O(√(n/S)) of 500/8
+    val sizes = out.groupBy(_._2).values.map(_.length)
+    assert(sizes.size === 8 && sizes.forall(n => n > 30 && n < 95), sizes)
+    // layout is a pure function of (id, seed): repartitioning cannot move it
+    val again = PipelineOps.trainingShuffle(df.repartition(7), "doc_id",
+        numShards = 8, seed = "e0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // a new epoch (seed) is a genuinely different order
+    val e1 = PipelineOps.trainingShuffle(df, "doc_id", numShards = 8, seed = "e1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e1.sortBy(_._1).toSeq !== out.sortBy(_._1).toSeq)
+  }
+
+  test("trainingShuffle plan: one exchange, keyed on shard (sort stays local)") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 50L).map(i => (i, "t")).toDF("doc_id", "text")
+    val plan = PipelineOps.trainingShuffle(df, "doc_id", 4, "e0")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.length === 1 && exchanges.head.contains("shard#"), plan)
+  }
+
+  // ------------------------------------------------------------ domain cap
+
+  test("capPerDomain matches the single-window reference on skewed random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42L)
+    // zipf-ish: domain 0 holds ~half the rows (the mega-domain), plus ties
+    val rows = (0L until 400L).map { id =>
+      val dom = if (rnd.nextBoolean()) "mega.com" else s"d${rnd.nextInt(12)}.org"
+      (id, dom, rnd.nextInt(20).toLong) // small range forces rank ties
+    }
+    val df = rows.toDF("doc_id", "domain", "n_chars")
+    val got = PipelineOps.capPerDomain(df, "doc_id", "domain", "n_chars",
+        k = 5, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val want = rows.groupBy(_._2).flatMap { case (dom, rs) =>
+      rs.sortBy(r => (-r._3, r._1)).take(5).zipWithIndex
+        .map { case (r, i) => (r._1, dom, i + 1) }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("capPerDomain is salt-count-invariant (including salts=1 single window)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    val df = (0L until 200L).map(id => (id, s"d${rnd.nextInt(5)}", rnd.nextInt(9).toLong))
+      .toDF("doc_id", "domain", "n_chars")
+    val ref = PipelineOps.capPerDomain(df, "doc_id", "domain", "n_chars", 7, salts = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    Seq(2, 16, 64).foreach { salts =>
+      val got = PipelineOps.capPerDomain(df, "doc_id", "domain", "n_chars", 7, salts)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got === ref, s"salts=$salts diverged")
+    }
+  }
+
   test("spanDedup shuffles hashes and ids only — never document text") {
     val df = docs(1L -> "a b c d", 2L -> "a b c d")
     val plan = PipelineOps.spanDedup(df, "doc_id", "text", k = 2)
