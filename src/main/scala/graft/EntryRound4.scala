@@ -135,6 +135,20 @@ object EntryRound4 {
       PipelineOps.capPerDomain(d, "doc_id", "domain", "n_chars", k = 25)
         .select(col("id").as("doc_id"), col("domain"), col("domain_rank"))
         .orderBy("domain", "domain_rank")
+    }),
+
+    // WARC ingest: real ISO-28500 archive chunks (warcinfo + request +
+    // response records; odd files as per-record gzip members) parsed back
+    // to one row per response — URI, epoch, HTTP facts, and the body md5
+    // certify the walk inverts the synthesis byte-for-byte
+    "q85_warc_extract" -> ((s, dir) => {
+      import graft.sources.Warc
+      Warc.responses(Pages.warcFiles(s, dir), "warc")
+        .select(regexp_extract(col("uri"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("uri"), col("warc_epoch"), col("http_status"), col("content_type"),
+          length(col("body")).cast("long").as("n_bytes"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -229,6 +243,18 @@ object EntryRound4 {
          |      FROM d)
          |SELECT doc_id, domain, CAST(domain_rank AS INT) AS domain_rank
          |FROM r WHERE domain_rank <= 25 ORDER BY domain, domain_rank""".stripMargin
-    }
+    },
+
+    "q85_warc_extract" ->
+      """SELECT doc_id,
+        |  'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org/doc/'
+        |    || CAST(doc_id AS VARCHAR) AS uri,
+        |  1600000000 + doc_id * 137 AS warc_epoch,
+        |  200 AS http_status,
+        |  'text/html; charset=UTF-8' AS content_type,
+        |  CAST(octet_length(encode('<html><body>' || text || '</body></html>'))
+        |    AS BIGINT) AS n_bytes,
+        |  md5('<html><body>' || text || '</body></html>') AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

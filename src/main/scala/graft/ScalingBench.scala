@@ -77,6 +77,7 @@ object ScalingBench {
       try {
         val pagesIn = spark.read.parquet(tableDir).count().toDouble  // warmup
         job(scenario, spark, tableDir, sfDir).count()                // warmup
+        val gc0 = gcMillis(); val w0 = System.nanoTime()
         val times = (1 to iters).map { _ =>
           // the surrogate operator persists its sparse per-cell matrix; a
           // repeat run would hit the cache and measure nothing — clear it so
@@ -87,7 +88,12 @@ object ScalingBench {
           (System.nanoTime() - t0) / 1e9
         }
         val best = times.min // steady-state throughput, standard for scaling
-        (p, best, pagesIn / best, pagesIn, s"$loadStart → ${hostLoad()}")
+        // GC share of the timed window: string-heavy layers at high thread
+        // counts in a fixed-size heap lose scaling to collection pauses —
+        // this column distinguishes that limiter from co-tenant load
+        val gcFrac = (gcMillis() - gc0) / 1e3 / ((System.nanoTime() - w0) / 1e9)
+        (p, best, pagesIn / best, pagesIn,
+          f"$loadStart → ${hostLoad()} · gc ${gcFrac * 100}%.0f%%")
       } finally spark.stop()
     }
 
@@ -122,7 +128,7 @@ object ScalingBench {
          |(documents × $replicas from `$sfDir`, 128 parquet files), best of
          |$iters runs after warmup; identical input at both levels.
          |
-         || parallelism | wall (s) | pages/sec | loadavg+procs start → end |
+         || parallelism | wall (s) | pages/sec | loadavg+procs start → end · gc share |
          || --- | --- | --- | --- |
          || local[$p1] (N) | ${f"$t1%.2f"} | ${thr1.round} | $load1 |
          || local[$p2] (4N) | ${f"$t2%.2f"} | ${thr2.round} | $load2 |
@@ -146,6 +152,13 @@ object ScalingBench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       .trim.split(" ").take(4).mkString(" ")
     catch { case _: Exception => "n/a" }
+
+  /** Cumulative stop-the-world collection time across all collectors. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+  }
 
   /** The measured jobs. `srg`: parquet scan → geotag → spatial join →
     * surrogate ratio — the county side broadcasts (dimension table); the

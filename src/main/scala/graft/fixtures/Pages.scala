@@ -104,6 +104,34 @@ object Pages {
        |FROM (SELECT doc_id, $enriched AS text FROM documents) e""".stripMargin
   }
 
+  /** WARC archive chunks, 10 documents per file: each file opens with a
+    * warcinfo record, then a request + response pair per page (ascending
+    * doc_id) — response URI/epoch/body are exactly the pages() derivations,
+    * so parsing must invert this synthesis byte-for-byte. Odd-numbered
+    * files are written as per-record gzip members (the `.warc.gz`
+    * convention), even ones plain, so the reader's both paths carry real
+    * traffic. The groupBy here is fixture-only; the measured ingest
+    * operator (Warc.responses) is a narrow flatMap. */
+  def warcFiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val build = udf((fileId: Long, ids: Seq[Long], texts: Seq[String]) => {
+      val recs = Warc.warcinfoRecord(s"crawl-$fileId.warc", 1600000000L) +:
+        ids.zip(texts).flatMap { case (id, t) =>
+          val uri = s"https://host${id % 97}.example.org/doc/$id"
+          val ep = 1600000000L + id * 137L
+          Seq(Warc.requestRecord(uri, ep),
+              Warc.responseRecord(uri, ep,
+                s"<html><body>$t</body></html>".getBytes("UTF-8")))
+        }
+      Warc.writeFile(recs, gzipPerRecord = fileId % 2 == 1)
+    })
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(expr("doc_id div 10").as("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("arr"))
+      .select(col("file_id"),
+        build(col("file_id"), col("arr.doc_id"), col("arr.text")).as("warc"))
+  }
+
   /** Batched geotag stage: parse the page id out of the url (metadata), map
     * to planar (x, y) on the integer lattice. Pure column arithmetic —
     * whole-stage codegen, no UDF. Coordinates on a 500-lattice line (county /
