@@ -149,7 +149,24 @@ object EntryRound4 {
           length(col("body")).cast("long").as("n_bytes"),
           md5(col("body")).as("body_md5"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // pretrained linear quality filter (fastText shape): hashed token
+    // features, integer weights, exact integer score sums — the oracle
+    // recomputes the weight of every token from the same closed form
+    "q86_quality_model" -> ((s, dir) =>
+      PipelineOps.linearQualityScore(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("score"), col("keep"))
+        .orderBy("doc_id")),
+
+    // domain link graph from real markup: anchors regexp-extracted, edges
+    // aggregated per (src, dst) domain — the oracle predicts every edge
+    // from the fixture's closed-form targets without parsing html
+    "q87_link_graph" -> ((s, dir) =>
+      PipelineOps.domainLinkGraph(Pages.linkPages(s, dir),
+          "doc_id", "url", "html")
+        .orderBy("src_domain", "dst_domain"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -255,6 +272,35 @@ object EntryRound4 {
         |  CAST(octet_length(encode('<html><body>' || text || '</body></html>'))
         |    AS BIGINT) AS n_bytes,
         |  md5('<html><body>' || text || '</body></html>') AS body_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q86_quality_model" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |wt AS (SELECT doc_id,
+        |  ((instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 256 +
+        |   (instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1) * 16 +
+        |   (instr('0123456789abcdef', substring(md5(w), 3, 1)) - 1)) % 2001 - 1000
+        |    AS wv
+        |  FROM tok),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
+        |          CAST(sum(wv) AS BIGINT) AS score FROM wt GROUP BY 1)
+        |SELECT doc_id, n_tokens, score, CAST(score > 0 AS INT) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q87_link_graph" ->
+      """WITH n AS (SELECT count(*) AS nn FROM documents),
+        |e AS (SELECT doc_id,
+        |        'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+        |          AS src_domain,
+        |        unnest([(doc_id * 31 + 7919) % nn, (doc_id * 31 + 15838) % nn,
+        |                (doc_id * 31 + 23757) % nn]) AS t
+        |      FROM documents, n),
+        |d AS (SELECT doc_id, src_domain,
+        |        'host' || CAST(t % 97 AS VARCHAR) || '.example.org' AS dst_domain
+        |      FROM e)
+        |SELECT src_domain, dst_domain, count(*) AS n_links,
+        |  count(DISTINCT doc_id) AS n_pages
+        |FROM d GROUP BY 1, 2 ORDER BY src_domain, dst_domain""".stripMargin
   )
 }

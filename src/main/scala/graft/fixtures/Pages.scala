@@ -132,6 +132,25 @@ object Pages {
         build(col("file_id"), col("arr.doc_id"), col("arr.text")).as("warc"))
   }
 
+  /** Pages whose markup carries three outbound anchors each, targets a
+    * closed-form function of the page id modulo the corpus size — so the
+    * link-graph oracle predicts every edge WITHOUT parsing html, and the
+    * Spark side must recover exactly those edges from real markup. */
+  def linkPages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    def tgt(k: Int) = (col("doc_id") * 31 + lit(k * 7919L)) % n
+    def anchor(k: Int) = concat(
+      lit("<a href=\"https://host"), (tgt(k) % 97).cast("string"),
+      lit(".example.org/doc/"), tgt(k).cast("string"),
+      lit(s"""\">link$k</a>"""))
+    docs.select(col("doc_id"),
+      concat(lit("https://host"), (col("doc_id") % 97).cast("string"),
+             lit(".example.org/doc/"), col("doc_id").cast("string")).as("url"),
+      concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+             anchor(1), anchor(2), anchor(3), lit("</body></html>")).as("html"))
+  }
+
   /** Batched geotag stage: parse the page id out of the url (metadata), map
     * to planar (x, y) on the integer lattice. Pure column arithmetic —
     * whole-stage codegen, no UDF. Coordinates on a 500-lattice line (county /

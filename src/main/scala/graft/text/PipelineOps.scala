@@ -325,6 +325,54 @@ object PipelineOps {
       .select(col("id"), col("domain"), col("domain_rank"))
   }
 
+  // ------------------------------------------------- linear quality model
+
+  /** Apply a pretrained fastText-style linear quality classifier: each
+    * token hashes into a feature id whose integer weight comes from the
+    * model table, the document score is the weight sum, keep = score > 0.
+    * The "model" here is the closed-form weight w(t) = (md5₁₂(t) mod 2001)
+    * − 1000 — a deterministic stand-in with the exact shape of a trained
+    * hashed-feature model (the oracle recomputes it per token), chosen so
+    * scores are integers and every aggregate is an exact order-independent
+    * integer sum (the q79 micro-nat discipline).
+    *
+    * Scale: one narrow codegen'd projection — split once, transform to
+    * per-token weights, aggregate in-row; no exchange, no UDF, no
+    * explode. A real model swaps the weight expression for a broadcast
+    * map lookup; the plan shape is unchanged. */
+  def linearQualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val weight = (t: Column) =>
+      conv(substring(md5(t), 1, 3), 16, 10).cast("long") % 2001L - 1000L
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol).as("id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks, weight), lit(0L), (acc, w) => acc + w)
+          .as("score"))
+      .withColumn("keep", (col("score") > 0).cast("int"))
+  }
+
+  // ------------------------------------------------------ domain link graph
+
+  /** Build the domain-level link graph from page markup: every
+    * `href="…"` anchor is an edge from the page's own domain to the
+    * target's domain; edges aggregate to (src_domain, dst_domain,
+    * n_links, n_pages) — the crawl-frontier / authority-signal table.
+    *
+    * Scale: anchor extraction is a narrow codegen regexp over each page
+    * (`regexp_extract_all`, no UDF); the only exchange is the keyed edge
+    * aggregate, which partial-aggregates map-side — a mega-domain fans in
+    * as pre-combined (src, dst) partial counts, never raw anchors. */
+  def domainLinkGraph(df: DataFrame, idCol: String, urlCol: String,
+                      htmlCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        urlDomain(col(urlCol)).as("src_domain"),
+        explode(regexp_extract_all(col(htmlCol), lit("href=\"([^\"]+)\""), lit(1)))
+          .as("href"))
+      .select(col("id"), col("src_domain"), urlDomain(col("href")).as("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("id")).as("n_pages"))
+
   // ---------------------------------------------------------- PII redaction
 
   /** RE2-compatible PII patterns (no lookarounds — identical semantics in

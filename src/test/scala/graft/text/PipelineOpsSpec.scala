@@ -465,6 +465,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --------------------------------------------------- linear quality model
+
+  test("linearQualityScore: exact hashed-feature weight sums, shuffle-free") {
+    def w(t: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(0, 3), 16) % 2001L - 1000L
+    }
+    val df = docs(1L -> "alpha beta gamma", 2L -> "alpha", 3L -> "x y")
+    val out = PipelineOps.linearQualityScore(df, "doc_id", "text")
+    val got = out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val s1 = w("alpha") + w("beta") + w("gamma")
+    val s3 = w("x") + w("y")
+    assert(got.toSeq === Seq(
+      (1L, 3L, s1, if (s1 > 0) 1 else 0),
+      (2L, 1L, w("alpha"), if (w("alpha") > 0) 1 else 0),
+      (3L, 2L, s3, if (s3 > 0) 1 else 0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must be narrow:\n$plan")
+  }
+
+  // ------------------------------------------------------ domain link graph
+
+  test("domainLinkGraph aggregates anchors to (src, dst) domain edges") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      (1L, "https://a.com/p1",
+        """<p>x</p><a href="https://b.com/1">t</a><a href="https://B.COM/2">u</a>"""),
+      (2L, "https://a.com/p2", """<a href="https://b.com/3">v</a> no more links"""),
+      (3L, "https://c.org/q", """<a href="https://www.a.com/z">w</a>"""))
+      .toDF("doc_id", "url", "html")
+    val got = PipelineOps.domainLinkGraph(pages, "doc_id", "url", "html")
+      .orderBy("src_domain", "dst_domain").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("a.com", "b.com", 3L, 2L),   // 2 anchors from page 1 + 1 from page 2
+      ("c.org", "a.com", 1L, 1L)))  // www + case canonicalized away
+  }
+
   test("spanDedup shuffles hashes and ids only — never document text") {
     val df = docs(1L -> "a b c d", 2L -> "a b c d")
     val plan = PipelineOps.spanDedup(df, "doc_id", "text", k = 2)
