@@ -166,7 +166,28 @@ object EntryRound4 {
     "q87_link_graph" -> ((s, dir) =>
       PipelineOps.domainLinkGraph(Pages.linkPages(s, dir),
           "doc_id", "url", "html")
-        .orderBy("src_domain", "dst_domain"))
+        .orderBy("src_domain", "dst_domain")),
+
+    // 5-iteration link-weighted PageRank over the q87 graph in exact
+    // integer micro-units — the oracle unrolls the identical integer
+    // recurrence, so an iterative distributed graph computation is
+    // bit-exact against SQL
+    "q88_pagerank" -> ((s, dir) =>
+      graft.graph.DomainRank.pageRank(
+          PipelineOps.domainLinkGraph(Pages.linkPages(s, dir),
+            "doc_id", "url", "html"),
+          iters = 5)
+        .orderBy("domain")),
+
+    // data-recipe upsampling: en pages 2.5x, everything else 0.7x, with
+    // deterministic fractional copies — the realized copy list is a pure
+    // function of (id, weight), reproduced row-for-row by the oracle
+    "q89_mix_upsample" -> ((s, dir) =>
+      PipelineOps.upsampleMixture(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          when(col("lang") === "en", 2500).otherwise(700))
+        .select(col("id").as("doc_id"), col("copies"), col("copy_id"))
+        .orderBy("doc_id", "copy_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -301,6 +322,57 @@ object EntryRound4 {
         |      FROM e)
         |SELECT src_domain, dst_domain, count(*) AS n_links,
         |  count(DISTINCT doc_id) AS n_pages
-        |FROM d GROUP BY 1, 2 ORDER BY src_domain, dst_domain""".stripMargin
+        |FROM d GROUP BY 1, 2 ORDER BY src_domain, dst_domain""".stripMargin,
+
+    "q88_pagerank" -> {
+      // the q87 edge derivation, then the integer PageRank recurrence
+      // unrolled as chained CTEs — identical micro-unit arithmetic to
+      // DomainRank.pageRank (S = 1e12, damping 85/100, integer div)
+      val edgeCtes =
+        """nd AS (SELECT count(*) AS nn FROM documents),
+          |raw AS (SELECT doc_id,
+          |         'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+          |           AS src_domain,
+          |         unnest([(doc_id * 31 + 7919) % nn, (doc_id * 31 + 15838) % nn,
+          |                 (doc_id * 31 + 23757) % nn]) AS t
+          |       FROM documents, nd),
+          |e AS (SELECT src_domain,
+          |        'host' || CAST(t % 97 AS VARCHAR) || '.example.org' AS dst_domain,
+          |        count(*) AS n_links
+          |      FROM raw GROUP BY 1, 2),
+          |nodes AS (SELECT DISTINCT src_domain AS domain FROM e
+          |          UNION SELECT DISTINCT dst_domain FROM e),
+          |cnt AS (SELECT count(*) AS nc FROM nodes),
+          |outw AS (SELECT src_domain, sum(n_links) AS ow FROM e GROUP BY 1),
+          |pr0 AS (SELECT domain, 1000000000000 // nc AS pr
+          |        FROM nodes CROSS JOIN cnt)""".stripMargin
+      val iterCtes = (1 to 5).map { k =>
+        val prev = if (k == 1) "pr0" else s"it${k - 1}"
+        s"""it$k AS (SELECT nd2.domain,
+           |    (15 * (1000000000000 // nc)) // 100 +
+           |    (85 * coalesce(s.c, 0)) // 100 AS pr
+           |  FROM nodes nd2 CROSS JOIN cnt
+           |  LEFT JOIN (SELECT e.dst_domain AS domain,
+           |               sum((p.pr * e.n_links) // o.ow) AS c
+           |             FROM e JOIN $prev p ON e.src_domain = p.domain
+           |             JOIN outw o ON e.src_domain = o.src_domain
+           |             GROUP BY 1) s ON nd2.domain = s.domain)""".stripMargin
+      }
+      "WITH " + (edgeCtes +: iterCtes).mkString(",\n") +
+        "\nSELECT domain, CAST(pr AS BIGINT) AS pr FROM it5 ORDER BY domain"
+    },
+
+    "q89_mix_upsample" ->
+      """WITH m AS (SELECT doc_id,
+        |             CASE WHEN lang = 'en' THEN 2500 ELSE 700 END AS mi
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |        mi // 1000 +
+        |        CASE WHEN (doc_id * 131 + 7) % 1000 < mi % 1000
+        |             THEN 1 ELSE 0 END AS copies
+        |      FROM m)
+        |SELECT doc_id, CAST(copies AS INT) AS copies,
+        |  CAST(unnest(range(copies)) AS INT) AS copy_id
+        |FROM c WHERE copies > 0 ORDER BY doc_id, copy_id""".stripMargin
   )
 }

@@ -182,6 +182,52 @@ object PipelineOps {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Narrow EXACT decontamination: the eval-gram (h1, h2) identities are
+    * collected once (guarded), packed into a sorted-array PairSet
+    * (~16 B/gram — a 10M-gram eval suite is 160 MB, broadcast-sized), and
+    * every document counts its matching distinct span grams in ONE
+    * doc-local probe. Output-identical to `decontaminate` /
+    * `decontaminateHashed` (DecontaminateSetSpec), but the plan is a
+    * single narrow projection: no gram explosion (the join formulation
+    * pushes ~n_tokens rows per doc through a broadcast join — ~10⁹ rows
+    * at 2M pages — then aggregates them back), no shuffle, no second
+    * corpus scan. This is the 100 TB shape: eval suites are fixed and
+    * small relative to the corpus; `decontaminateBloom` remains the
+    * too-big-to-materialize fallback. */
+  def decontaminateSet(docs: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame, n: Int,
+                       maxGrams: Int = 10000000): DataFrame =
+    decontaminateSetWith(docs, idCol, textCol,
+      buildEvalSet(benchmark, n, maxGrams), n)
+
+  /** The probe against a PREBUILT eval set — a long-lived pipeline builds
+    * the set once per eval-suite version and reuses it across batches. */
+  def decontaminateSetWith(docs: DataFrame, idCol: String, textCol: String,
+                           evalSet: TextHash.PairSet, n: Int): DataFrame = {
+    val hitUdf = spanHitUdf(evalSet, n)
+    docs.select(col(idCol).as("id"), hitUdf(col(textCol)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Guarded collect of the eval-gram identities into a sorted PairSet. */
+  def buildEvalSet(benchmark: DataFrame, n: Int,
+                   maxGrams: Int = 10000000): TextHash.PairSet = {
+    val pairUdf = udf((g: String) => {
+      val p = TextHash.ngramHashPair(g); (p(0), p(1))
+    })
+    val pairs = benchmark.select(pairUdf(col("ngram")).as("hp")).distinct()
+      .limit(maxGrams + 1).collect()
+      .map { r => val s = r.getStruct(0); Array(s.getLong(0), s.getLong(1)) }
+    require(pairs.length <= maxGrams,
+      s"eval set exceeds $maxGrams grams — use decontaminateBloom for " +
+        "benchmark sets too large to materialize on the driver")
+    TextHash.PairSet(pairs)
+  }
+
+  private def spanHitUdf(set: TextHash.PairSet, n: Int) =
+    udf((text: String) =>
+      if (text == null) 0L else TextHash.spanHitCount(text, n, set))
+
   /** Narrow decontamination variant for streams and small benchmark sets:
     * the n-gram set rides the closure as a literal array and the check is
     * one `arrays_overlap` per row — zero shuffle, zero aggregation, so it
@@ -325,6 +371,28 @@ object PipelineOps {
       .select(col("id"), col("domain"), col("domain_rank"))
   }
 
+  // --------------------------------------------------- mixture upsampling
+
+  /** Deterministic mixture upsampling (the data-recipe side of training:
+    * upweight chosen strata by a fractional factor): `milli` is the
+    * per-row weight in milli-copies (2500 = 2.5×); every row emits
+    * `milli div 1000` whole copies plus one more iff its id's
+    * multiplicative hash lands under the fractional part — the same
+    * repartition-invariant integer arithmetic as deterministicSample
+    * (q65), so the realized copy count per stratum is exact-in-
+    * expectation and reproducible to the row.
+    *
+    * Scale: narrow — weight arithmetic and the copy explode are per-row;
+    * no shuffle, no RNG state. Expected output ≤ max-weight × input. */
+  def upsampleMixture(df: DataFrame, idCol: String, milli: Column): DataFrame =
+    df.withColumn("__m", milli.cast("long"))
+      .withColumn("copies", expr(
+        s"CAST(__m div 1000 AS INT) + " +
+        s"(CASE WHEN pmod($idCol * 131 + 7, 1000) < __m % 1000 THEN 1 ELSE 0 END)"))
+      .where(col("copies") > 0)
+      .select(col(idCol).as("id"), col("copies"),
+        explode(sequence(lit(0), col("copies") - 1)).as("copy_id"))
+
   // ------------------------------------------------- linear quality model
 
   /** Apply a pretrained fastText-style linear quality classifier: each
@@ -446,13 +514,29 @@ object PipelineOps {
                         langProfiles: Seq[(String, Seq[String])],
                         stopwords: Seq[String],
                         keepLang: String, minQuality: Double,
-                        maxDupFrac: Double, n: Int): DataFrame = {
+                        maxDupFrac: Double, n: Int): DataFrame =
+    cleanCorpusStagesWith(docs, idCol, textCol, buildEvalSet(benchmark, n),
+      langProfiles, stopwords, keepLang, minQuality, maxDupFrac, n)
+
+  /** The clean pass against a PREBUILT eval set (see
+    * `decontaminateSetWith` — eval suites are versioned artifacts built
+    * once, not per batch). */
+  def cleanCorpusStagesWith(docs: DataFrame, idCol: String, textCol: String,
+                            evalSet: TextHash.PairSet,
+                            langProfiles: Seq[(String, Seq[String])],
+                            stopwords: Seq[String],
+                            keepLang: String, minQuality: Double,
+                            maxDupFrac: Double, n: Int): DataFrame = {
     // ONE narrow projection computes every per-doc gate (lang, quality,
-    // repetition, content hash) and drops the text — the persisted flag
-    // table is ~50 bytes/row and every downstream branch (survivor reps,
-    // dedup join, final labeling) reuses it instead of re-running the
-    // expression stack per join branch (a naive formulation re-scans the
-    // corpus 20+ times; this one scans twice: flags + decontamination)
+    // repetition, content hash, decontamination probe) and drops the
+    // text — the persisted flag table is ~50 bytes/row and every
+    // downstream branch (survivor reps, dedup join, final labeling)
+    // reuses it instead of re-running the expression stack per join
+    // branch (a naive formulation re-scans the corpus 20+ times; this
+    // one scans ONCE — the decontamination leg was folded from a second
+    // scan + gram-explosion broadcast join into the doc-local PairSet
+    // probe after ScalingProbe measured that leg as the clean pass's
+    // non-scaling Amdahl section)
     val text = col(textCol)
     // localCheckpoint, not persist(): building the in-memory CACHE of this
     // projection evaluates the expression stack on the cache writer's
@@ -467,27 +551,23 @@ object PipelineOps {
     // projections before materialization would invite project-collapse to
     // re-inline the UDF once per referenced field (the q62/langId
     // pathology); after the checkpoint, getField reads stored bytes
+    val hitUdf = spanHitUdf(evalSet, n)
     val flagged = docs.select(col(idCol).as("id"),
-        flags.as("__f"), md5(text).as("__th"))
+        flags.as("__f"), md5(text).as("__th"),
+        (hitUdf(text) === 0L).as("__decon_ok"))
       .localCheckpoint(true)
       .select(col("id"),
         col("__f._1").as("__lang_ok"),
         col("__f._2").as("__quality_ok"),
         col("__f._3").as("__rep_ok"),
-        col("__th"))
+        col("__th"), col("__decon_ok"))
     val reps = flagged
       .where(col("__lang_ok") && col("__quality_ok") && col("__rep_ok"))
       .groupBy("__th").agg(min("id").as("__rep_id"))
     val withDedup = flagged
       .join(reps, Seq("__th"), "left")
       .withColumn("__dedup_ok", col("id") === col("__rep_id"))
-    // hashed span path: the decontamination leg dominates the clean
-    // pass's allocation rate (gram strings); the hashed variant is
-    // output-identical (DecontaminateHashedSpec) and keeps this the
-    // corpus's cheapest second scan
-    val decon = decontaminateHashed(docs, idCol, textCol, benchmark, n)
-      .select(col("id"), (col("n_hits") === 0).as("__decon_ok"))
-    withDedup.join(decon, "id")
+    withDedup
       .select(col("id"),
         when(!col("__lang_ok"), "1_lang")
           .when(!col("__quality_ok"), "2_quality")
@@ -505,6 +585,17 @@ object PipelineOps {
                        keepLang: String, minQuality: Double,
                        maxDupFrac: Double, n: Int): DataFrame =
     cleanCorpusStages(docs, idCol, textCol, benchmark, langProfiles,
+      stopwords, keepLang, minQuality, maxDupFrac, n)
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+
+  /** Audit against a prebuilt eval set (the per-batch production shape). */
+  def cleanCorpusAuditWith(docs: DataFrame, idCol: String, textCol: String,
+                           evalSet: TextHash.PairSet,
+                           langProfiles: Seq[(String, Seq[String])],
+                           stopwords: Seq[String],
+                           keepLang: String, minQuality: Double,
+                           maxDupFrac: Double, n: Int): DataFrame =
+    cleanCorpusStagesWith(docs, idCol, textCol, evalSet, langProfiles,
       stopwords, keepLang, minQuality, maxDupFrac, n)
       .groupBy("stage").agg(count(lit(1)).as("n_docs"))
 
@@ -529,6 +620,12 @@ object PipelineOps {
     * `length(text)` char semantics). Output parity with the expression
     * form is asserted in CleanFlagsParitySpec; q63's oracle remains the
     * end gate. */
+  /** Diagnostic handle (ScalingProbe times the flags leg in isolation). */
+  def cleanFlagsProbe(langProfiles: Seq[(String, Seq[String])],
+                      stopwords: Seq[String], keepLang: String,
+                      minQuality: Double, maxDupFrac: Double) =
+    cleanFlagsUdf(langProfiles, stopwords, keepLang, minQuality, maxDupFrac)
+
   private[text] def cleanFlagsUdf(langProfiles: Seq[(String, Seq[String])],
                                   stopwords: Seq[String], keepLang: String,
                                   minQuality: Double, maxDupFrac: Double) = {

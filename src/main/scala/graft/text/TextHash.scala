@@ -287,4 +287,69 @@ object TextHash {
     val b = gram.getBytes("UTF-8")
     Array(fnv1aRange(b, 0, b.length), murmurRange(b, 0, b.length))
   }
+
+  /** Immutable sorted set of (h1, h2) gram identities with EXACT 128-bit
+    * membership (binary search over two parallel long arrays — ~16 bytes
+    * per gram, cache-friendly, cheap to ship in a task closure). */
+  final class PairSet private[TextHash] (h1s: Array[Long], h2s: Array[Long])
+      extends Serializable {
+    def size: Int = h1s.length
+    def contains(a: Long, b: Long): Boolean = {
+      var lo = 0
+      var hi = h1s.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = java.lang.Long.compare(h1s(mid), a)
+        val cc = if (c != 0) c else java.lang.Long.compare(h2s(mid), b)
+        if (cc < 0) lo = mid + 1 else hi = mid
+      }
+      lo < h1s.length && h1s(lo) == a && h2s(lo) == b
+    }
+  }
+
+  object PairSet {
+    def apply(pairs: Array[Array[Long]]): PairSet = {
+      val sorted = pairs.sortWith { (x, y) =>
+        if (x(0) != y(0)) x(0) < y(0) else x(1) < y(1)
+      }
+      new PairSet(sorted.map(_(0)), sorted.map(_(1)))
+    }
+  }
+
+  /** Count the DISTINCT span n-grams of `text` present in `set` — the
+    * doc-local decontamination probe. Same span walk (and hash bytes) as
+    * `spanNgramHashes`, but nothing is collected: misses allocate NOTHING
+    * (the distinctness set only ever holds hits, which are rare on a
+    * clean corpus), so the per-doc cost is the two hash streams plus one
+    * binary search per gram. */
+  def spanHitCount(text: String, n: Int, set: PairSet): Long = {
+    val bytes = text.getBytes("UTF-8")
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < n) return 0L
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    var seen: java.util.HashSet[java.lang.Long] = null
+    var hits = 0L
+    var g = 0
+    while (g <= nTok - n) {
+      val from = starts(g)
+      val until = if (g + n < nTok) starts(g + n) - 1 else bytes.length
+      val h1 = fnv1aRange(bytes, from, until)
+      val h2 = murmurRange(bytes, from, until)
+      if (set.contains(h1, h2)) {
+        if (seen == null) seen = new java.util.HashSet[java.lang.Long]()
+        // same distinct-by-64-bit-mix rule as spanNgramHashes
+        if (seen.add(mix64(h1) ^ h2)) hits += 1
+      }
+      g += 1
+    }
+    hits
+  }
 }

@@ -465,6 +465,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --------------------------------------------------- mixture upsampling
+
+  test("upsampleMixture: whole + deterministic fractional copies, zero drops") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (i, if (i < 50) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val out = PipelineOps.upsampleMixture(df, "doc_id",
+        when(col("lang") === "en", 2500).otherwise(700))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byId = out.groupBy(_._1)
+    byId.foreach { case (id, rows) =>
+      val copies = rows.head._2
+      val frac = if (id < 50) 500 else 700
+      val whole = if (id < 50) 2 else 0
+      val want = whole + (if ((id * 131 + 7) % 1000 < frac) 1 else 0)
+      assert(copies === want, s"id $id")
+      assert(rows.map(_._3).sorted.toSeq === (0 until copies), s"id $id copy ids")
+    }
+    // en stratum always emits (>= 2 copies); xx stratum only fractionally
+    assert((0L until 50L).forall(byId.contains))
+    val xxKept = (50L until 100L).count(byId.contains)
+    assert(xxKept > 20 && xxKept < 50, s"~70% of xx expected, got $xxKept")
+    // weight 1000 = exactly one copy, weight 0 = none
+    val exact = PipelineOps.upsampleMixture(df, "doc_id", lit(1000))
+    assert(exact.count() === 100 &&
+      exact.select(max("copies")).head().getInt(0) === 1)
+    assert(PipelineOps.upsampleMixture(df, "doc_id", lit(0)).count() === 0)
+  }
+
   // --------------------------------------------------- linear quality model
 
   test("linearQualityScore: exact hashed-feature weight sums, shuffle-free") {
