@@ -187,7 +187,18 @@ object EntryRound4 {
           s.read.parquet(s"$dir/documents.parquet"), "doc_id",
           when(col("lang") === "en", 2500).otherwise(700))
         .select(col("id").as("doc_id"), col("copies"), col("copy_id"))
-        .orderBy("doc_id", "copy_id"))
+        .orderBy("doc_id", "copy_id")),
+
+    // robots.txt gate: REAL RFC-9309 parsing (group selection, longest
+    // match, Allow tie-break) against per-domain policies; the oracle
+    // predicts every (allowed, matched_rule) from the fixture's closed
+    // form without parsing robots text
+    "q90_robots" -> ((s, dir) => {
+      import graft.sources.Robots
+      Robots.decisions(Pages.crawlUrls(s, dir), "doc_id", "domain", "path",
+          Pages.robotsTxt(s, dir), ua = "graftbot/1.0")
+        .orderBy("doc_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -373,6 +384,21 @@ object EntryRound4 {
         |      FROM m)
         |SELECT doc_id, CAST(copies AS INT) AS copies,
         |  CAST(unnest(range(copies)) AS INT) AS copy_id
-        |FROM c WHERE copies > 0 ORDER BY doc_id, copy_id""".stripMargin
+        |FROM c WHERE copies > 0 ORDER BY doc_id, copy_id""".stripMargin,
+
+    "q90_robots" ->
+      """WITH u AS (SELECT doc_id, doc_id % 97 AS k, doc_id % 4 AS m,
+        |             doc_id % 5 AS p5, (doc_id % 97) % 5 AS k5
+        |           FROM documents)
+        |SELECT doc_id,
+        |  'host' || CAST(k AS VARCHAR) || '.example.org' AS domain,
+        |  CAST(CASE WHEN m = 3 THEN 0
+        |            WHEN m = 1 AND p5 = k5 THEN 0
+        |            ELSE 1 END AS INT) AS allowed,
+        |  CASE WHEN m = 3 THEN '/private'
+        |       WHEN m = 1 AND p5 = k5 THEN '/p/' || CAST(k5 AS VARCHAR)
+        |       WHEN m = 2 AND p5 = k5 THEN '/p/' || CAST(k5 AS VARCHAR) || '/ok'
+        |       ELSE '' END AS matched_rule
+        |FROM u ORDER BY doc_id""".stripMargin
   )
 }

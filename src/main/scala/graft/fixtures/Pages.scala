@@ -151,6 +151,44 @@ object Pages {
              anchor(1), anchor(2), anchor(3), lit("</body></html>")).as("html"))
   }
 
+  /** Per-domain robots.txt with realistic structure: a blocked bot group,
+    * a named-bot group our crawler does NOT match, and the `*` group
+    * carrying the rules that matter (with Crawl-delay / Sitemap noise the
+    * parser must skip). Rules are literal path prefixes derived from the
+    * domain id so the q90 oracle predicts every decision in closed form. */
+  def robotsTxt(spark: SparkSession, dir: String): DataFrame = {
+    val k5 = (col("k") % 5).cast("string")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select((col("doc_id") % 97).as("k")).distinct()
+      .select(
+        concat(lit("host"), col("k").cast("string"), lit(".example.org"))
+          .as("domain"),
+        concat(
+          lit("# crawl policy\nUser-agent: evilbot\nDisallow: /\n\n" +
+            "User-agent: graftbot-news\nUser-agent: otherbot\n" +
+            "Disallow: /never\n\n" +
+            "User-agent: *\nCrawl-delay: 5\nDisallow: /p/"), k5,
+          lit("\nAllow: /p/"), k5,
+          lit("/ok\nDisallow: /private\n" +
+            "Sitemap: https://example.org/sitemap.xml\n")).as("robots_txt"))
+  }
+
+  /** Crawl-frontier url set hitting every rule shape of `robotsTxt`:
+    * plain doc pages, the per-domain disallowed prefix, its allowed
+    * exception, and the always-disallowed private tree. */
+  def crawlUrls(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(id,
+        concat(lit("host"), (id % 97).cast("string"), lit(".example.org"))
+          .as("domain"),
+        when(id % 4 === 0, concat(lit("/doc/"), id.cast("string")))
+          .when(id % 4 === 1, concat(lit("/p/"), (id % 5).cast("string")))
+          .when(id % 4 === 2, concat(lit("/p/"), (id % 5).cast("string"), lit("/ok")))
+          .otherwise(concat(lit("/private/"), (id % 9).cast("string")))
+          .as("path"))
+  }
+
   /** Batched geotag stage: parse the page id out of the url (metadata), map
     * to planar (x, y) on the integer lattice. Pure column arithmetic —
     * whole-stage codegen, no UDF. Coordinates on a 500-lattice line (county /

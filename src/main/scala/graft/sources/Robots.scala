@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** robots.txt (Robots Exclusion Protocol, RFC 9309) — the crawl-politeness
+  * gate every ingest pipeline applies between frontier and fetch. Pure-JVM
+  * parser and matcher, plus the Spark decision operator.
+  *
+  * Semantics per the RFC: records group User-agent lines with their
+  * Allow/Disallow rules; a crawler obeys the group whose agent token
+  * matches it (falling back to `*`), multiple groups for the same agent
+  * merge; the rule with the LONGEST pattern wins, Allow winning
+  * length ties; no matching rule means allowed. Patterns support the
+  * RFC's `*` (any chars) and `$` (end anchor) wildcards; empty-value
+  * Disallow allows everything (the classic convention). Unknown fields
+  * (Crawl-delay, Sitemap) and `#` comments are skipped.
+  */
+object Robots {
+
+  final case class Group(agents: Seq[String], allows: Seq[String],
+                         disallows: Seq[String])
+
+  /** Parse the record groups of one robots.txt. */
+  def parse(txt: String): Seq[Group] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = List.empty[String]
+    var allows = List.empty[String]
+    var disallows = List.empty[String]
+    var inAgents = false // consecutive User-agent lines share one group
+    def flush(): Unit = {
+      if (agents.nonEmpty) out += Group(agents.reverse, allows.reverse,
+        disallows.reverse)
+      agents = Nil; allows = Nil; disallows = Nil
+    }
+    txt.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgents) flush()
+            agents ::= value.toLowerCase
+            inAgents = true
+          case "allow" => allows ::= value; inAgents = false
+          case "disallow" => disallows ::= value; inAgents = false
+          case _ => inAgents = false // Crawl-delay, Sitemap, extensions
+        }
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** The merged rule set a crawler named `ua` must obey: all groups whose
+    * agent token is a case-insensitive substring of the UA (most-specific
+    * = longest token), else all `*` groups. */
+  def rulesFor(groups: Seq[Group], ua: String): (Seq[String], Seq[String]) = {
+    val u = ua.toLowerCase
+    val specific = groups.filter(_.agents.exists(a => a != "*" && u.contains(a)))
+    val chosen =
+      if (specific.nonEmpty) {
+        val best = specific.flatMap(_.agents.filter(a => a != "*" && u.contains(a)))
+          .maxBy(_.length)
+        specific.filter(_.agents.contains(best))
+      } else groups.filter(_.agents.contains("*"))
+    (chosen.flatMap(_.allows), chosen.flatMap(_.disallows))
+  }
+
+  /** Does `pattern` match `path` under RFC wildcards? Returns the
+    * pattern's length (its specificity) when it matches. Empty patterns
+    * match nothing (empty Disallow = allow all). */
+  def matchLen(pattern: String, path: String): Option[Int] = {
+    if (pattern.isEmpty) return None
+    val anchored = pattern.endsWith("$")
+    val body = if (anchored) pattern.dropRight(1) else pattern
+    val rx = body.split("\\*", -1).map(java.util.regex.Pattern.quote)
+      .mkString(".*")
+    val m = java.util.regex.Pattern.compile(rx).matcher(path)
+    val ok = if (anchored) m.matches() else m.lookingAt()
+    if (ok) Some(pattern.length) else None
+  }
+
+  /** Longest-match decision: (allowed, winning rule or ""). */
+  def decide(allows: Seq[String], disallows: Seq[String],
+             path: String): (Boolean, String) = {
+    val a = allows.flatMap(p => matchLen(p, path).map(l => (l, p)))
+      .sortBy(x => (-x._1, x._2)).headOption
+    val d = disallows.flatMap(p => matchLen(p, path).map(l => (l, p)))
+      .sortBy(x => (-x._1, x._2)).headOption
+    (a, d) match {
+      case (None, None) => (true, "")
+      case (Some((_, p)), None) => (true, p)
+      case (None, Some((_, p))) => (false, p)
+      case (Some((la, pa)), Some((ld, pd))) =>
+        if (la >= ld) (true, pa) else (false, pd) // Allow wins ties
+    }
+  }
+
+  /** Decision table for a url set against per-domain robots files.
+    * `robots`: (domain, robots_txt) — one small row per domain, parsed
+    * once per row and BROADCAST to the url side; the decision itself is
+    * a narrow per-url match. At crawl scale the url table is the 100 TB
+    * side and never shuffles. */
+  def decisions(urls: DataFrame, urlIdCol: String, domainCol: String,
+                pathCol: String, robots: DataFrame, ua: String): DataFrame = {
+    val parseUdf = udf((txt: String) => {
+      val (a, d) = rulesFor(parse(txt), ua); (a, d)
+    })
+    val rules = robots.select(col("domain").as("__rdom"),
+      parseUdf(col("robots_txt")).as("r"))
+    val decideUdf = udf((a: Seq[String], d: Seq[String], path: String) => {
+      val (ok, rule) = decide(a, d, path); (ok, rule)
+    })
+    urls.join(broadcast(rules), col(domainCol) === col("__rdom"))
+      .select(col(urlIdCol), col(domainCol),
+        decideUdf(col("r._1"), col("r._2"), col(pathCol)).as("dec"))
+      .select(col(urlIdCol), col(domainCol),
+        col("dec._1").cast("int").as("allowed"),
+        col("dec._2").as("matched_rule"))
+  }
+}
