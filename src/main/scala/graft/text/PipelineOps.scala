@@ -561,11 +561,15 @@ object PipelineOps {
         col("__f._2").as("__quality_ok"),
         col("__f._3").as("__rep_ok"),
         col("__th"), col("__decon_ok"))
-    val reps = flagged
-      .where(col("__lang_ok") && col("__quality_ok") && col("__rep_ok"))
-      .groupBy("__th").agg(min("id").as("__rep_id"))
+    // exact-dup decision in ONE exchange: min-survivor-id over the
+    // content-hash window (the groupBy + sort-merge-join formulation
+    // shuffles every row twice and sorts both join sides; the window
+    // shuffles once on the same key). A doc with a null __rep_id failed
+    // an earlier gate itself, so the label cascade never reads it.
     val withDedup = flagged
-      .join(reps, Seq("__th"), "left")
+      .withColumn("__rep_id",
+        min(when(col("__lang_ok") && col("__quality_ok") && col("__rep_ok"),
+          col("id"))).over(Window.partitionBy("__th")))
       .withColumn("__dedup_ok", col("id") === col("__rep_id"))
     withDedup
       .select(col("id"),
