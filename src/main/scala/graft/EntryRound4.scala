@@ -198,6 +198,21 @@ object EntryRound4 {
       Robots.decisions(Pages.crawlUrls(s, dir), "doc_id", "domain", "path",
           Pages.robotsTxt(s, dir), ua = "graftbot/1.0")
         .orderBy("doc_id")
+    }),
+
+    // politeness-bounded frontier schedule: allowed urls only, one fetch
+    // per Crawl-delay window per domain, biggest pages first — the delay
+    // itself is parsed from the robots fixture (Crawl-delay: 5), which
+    // the oracle pins as the constant in fetch_at_s
+    "q91_frontier" -> ((s, dir) => {
+      import graft.sources.Robots
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      Robots.frontierSchedule(
+          Pages.crawlUrls(s, dir).join(docs, "doc_id"),
+          "doc_id", "domain", "path", "n_chars",
+          Pages.robotsTxt(s, dir), ua = "graftbot/1.0")
+        .orderBy("doc_id")
     })
   )
 
@@ -399,6 +414,22 @@ object EntryRound4 {
         |       WHEN m = 1 AND p5 = k5 THEN '/p/' || CAST(k5 AS VARCHAR)
         |       WHEN m = 2 AND p5 = k5 THEN '/p/' || CAST(k5 AS VARCHAR) || '/ok'
         |       ELSE '' END AS matched_rule
-        |FROM u ORDER BY doc_id""".stripMargin
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q91_frontier" ->
+      """WITH u AS (SELECT doc_id, doc_id % 97 AS k, doc_id % 4 AS m,
+        |             doc_id % 5 AS p5, (doc_id % 97) % 5 AS k5, n_chars
+        |           FROM documents),
+        |a AS (SELECT doc_id,
+        |        'host' || CAST(k AS VARCHAR) || '.example.org' AS domain,
+        |        n_chars
+        |      FROM u WHERE NOT (m = 3 OR (m = 1 AND p5 = k5))),
+        |r AS (SELECT doc_id, domain,
+        |        row_number() OVER (PARTITION BY domain
+        |                           ORDER BY n_chars DESC, doc_id) AS fetch_seq
+        |      FROM a)
+        |SELECT doc_id, domain, CAST(fetch_seq AS INT) AS fetch_seq,
+        |  CAST((fetch_seq - 1) * 5 AS BIGINT) AS fetch_at_s
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * merge; the rule with the LONGEST pattern wins, Allow winning
   * length ties; no matching rule means allowed. Patterns support the
   * RFC's `*` (any chars) and `$` (end anchor) wildcards; empty-value
-  * Disallow allows everything (the classic convention). Unknown fields
-  * (Crawl-delay, Sitemap) and `#` comments are skipped.
+  * Disallow allows everything (the classic convention). `Crawl-delay`
+  * (the de-facto extension) is captured per group; unknown fields
+  * (Sitemap, extensions) and `#` comments are skipped.
   */
 object Robots {
 
   final case class Group(agents: Seq[String], allows: Seq[String],
-                         disallows: Seq[String])
+                         disallows: Seq[String],
+                         crawlDelay: Option[Int] = None)
 
   /** Parse the record groups of one robots.txt. */
   def parse(txt: String): Seq[Group] = {
@@ -27,11 +29,12 @@ object Robots {
     var agents = List.empty[String]
     var allows = List.empty[String]
     var disallows = List.empty[String]
+    var delay: Option[Int] = None
     var inAgents = false // consecutive User-agent lines share one group
     def flush(): Unit = {
       if (agents.nonEmpty) out += Group(agents.reverse, allows.reverse,
-        disallows.reverse)
-      agents = Nil; allows = Nil; disallows = Nil
+        disallows.reverse, delay)
+      agents = Nil; allows = Nil; disallows = Nil; delay = None
     }
     txt.split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -46,7 +49,12 @@ object Robots {
             inAgents = true
           case "allow" => allows ::= value; inAgents = false
           case "disallow" => disallows ::= value; inAgents = false
-          case _ => inAgents = false // Crawl-delay, Sitemap, extensions
+          case "crawl-delay" =>
+            // de-facto extension most crawlers honor; malformed → ignored
+            delay = scala.util.Try(value.trim.toInt).toOption.filter(_ >= 0)
+              .orElse(delay)
+            inAgents = false
+          case _ => inAgents = false // Sitemap, extensions
         }
       }
     }
@@ -67,6 +75,15 @@ object Robots {
         specific.filter(_.agents.contains(best))
       } else groups.filter(_.agents.contains("*"))
     (chosen.flatMap(_.allows), chosen.flatMap(_.disallows))
+  }
+
+  /** The Crawl-delay (seconds) the chosen group imposes on `ua`, if any. */
+  def crawlDelay(groups: Seq[Group], ua: String): Option[Int] = {
+    val u = ua.toLowerCase
+    val specific = groups.filter(_.agents.exists(a => a != "*" && u.contains(a)))
+    val chosen = if (specific.nonEmpty) specific
+                 else groups.filter(_.agents.contains("*"))
+    chosen.flatMap(_.crawlDelay).headOption
   }
 
   /** Does `pattern` match `path` under RFC wildcards? Returns the
@@ -120,5 +137,37 @@ object Robots {
       .select(col(urlIdCol), col(domainCol),
         col("dec._1").cast("int").as("allowed"),
         col("dec._2").as("matched_rule"))
+  }
+
+  /** Politeness-bounded fetch schedule for the allowed frontier: within
+    * each domain, urls fetch in (`priorityCol` DESC, id) order, one per
+    * Crawl-delay window — fetch_seq is the per-domain slot, fetch_at_s
+    * its start offset. Domains without a declared delay use
+    * `defaultDelayS`.
+    *
+    * Scale: one window whose partition key (domain) is its exchange key;
+    * the per-domain robots join broadcasts. A mega-domain's schedule IS
+    * inherently sequential (politeness), so one task per domain is the
+    * true dependency structure, not a skew accident — and the schedule
+    * rows are (id, domain, ints), never page content. */
+  def frontierSchedule(urls: DataFrame, urlIdCol: String, domainCol: String,
+                       pathCol: String, priorityCol: String,
+                       robots: DataFrame, ua: String,
+                       defaultDelayS: Int = 1): DataFrame = {
+    val delayUdf = udf((txt: String) =>
+      crawlDelay(parse(txt), ua).getOrElse(defaultDelayS))
+    val delays = robots.select(col("domain").as("__rdom"),
+      delayUdf(col("robots_txt")).as("delay_s"))
+    val allowed = decisions(urls, urlIdCol, domainCol, pathCol, robots, ua)
+      .where(col("allowed") === 1)
+      .select(col(urlIdCol), col(domainCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(domainCol)
+      .orderBy(col(priorityCol).desc, col(urlIdCol))
+    allowed
+      .join(urls.select(col(urlIdCol), col(priorityCol)), Seq(urlIdCol))
+      .join(broadcast(delays), col(domainCol) === col("__rdom"))
+      .withColumn("fetch_seq", row_number().over(w))
+      .select(col(urlIdCol), col(domainCol), col("fetch_seq"),
+        ((col("fetch_seq") - 1).cast("long") * col("delay_s")).as("fetch_at_s"))
   }
 }

@@ -73,6 +73,33 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Robots.matchLen("/exact$", "/exactly") === None)
   }
 
+  test("crawl-delay: captured per group, specific group overrides *") {
+    val groups = Robots.parse(txt)
+    assert(Robots.crawlDelay(groups, "graftbot") === Some(10))
+    assert(Robots.crawlDelay(groups, "goodbot") === None) // its group has none
+    val bad = Robots.parse("User-agent: *\nCrawl-delay: oops\nDisallow: /x\n")
+    assert(Robots.crawlDelay(bad, "any") === None) // malformed ignored
+  }
+
+  test("frontierSchedule: allowed-only, priority order, delay windows") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "a.org", "/one", 50L), (2L, "a.org", "/two", 90L),
+      (3L, "a.org", "/p/blocked", 99L), (4L, "b.org", "/solo", 10L))
+      .toDF("id", "domain", "path", "prio")
+    val robots = Seq(
+      ("a.org", "User-agent: *\nCrawl-delay: 7\nDisallow: /p\n"),
+      ("b.org", "User-agent: *\nDisallow:\n")) // no delay → default 1
+      .toDF("domain", "robots_txt")
+    val out = Robots.frontierSchedule(urls, "id", "domain", "path", "prio",
+        robots, "graftbot")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    // a.org: id 2 (prio 90) first at t=0, id 1 second at t=7; id 3 blocked
+    assert(out.toSeq === Seq((1L, 2, 7L), (2L, 1, 0L), (4L, 1, 0L)))
+  }
+
   test("decisions operator: broadcast join, correct rows") {
     val s = spark
     import s.implicits._
