@@ -59,10 +59,15 @@ object ScalingProbe {
             PipelineOps.decontaminateHashed(docs, "pid", "text", bench, 8)
               .agg(sum("n_hits")).head(); ()
           }),
-          "deconS" -> (() => {
-            PipelineOps.decontaminateSet(docs, "pid", "text", bench, 8)
-              .agg(sum("n_hits")).head(); ()
-          }),
+          "deconS" -> {
+            // prebuilt set, mirroring ScalingBench: the serial driver-side
+            // build must not pollute the leg comparison
+            val set = PipelineOps.buildEvalSet(bench, 8)
+            () => {
+              PipelineOps.decontaminateSetWith(docs, "pid", "text", set, 8)
+                .agg(sum("n_hits")).head(); ()
+            }
+          },
           "full" -> (() => {
             PipelineOps.cleanCorpusAudit(docs, "pid", "text", bench,
               TextFixtures.langProfiles, TextFixtures.qualityStopwords,

@@ -34,6 +34,14 @@ object DomainRank {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "empty graph")
+    // a node's rank is bounded by the total mass `scale` (integer div only
+    // destroys mass), so pr·w fits a Long iff scale·maxW does — one tiny
+    // aggregate makes the bit-exactness claim safe instead of silently
+    // wrapping on a skewed mega-domain edge
+    val maxW = edges.agg(max(col("n_links").cast("long"))).head().getLong(0)
+    require(maxW <= 0 || scale <= Long.MaxValue / maxW,
+      s"scale=$scale x max edge weight $maxW would overflow Long — " +
+        "lower the scale or pre-bucket edge weights")
     val base = scale / n
     val ew = edges
       .join(edges.groupBy("src_domain").agg(sum("n_links").as("ow")),

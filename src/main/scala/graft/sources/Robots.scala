@@ -62,40 +62,66 @@ object Robots {
     out.toSeq
   }
 
-  /** The merged rule set a crawler named `ua` must obey: all groups whose
-    * agent token is a case-insensitive substring of the UA (most-specific
-    * = longest token), else all `*` groups. */
+  /** The crawler's product token: the UA string up to the first `/` or
+    * whitespace, lowercased — "GraftBot/1.0 (+info)" → "graftbot". */
+  private def productToken(ua: String): String =
+    ua.takeWhile(c => c != '/' && !c.isWhitespace).toLowerCase
+
+  /** A group token matches when it is a case-insensitive PREFIX of the
+    * crawler's product token (RFC 9309 matching as implemented by the
+    * major crawlers) — NOT a substring of the full UA, which would let an
+    * incidental token like "bot" hijack "graftbot/1.0". */
+  private def agentMatches(token: String, product: String): Boolean =
+    token != "*" && product.startsWith(token)
+
+  /** The groups `ua` must obey: all groups carrying the most-specific
+    * (longest) matching agent token, else all `*` groups. ONE chooser
+    * shared by rules and crawl-delay so the delay always comes from the
+    * same group whose rules are being enforced. */
+  private def chosenGroups(groups: Seq[Group], ua: String): Seq[Group] = {
+    val p = productToken(ua)
+    val matching = groups.filter(_.agents.exists(agentMatches(_, p)))
+    if (matching.nonEmpty) {
+      val best = matching.flatMap(_.agents.filter(agentMatches(_, p)))
+        .maxBy(_.length)
+      matching.filter(_.agents.contains(best))
+    } else groups.filter(_.agents.contains("*"))
+  }
+
+  /** The merged rule set a crawler named `ua` must obey. */
   def rulesFor(groups: Seq[Group], ua: String): (Seq[String], Seq[String]) = {
-    val u = ua.toLowerCase
-    val specific = groups.filter(_.agents.exists(a => a != "*" && u.contains(a)))
-    val chosen =
-      if (specific.nonEmpty) {
-        val best = specific.flatMap(_.agents.filter(a => a != "*" && u.contains(a)))
-          .maxBy(_.length)
-        specific.filter(_.agents.contains(best))
-      } else groups.filter(_.agents.contains("*"))
+    val chosen = chosenGroups(groups, ua)
     (chosen.flatMap(_.allows), chosen.flatMap(_.disallows))
   }
 
-  /** The Crawl-delay (seconds) the chosen group imposes on `ua`, if any. */
-  def crawlDelay(groups: Seq[Group], ua: String): Option[Int] = {
-    val u = ua.toLowerCase
-    val specific = groups.filter(_.agents.exists(a => a != "*" && u.contains(a)))
-    val chosen = if (specific.nonEmpty) specific
-                 else groups.filter(_.agents.contains("*"))
-    chosen.flatMap(_.crawlDelay).headOption
-  }
+  /** The Crawl-delay (seconds) of exactly the group whose rules `ua`
+    * obeys, if that group declares one. */
+  def crawlDelay(groups: Seq[Group], ua: String): Option[Int] =
+    chosenGroups(groups, ua).flatMap(_.crawlDelay).headOption
+
+  // wildcard patterns compiled once per executor (robots rule sets are
+  // tiny and shared across billions of urls — recompiling per row was
+  // the decision hot path's dominant cost)
+  private val rxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
 
   /** Does `pattern` match `path` under RFC wildcards? Returns the
     * pattern's length (its specificity) when it matches. Empty patterns
-    * match nothing (empty Disallow = allow all). */
+    * match nothing (empty Disallow = allow all). Wildcard-free patterns
+    * (the overwhelmingly common case) take a plain prefix test — no
+    * regex at all. */
   def matchLen(pattern: String, path: String): Option[Int] = {
     if (pattern.isEmpty) return None
+    if (pattern.indexOf('*') < 0 && pattern.indexOf('$') < 0)
+      return if (path.startsWith(pattern)) Some(pattern.length) else None
     val anchored = pattern.endsWith("$")
-    val body = if (anchored) pattern.dropRight(1) else pattern
-    val rx = body.split("\\*", -1).map(java.util.regex.Pattern.quote)
-      .mkString(".*")
-    val m = java.util.regex.Pattern.compile(rx).matcher(path)
+    val rx = rxCache.computeIfAbsent(pattern, { _ =>
+      val body = if (anchored) pattern.dropRight(1) else pattern
+      java.util.regex.Pattern.compile(
+        body.split("\\*", -1).map(java.util.regex.Pattern.quote)
+          .mkString(".*"))
+    })
+    val m = rx.matcher(path)
     val ok = if (anchored) m.matches() else m.lookingAt()
     if (ok) Some(pattern.length) else None
   }
@@ -120,7 +146,9 @@ object Robots {
     * `robots`: (domain, robots_txt) — one small row per domain, parsed
     * once per row and BROADCAST to the url side; the decision itself is
     * a narrow per-url match. At crawl scale the url table is the 100 TB
-    * side and never shuffles. */
+    * side and never shuffles. A domain with NO robots row is ALLOWED
+    * (the RFC default for a missing robots.txt) — the join is a left
+    * join, never a silent drop. */
   def decisions(urls: DataFrame, urlIdCol: String, domainCol: String,
                 pathCol: String, robots: DataFrame, ua: String): DataFrame = {
     val parseUdf = udf((txt: String) => {
@@ -131,9 +159,11 @@ object Robots {
     val decideUdf = udf((a: Seq[String], d: Seq[String], path: String) => {
       val (ok, rule) = decide(a, d, path); (ok, rule)
     })
-    urls.join(broadcast(rules), col(domainCol) === col("__rdom"))
+    val empty = array().cast("array<string>")
+    urls.join(broadcast(rules), col(domainCol) === col("__rdom"), "left")
       .select(col(urlIdCol), col(domainCol),
-        decideUdf(col("r._1"), col("r._2"), col(pathCol)).as("dec"))
+        decideUdf(coalesce(col("r._1"), empty), coalesce(col("r._2"), empty),
+          col(pathCol)).as("dec"))
       .select(col(urlIdCol), col(domainCol),
         col("dec._1").cast("int").as("allowed"),
         col("dec._2").as("matched_rule"))
@@ -165,9 +195,10 @@ object Robots {
       .orderBy(col(priorityCol).desc, col(urlIdCol))
     allowed
       .join(urls.select(col(urlIdCol), col(priorityCol)), Seq(urlIdCol))
-      .join(broadcast(delays), col(domainCol) === col("__rdom"))
+      .join(broadcast(delays), col(domainCol) === col("__rdom"), "left")
       .withColumn("fetch_seq", row_number().over(w))
       .select(col(urlIdCol), col(domainCol), col("fetch_seq"),
-        ((col("fetch_seq") - 1).cast("long") * col("delay_s")).as("fetch_at_s"))
+        ((col("fetch_seq") - 1).cast("long") *
+          coalesce(col("delay_s"), lit(defaultDelayS))).as("fetch_at_s"))
   }
 }

@@ -603,15 +603,14 @@ object PipelineOps {
       stopwords, keepLang, minQuality, maxDupFrac, n)
       .groupBy("stage").agg(count(lit(1)).as("n_docs"))
 
-  // ------------------------------------------------------ repetition signals
+  // ------------------------------------------------------ clean-flags UDF
 
-  /** One-pass bigram statistics per doc: (n_bigrams, n_distinct, top_cnt).
-    * A deterministic Scala UDF rather than higher-order array functions —
-    * deliberate: Catalyst's project collapsing re-inlines a shared
-    * `split()`/bigram array into every lambda that references it, turning
-    * the HOF formulation O(distinct × n × |text|) per row (measured 17×
-    * slower at 100-token docs); one hash-map pass is O(n) and still
-    * doc-local, zero-shuffle. */
+  /** Diagnostic handle (ScalingProbe times the flags leg in isolation). */
+  def cleanFlagsProbe(langProfiles: Seq[(String, Seq[String])],
+                      stopwords: Seq[String], keepLang: String,
+                      minQuality: Double, maxDupFrac: Double) =
+    cleanFlagsUdf(langProfiles, stopwords, keepLang, minQuality, maxDupFrac)
+
   /** ONE-pass computation of every per-doc gate of the clean pass:
     * (lang_ok, quality_ok, rep_ok) from a single tokenize + single token
     * walk. The expression form evaluated `split(text, " ")` once per
@@ -624,12 +623,6 @@ object PipelineOps {
     * `length(text)` char semantics). Output parity with the expression
     * form is asserted in CleanFlagsParitySpec; q63's oracle remains the
     * end gate. */
-  /** Diagnostic handle (ScalingProbe times the flags leg in isolation). */
-  def cleanFlagsProbe(langProfiles: Seq[(String, Seq[String])],
-                      stopwords: Seq[String], keepLang: String,
-                      minQuality: Double, maxDupFrac: Double) =
-    cleanFlagsUdf(langProfiles, stopwords, keepLang, minQuality, maxDupFrac)
-
   private[text] def cleanFlagsUdf(langProfiles: Seq[(String, Seq[String])],
                                   stopwords: Seq[String], keepLang: String,
                                   minQuality: Double, maxDupFrac: Double) = {
