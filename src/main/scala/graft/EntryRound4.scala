@@ -213,6 +213,74 @@ object EntryRound4 {
           "doc_id", "domain", "path", "n_chars",
           Pages.robotsTxt(s, dir), ua = "graftbot/1.0")
         .orderBy("doc_id")
+    }),
+
+    // sitemap.xml ingest: per-domain sitemaps (every leaf a closed form of
+    // doc_id) exploded back to one row per entry by the codegen'd XML walk
+    // — the oracle predicts loc/lastmod/priority without touching XML
+    "q92_sitemap" -> ((s, dir) =>
+      graft.sources.Sitemaps.entries(Pages.sitemaps(s, dir), "sitemap_xml")
+        .select(regexp_extract(col("loc"), "(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("domain"), col("loc"), col("lastmod_day"), col("priority"))
+        .orderBy("doc_id")),
+
+    // incoming-anchor-text index over real markup: (dst_domain, anchor
+    // text) aggregation of every <a> of the q87 pages — the oracle derives
+    // each anchor from the fixture's closed-form targets
+    "q93_anchor_text" -> ((s, dir) =>
+      PipelineOps.anchorTextIndex(Pages.linkPages(s, dir), "doc_id", "html")
+        .orderBy("dst_domain", "anchor_text")),
+
+    // overlapping training windows: chunkSize 40, stride 30 over the
+    // whitespace token count — exact integer slicing both sides
+    "q94_chunk_windows" -> ((s, dir) =>
+      PipelineOps.chunkTokens(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          chunkSize = 40, stride = 30)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("tok_start"),
+          col("tok_len"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // recrawl-delta classification against the committed snapshot: the
+    // batch re-fetches every 3rd page (each 7th of those changed) plus
+    // brand-new urls; prev side collapses to (id, md5) through the
+    // manifest read before the join
+    "q95_recrawl_delta" -> ((s, dir) => {
+      val t = new SnapshotTable(SparkEntry.scratch(s, "recrawl", dir) + "/" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      t.commit(docs, "append", "base crawl")
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(lit("MOD "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(lit("NEW "), col("text")).as("text")))
+      PipelineOps.recrawlDelta(batch, "doc_id", "text",
+          t.read(s), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text_hash"), col("op"))
+        .orderBy("doc_id")
+    }),
+
+    // H3-style cell-set compaction: a hashed res-5 coverage collapsed to
+    // the minimal mixed-resolution set — the oracle unrolls the identical
+    // quad-merge recurrence per level in pure bit arithmetic
+    "q96_cell_compact" -> ((s, dir) => {
+      // hashed res-6 coverage with deterministic per-CELL holes (~1/7 of
+      // cells punched out) so partial quads survive at every SF — without
+      // the holes a big corpus covers all 4096 cells and the whole set
+      // collapses to one res-0 row, a vacuous gate
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(((col("doc_id") * 2654435761L) % 4096L).as("m")).distinct()
+        .where((col("m") * 2654435761L) % 7 =!= 0)
+        .select(shiftleft(lit(6L), 58).bitwiseOR(col("m")).as("cell"))
+      graft.cells.CellSetOps.compactCells(base, "cell")
+        .select(shiftright(col("cell"), 58).as("res"),
+          col("cell").bitwiseAND(lit((1L << 58) - 1)).as("morton"))
+        .orderBy("res", "morton")
     })
   )
 
@@ -430,6 +498,82 @@ object EntryRound4 {
         |      FROM a)
         |SELECT doc_id, domain, CAST(fetch_seq AS INT) AS fetch_seq,
         |  CAST((fetch_seq - 1) * 5 AS BIGINT) AS fetch_at_s
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q92_sitemap" ->
+      """SELECT doc_id,
+        |  'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' AS domain,
+        |  'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org/doc/'
+        |    || CAST(doc_id AS VARCHAR) AS loc,
+        |  CAST(DATE '2020-01-01' + CAST(doc_id % 365 AS INT)
+        |    - DATE '1970-01-01' AS BIGINT) AS lastmod_day,
+        |  '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q93_anchor_text" ->
+      """WITH n AS (SELECT count(*) AS nn FROM documents),
+        |k AS (SELECT unnest([1, 2, 3]) AS kk),
+        |a AS (SELECT doc_id,
+        |        'host' || CAST(((doc_id * 31 + kk * 7919) % nn) % 97 AS VARCHAR)
+        |          || '.example.org' AS dst_domain,
+        |        'link' || CAST(kk AS VARCHAR) AS anchor_text
+        |      FROM documents, n, k)
+        |SELECT dst_domain, anchor_text, count(*) AS n_links,
+        |  count(DISTINCT doc_id) AS n_pages
+        |FROM a GROUP BY 1, 2 ORDER BY dst_domain, anchor_text""".stripMargin,
+
+    "q94_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n, unnest(range((n - 1) // 30 + 1)) AS chunk_id
+        |      FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 30 AS BIGINT) AS tok_start,
+        |  CAST(least(40, n - chunk_id * 30) AS BIGINT) AS tok_len,
+        |  n AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q95_recrawl_delta" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'MOD ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 'NEW ' || text FROM documents
+        |  WHERE doc_id % 13 = 0)
+        |SELECT doc_id, md5(text) AS text_hash,
+        |  CASE WHEN doc_id >= 300000 THEN 'new'
+        |       WHEN doc_id % 7 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS op
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q96_cell_compact" -> {
+      // the identical quad-merge recurrence, one CTE triple per level:
+      // parents of complete sibling groups replace their 4 children, the
+      // group's min cell acting as the representative row (as in
+      // CellSetOps.compactCells)
+      val m = (1L << 58) - 1
+      val base =
+        s"""s6 AS (SELECT DISTINCT (CAST(6 AS BIGINT) << 58) | m AS cell
+           |       FROM (SELECT (doc_id * 2654435761) % 4096 AS m
+           |             FROM documents)
+           |       WHERE (m * 2654435761) % 7 <> 0)""".stripMargin
+      val rounds = (6 to 1 by -1).map { r =>
+        s"""g$r AS (SELECT cell,
+           |  CASE WHEN cell >> 58 = $r
+           |       THEN (CAST(${r - 1} AS BIGINT) << 58) | ((cell & $m) >> 2)
+           |  END AS par FROM s$r),
+           |c$r AS (SELECT par, count(*) AS cnt, min(cell) AS mn
+           |        FROM g$r WHERE par IS NOT NULL GROUP BY 1),
+           |s${r - 1} AS (SELECT CASE WHEN c.cnt = 4 THEN g.par ELSE g.cell END
+           |    AS cell
+           |  FROM g$r g LEFT JOIN c$r c ON g.par = c.par
+           |  WHERE c.cnt IS NULL OR c.cnt <> 4 OR g.cell = c.mn)""".stripMargin
+      }
+      "WITH " + (base +: rounds).mkString(",\n") +
+        s"\nSELECT cell >> 58 AS res, cell & $m AS morton FROM s0 " +
+        "ORDER BY res, morton"
+    }
   )
 }

@@ -189,6 +189,34 @@ object Pages {
           .as("path"))
   }
 
+  /** Per-domain sitemap.xml: every doc of the domain as a `<url>` entry
+    * (loc / lastmod / priority) in doc-id order, wrapped in the
+    * sitemaps.org envelope. All leaf values are closed forms of doc_id so
+    * the q92 oracle predicts every parsed entry without touching XML. */
+  def sitemaps(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val entry = concat(
+      lit("<url><loc>https://host"), (id % 97).cast("string"),
+      lit(".example.org/doc/"), id.cast("string"),
+      lit("</loc><lastmod>"),
+      date_format(date_add(to_date(lit("2020-01-01")),
+        (id % 365).cast("int")), "yyyy-MM-dd"),
+      lit("</lastmod><priority>0."), (id % 10).cast("string"),
+      lit("</priority></url>"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select((id % 97).as("k"), struct(id.as("i"), entry.as("e")).as("se"))
+      .groupBy("k")
+      .agg(array_join(transform(array_sort(collect_list(col("se"))),
+        x => x.getField("e")), "\n").as("body"))
+      .select(
+        concat(lit("host"), col("k").cast("string"), lit(".example.org"))
+          .as("domain"),
+        concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset " +
+            "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+          col("body"), lit("\n</urlset>\n")).as("sitemap_xml"))
+  }
+
   /** Batched geotag stage: parse the page id out of the url (metadata), map
     * to planar (x, y) on the integer lattice. Pure column arithmetic —
     * whole-stage codegen, no UDF. Coordinates on a 500-lattice line (county /

@@ -441,6 +441,84 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_links"),
         count_distinct(col("id")).as("n_pages"))
 
+  /** Incoming-anchor-text index: for every target domain, how pages across
+    * the corpus LABEL it — the classic web-scale relevance/quality feature
+    * (anchor text is the one description of a page its author didn't
+    * write). Extracts `<a href="…">text</a>` pairs with codegen'd regexps
+    * (whole-anchor `regexp_extract_all` + per-field `regexp_extract`, no
+    * UDF; nested markup inside an anchor is out of scope — the common
+    * plain-text anchor is the 100 TB hot path), aggregates
+    * (n_links, n_pages) per (dst_domain, anchor_text).
+    *
+    * Scale: one narrow extract pass, then ONE exchange keyed on
+    * (dst_domain, anchor_text) carrying only short anchor strings —
+    * page html/text never shuffles. */
+  def anchorTextIndex(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("(?s)<a\\s[^>]*href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0)))
+          .as("__a"))
+      .select(col("id"),
+        urlDomain(regexp_extract(col("__a"), "href=\"([^\"]*)\"", 1))
+          .as("dst_domain"),
+        regexp_extract(col("__a"), ">([^<]*)</a>", 1).as("anchor_text"))
+      .groupBy("dst_domain", "anchor_text")
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("id")).as("n_pages"))
+
+  // ------------------------------------------------------- token chunking
+
+  /** Overlapping fixed-size training windows per document: chunk c covers
+    * tokens [c·stride, c·stride + min(chunkSize, n − c·stride)), for
+    * c = 0 .. (n−1) div stride — every token is covered, consecutive
+    * chunks overlap by (chunkSize − stride) tokens (the standard LM
+    * context-window slicing; `packSequences` is the no-overlap packing
+    * twin). Pure integer math on the whitespace token count — exact in
+    * any engine, no text leaves the row.
+    *
+    * Scale: narrow map + explode, zero shuffle; output rows carry only
+    * ids and offsets, so the downstream gather (slice the text by offsets
+    * at materialization time) stays doc-local. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0L, (n_tokens - 1) div $stride)")))
+      .select(col("id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(lit(chunkSize.toLong),
+          col("n_tokens") - col("chunk_id") * stride).as("tok_len"),
+        col("n_tokens"))
+  }
+
+  // -------------------------------------------------------- recrawl delta
+
+  /** Recrawl ingest classification: label every page of a fresh crawl
+    * batch against the previously committed corpus — `new` (url id never
+    * seen), `changed` (seen, content hash differs), `unchanged` (seen,
+    * byte-identical text — the overwhelming majority of a recrawl, which
+    * an incremental pipeline drops before any downstream work).
+    *
+    * Scale: the previous corpus collapses to (id, md5) BEFORE the join,
+    * so the exchange carries 48-byte rows — at 10^12 docs the hash side
+    * is ~50 TB→ sort-merge on id, while batch text stays in its scan
+    * partitions (callers commit survivors straight from the scan). */
+  def recrawlDelta(batch: DataFrame, idCol: String, textCol: String,
+                   prev: DataFrame, prevIdCol: String,
+                   prevTextCol: String): DataFrame = {
+    val old = prev.select(col(prevIdCol).as("id"),
+      md5(col(prevTextCol)).as("__old_hash"))
+    batch.select(col(idCol).as("id"), md5(col(textCol)).as("text_hash"))
+      .join(old, Seq("id"), "left")
+      .select(col("id"), col("text_hash"),
+        when(col("__old_hash").isNull, "new")
+          .when(col("__old_hash") =!= col("text_hash"), "changed")
+          .otherwise("unchanged").as("op"))
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   /** RE2-compatible PII patterns (no lookarounds — identical semantics in

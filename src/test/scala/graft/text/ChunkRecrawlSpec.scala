@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** chunkTokens / recrawlDelta / anchorTextIndex unit gates (q94/q95/q93's
+  * oracle checks the closed-form fixtures; these pin the operator
+  * semantics on adversarial shapes). */
+class ChunkRecrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .appName("chunk-recrawl-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("chunkTokens: tiling covers every token exactly, overlap = size-stride") {
+    val txt = (1 to 95).map(i => s"t$i").mkString(" ") // 95 tokens
+    val out = PipelineOps.chunkTokens(docs(1L -> txt), "doc_id", "text",
+        chunkSize = 40, stride = 30)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // chunks at 0, 30, 60, 90; last is the 5-token tail
+    assert(out.toSeq === Seq((0L, 0L, 40L), (1L, 30L, 40L),
+      (2L, 60L, 35L), (3L, 90L, 5L)))
+    // full coverage: union of [start, start+len) = [0, 95)
+    val covered = out.flatMap { case (_, s0, l) => s0 until (s0 + l) }.toSet
+    assert(covered === (0L until 95L).toSet)
+  }
+
+  test("chunkTokens: doc shorter than one chunk yields exactly one chunk") {
+    val out = PipelineOps.chunkTokens(docs(1L -> "a b c"), "doc_id", "text",
+        chunkSize = 40, stride = 30).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(3) === 3L) // tok_len
+  }
+
+  test("chunkTokens: stride == chunkSize degenerates to packSequences tiling") {
+    val txt = (1 to 10).map(_.toString).mkString(" ")
+    val out = PipelineOps.chunkTokens(docs(1L -> txt), "doc_id", "text",
+        chunkSize = 4, stride = 4)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 4L), (4L, 4L), (8L, 2L)))
+  }
+
+  test("recrawlDelta classifies new / changed / unchanged") {
+    val prev = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    val batch = docs(2L -> "beta", 3L -> "GAMMA2", 4L -> "delta")
+    val out = PipelineOps.recrawlDelta(batch, "doc_id", "text",
+        prev, "doc_id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq === Seq((2L, "unchanged"), (3L, "changed"), (4L, "new")))
+  }
+
+  test("recrawlDelta plan: no exchange carries the text columns") {
+    val prev = docs(1L -> "alpha")
+    val batch = docs(1L -> "alpha", 2L -> "b")
+    val plan = PipelineOps.recrawlDelta(batch, "doc_id", "text",
+      prev, "doc_id", "text").queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val cols = e.output.map(_.name)
+      assert(!cols.contains("text"), s"exchange carries text: $cols")
+    }
+  }
+
+  test("anchorTextIndex aggregates (dst_domain, anchor_text)") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      (1L, """<p>x</p><a href="https://a.org/1">hello</a><a class="z" href="https://b.org/2">world</a>"""),
+      (2L, """<a href="https://a.org/9" rel="nofollow">hello</a>""")
+    ).toDF("doc_id", "html")
+    val out = PipelineOps.anchorTextIndex(pages, "doc_id", "html")
+      .orderBy("dst_domain", "anchor_text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(("a.org", "hello", 2L, 2L),
+      ("b.org", "world", 1L, 1L)))
+  }
+}
