@@ -281,6 +281,28 @@ object EntryRound4 {
         .select(shiftright(col("cell"), 58).as("res"),
           col("cell").bitwiseAND(lit((1L << 58) - 1)).as("morton"))
         .orderBy("res", "morton")
+    }),
+
+    // vocabulary building: 50 most frequent tokens per language through
+    // the skew-safe two-phase top-k (languages are mega-groups at crawl
+    // scale) — the oracle ranks the same exact counts
+    "q97_vocab_topk" -> ((s, dir) =>
+      PipelineOps.vocabTopK(
+          s.read.parquet(s"$dir/documents.parquet"), "lang", "text", k = 50)
+        .orderBy("lang", "rank")),
+
+    // raster map algebra: focal (3x3 Moore) sum over a page-density
+    // surface on a 64x64 lattice — scatter-gather, exact integer sums
+    "q98_focal_sum" -> ((s, dir) => {
+      // iy takes the SECOND radix-64 digit so (ix, iy) spreads over the
+      // 2-D lattice — ix and iy both mod-64 of a multiple of doc_id would
+      // collapse the raster to a 64-cell diagonal orbit
+      val cells = s.read.parquet(s"$dir/documents.parquet")
+        .select(((col("doc_id") * 48271) % 64).as("ix"),
+          expr("((doc_id * 16807) div 64) % 64").as("iy"), col("n_chars"))
+        .groupBy("ix", "iy").agg(sum(col("n_chars")).as("v"))
+      graft.cells.FocalOps.focalSum(cells, "ix", "iy", "v", radius = 1)
+        .orderBy("ix", "iy")
     })
   )
 
@@ -574,6 +596,33 @@ object EntryRound4 {
       "WITH " + (base +: rounds).mkString(",\n") +
         s"\nSELECT cell >> 58 AS res, cell & $m AS morton FROM s0 " +
         "ORDER BY res, morton"
-    }
+    },
+
+    "q97_vocab_topk" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |c AS (SELECT lang, w, count(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, w, n,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY n DESC, w) AS rank
+        |      FROM c)
+        |SELECT lang, w, n, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
+
+    "q98_focal_sum" ->
+      """WITH c AS (
+        |  SELECT ix, iy, CAST(sum(n_chars) AS BIGINT) AS v
+        |  FROM (SELECT (doc_id * 48271) % 64 AS ix,
+        |               ((doc_id * 16807) // 64) % 64 AS iy, n_chars
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT a.ix, a.iy, a.v,
+        |  CAST(sum(b.v) AS BIGINT) AS focal_sum,
+        |  count(*) AS n_nbrs
+        |FROM c a JOIN c b
+        |  ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+        | AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+        |GROUP BY a.ix, a.iy, a.v
+        |ORDER BY a.ix, a.iy""".stripMargin
   )
 }

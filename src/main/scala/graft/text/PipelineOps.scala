@@ -494,6 +494,38 @@ object PipelineOps {
         col("n_tokens"))
   }
 
+  // ------------------------------------------------------ vocabulary top-k
+
+  /** Corpus vocabulary: the k most frequent tokens per language, ranked by
+    * (count DESC, token ASC) — the vocabulary-building step of a tokenizer
+    * pipeline, and the capPerDomain idea applied to a string key.
+    *
+    * Scale: tokenize → partial-aggregated (lang, token) counts (map-side
+    * combine eats the token zipf head before the exchange), then the
+    * skew-safe two-phase top-k: per-(lang, salt) prune bounds any language
+    * — a language IS a mega-group; 'en' holds most of a real crawl — to
+    * salts·k candidate rows before the exact per-language rank. The salt
+    * hashes the token, which only PARTITIONS the candidate set (any
+    * partition's per-salt top-k is a superset of its global-top-k
+    * members), so the result is engine- and partitioning-independent. */
+  def vocabTopK(df: DataFrame, langCol: String, textCol: String,
+                k: Int, salts: Int = 16): DataFrame = {
+    val counts = df
+      .select(col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+    val order = Seq(col("n").desc, col("w").asc)
+    counts
+      .withColumn("__salt", pmod(hash(col("w")), lit(salts)))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("lang", "__salt").orderBy(order: _*)))
+      .where(col("__pr") <= k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(order: _*)))
+      .where(col("rank") <= k)
+      .select(col("lang"), col("w"), col("n"), col("rank"))
+  }
+
   // -------------------------------------------------------- recrawl delta
 
   /** Recrawl ingest classification: label every page of a fresh crawl

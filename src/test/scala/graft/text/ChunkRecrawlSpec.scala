@@ -81,6 +81,30 @@ class ChunkRecrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocabTopK: exact ranks with count-desc/token-asc tiebreak, salt-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "en", "a a a b b c d"),
+      (2L, "en", "b c c e"),
+      (3L, "fr", "x y y")
+    ).toDF("doc_id", "lang", "text")
+    // en counts: a=3, b=3, c=3, d=1, e=1 → top3 = a, b, c (tie by token)
+    val out = PipelineOps.vocabTopK(df, "lang", "text", k = 3)
+      .orderBy("lang", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    assert(out.toSeq === Seq(
+      ("en", "a", 3L, 1), ("en", "b", 3L, 2), ("en", "c", 3L, 3),
+      ("fr", "y", 2L, 1), ("fr", "x", 1L, 2)))
+    // result must not depend on the salt count (pruning superset property)
+    val s1 = PipelineOps.vocabTopK(df, "lang", "text", k = 3, salts = 1)
+      .orderBy("lang", "rank").collect().toSeq
+    val s64 = PipelineOps.vocabTopK(df, "lang", "text", k = 3, salts = 64)
+      .orderBy("lang", "rank").collect().toSeq
+    assert(s1 === s64)
+  }
+
   test("anchorTextIndex aggregates (dst_domain, anchor_text)") {
     val s = spark
     import s.implicits._
