@@ -303,6 +303,49 @@ object EntryRound4 {
         .groupBy("ix", "iy").agg(sum(col("n_chars")).as("v"))
       graft.cells.FocalOps.focalSum(cells, "ix", "iy", "v", radius = 1)
         .orderBy("ix", "iy")
+    }),
+
+    // collocation mining: bigram PMI in integer micro-nats over adjacent
+    // token pairs with corpus count >= 5 — a floating-point statistic made
+    // bit-exact by exact-integer operands and one shared double expression
+    "q99_bigram_pmi" -> ((s, dir) =>
+      PipelineOps.bigramPmi(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          minCount = 5)
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))),
+
+    // crawl discovery: Sitemap directives lifted from every domain's
+    // robots.txt (RFC 9309 non-group lines — the hand-off from the
+    // politeness gate to the q92 sitemap ingest)
+    "q100_sitemap_discovery" -> ((s, dir) => {
+      import graft.sources.Robots
+      Pages.robotsTxt(s, dir)
+        .select(col("domain"),
+          explode(Robots.sitemapUrlsCol(col("robots_txt")))
+            .as("sitemap_url"))
+        .orderBy("domain")
+    }),
+
+    // metadata-only fast append WITH schema evolution: v2 appends new
+    // rows carrying a column v1's files lack; the merged read returns
+    // null-for-old (surfaced as '-'), and every v1 file must carry over
+    // by reference (the O(new-data) commit contract)
+    "q101_snapshot_evolve" -> ((s, dir) => {
+      val t = new SnapshotTable(SparkEntry.scratch(s, "evolve", dir) + "/" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val s1 = t.commit(docs.select(col("doc_id"), col("text")),
+        "append", "base")
+      val s2 = t.append(docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(lit("V2 "), col("text")).as("text"), col("lang")),
+        "evolved batch")
+      require(s1.files.map(_.path).toSet.subsetOf(s2.files.map(_.path).toSet),
+        "fast append must carry every parent file over by reference")
+      t.read(s)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"),
+          coalesce(col("lang"), lit("-")).as("lang"))
+        .orderBy("doc_id")
     })
   )
 
@@ -623,6 +666,42 @@ object EntryRound4 {
         |  ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
         | AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
         |GROUP BY a.ix, a.iy, a.v
-        |ORDER BY a.ix, a.iy""".stripMargin
+        |ORDER BY a.ix, a.iy""".stripMargin,
+
+    "q99_bigram_pmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |bg AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok),
+        |c12 AS (SELECT w1, w2, count(*) AS c FROM bg WHERE w2 IS NOT NULL
+        |        GROUP BY 1, 2),
+        |c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM tok) AS n,
+        |               (SELECT sum(c) FROM c12) AS b)
+        |SELECT c12.w1, c12.w2, c12.c,
+        |  CAST(round(ln((c12.c * n * n) / (b * a.c * d.c * 1.0)) * 1e6, 0)
+        |    AS BIGINT) AS pmi_micro
+        |FROM c12, tot
+        |JOIN c1 a ON c12.w1 = a.w
+        |JOIN c1 d ON c12.w2 = d.w
+        |WHERE c12.c >= 5
+        |ORDER BY pmi_micro DESC, w1, w2""".stripMargin,
+
+    "q100_sitemap_discovery" ->
+      """SELECT DISTINCT
+        |  'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' AS domain,
+        |  'https://host' || CAST(doc_id % 97 AS VARCHAR)
+        |    || '.example.org/sitemap.xml' AS sitemap_url
+        |FROM documents ORDER BY domain""".stripMargin,
+
+    "q101_snapshot_evolve" ->
+      """SELECT doc_id, md5(text) AS text_hash, '-' AS lang FROM documents
+        |UNION ALL
+        |SELECT doc_id + 400000, md5('V2 ' || text), lang
+        |FROM documents WHERE doc_id % 11 = 0
+        |ORDER BY doc_id""".stripMargin
   )
 }

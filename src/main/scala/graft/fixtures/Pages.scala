@@ -169,8 +169,9 @@ object Pages {
             "Disallow: /never\n\n" +
             "User-agent: *\nCrawl-delay: 5\nDisallow: /p/"), k5,
           lit("\nAllow: /p/"), k5,
-          lit("/ok\nDisallow: /private\n" +
-            "Sitemap: https://example.org/sitemap.xml\n")).as("robots_txt"))
+          lit("/ok\nDisallow: /private\nSitemap: https://host"),
+          col("k").cast("string"),
+          lit(".example.org/sitemap.xml\n")).as("robots_txt"))
   }
 
   /** Crawl-frontier url set hitting every rule shape of `robotsTxt`:

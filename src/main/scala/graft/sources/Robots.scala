@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** robots.txt (Robots Exclusion Protocol, RFC 9309) — the crawl-politeness
@@ -98,6 +98,21 @@ object Robots {
     * obeys, if that group declares one. */
   def crawlDelay(groups: Seq[Group], ua: String): Option[Int] =
     chosenGroups(groups, ua).flatMap(_.crawlDelay).headOption
+
+  /** `Sitemap:` directives of a robots.txt — per RFC 9309 §2.3 these are
+    * non-group lines (they apply regardless of user-agent), which is why
+    * `parse` skips them; the crawl-discovery stage reads them here. The
+    * column form is a codegen'd multi-line regexp — document order
+    * preserved, no UDF. */
+  def sitemapUrlsCol(robotsTxt: Column): Column =
+    regexp_extract_all(robotsTxt,
+      lit("(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)"), lit(1))
+
+  /** Driver-side twin of `sitemapUrlsCol` for parsed-policy callers. */
+  def sitemapUrls(txt: String): Seq[String] =
+    txt.linesIterator.map(_.trim)
+      .filter(_.toLowerCase.startsWith("sitemap:"))
+      .map(_.substring("sitemap:".length).trim).filter(_.nonEmpty).toSeq
 
   // wildcard patterns compiled once per executor (robots rule sets are
   // tiny and shared across billions of urls — recompiling per row was

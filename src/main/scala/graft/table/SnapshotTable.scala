@@ -109,6 +109,18 @@ class SnapshotTable(val root: String) {
     commitFiles(files, operation, stage)
   }
 
+  /** Incremental (fast) append — Iceberg's most common commit: `df`'s
+    * rows become new data files, every parent file carries over BY
+    * REFERENCE, so the commit cost is O(new data) regardless of table
+    * size. The appended frame may carry columns the existing files lack
+    * (schema evolution): reads merge schemas across file generations and
+    * older files return null for later-added columns. */
+  def append(df: DataFrame, stage: String): Snapshot = {
+    val parent = current.map(_.files).getOrElse(Seq.empty)
+    val (_, files) = writeDataFiles(df)
+    commitFiles(parent ++ files, "append", stage)
+  }
+
   /** Write `df`'s rows as immutable files under a fresh data id WITHOUT
     * committing a snapshot — the data half of copy-on-write operations. */
   private def writeDataFiles(df: DataFrame): (String, Seq[FileMetrics]) = {
@@ -382,7 +394,11 @@ class SnapshotTable(val root: String) {
 
   private def readFiles(spark: SparkSession, files: Seq[FileMetrics]): DataFrame = {
     require(files.nonEmpty, s"snapshot under $root has no data files")
-    spark.read.parquet(files.map(_.path): _*)
+    // mergeSchema: file generations may differ after an evolving append —
+    // the union schema is the table schema, files missing a column read
+    // null (Iceberg keeps the schema in table metadata; here the parquet
+    // footers, already read once per commit for stats, stand in for it)
+    spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
   }
 
   /** Stats-pruned scan: read only the files whose `[min, max]` bound for

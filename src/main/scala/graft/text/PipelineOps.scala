@@ -526,6 +526,50 @@ object PipelineOps {
       .select(col("lang"), col("w"), col("n"), col("rank"))
   }
 
+  // ---------------------------------------------------------- bigram PMI
+
+  /** Corpus-level bigram association mining: pointwise mutual information
+    * PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) for every adjacent token
+    * pair occurring at least `minCount` times — the collocation/phrase
+    * detection step of a tokenizer or phrase-vocab pipeline (Mikolov-style
+    * phrase merging uses exactly this score). Reported in integer
+    * micro-nats (the q79 LM trick): both engines evaluate the IDENTICAL
+    * double expression — exact-integer numerator and denominator (each
+    * < 2^53, so exactly representable) in ONE division, one `ln`, one
+    * round — which is what makes a floating-point statistic bit-exact
+    * across engines.
+    *
+    * Scale: tokens localCheckpoint once (three consumers: bigram counts,
+    * unigram counts, the N scalar); bigrams come from `lead` over the
+    * (id, pos) window — one exchange on id carrying (id, pos, token);
+    * counts partial-aggregate map-side; unigram side broadcasts twice
+    * onto the minCount-filtered bigram table. At real scale N/B are
+    * corpus manifest stats and the tokenize pass is shared with the
+    * vocab/LM jobs. */
+  def bigramPmi(df: DataFrame, idCol: String, textCol: String,
+                minCount: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .localCheckpoint(true)
+    val bg = tok
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy("id").orderBy("pos")))
+      .where(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("cu"))
+    val n = tok.agg(count(lit(1))).head().getLong(0)
+    val b = bg.agg(sum(col("c"))).head().getLong(0)
+    bg.where(col("c") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), "w2")
+      .select(col("w1"), col("w2"), col("c"),
+        round(log((col("c") * n * n) /
+          (lit(b) * col("c1") * col("c2") * lit(1.0))) * 1e6, 0)
+          .cast("long").as("pmi_micro"))
+  }
+
   // -------------------------------------------------------- recrawl delta
 
   /** Recrawl ingest classification: label every page of a fresh crawl

@@ -118,4 +118,19 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"rules must broadcast:\n$plan")
   }
+
+  test("sitemap directives: non-group lines, both forms, order kept") {
+    assert(Robots.sitemapUrls(txt) === Seq("https://x/sitemap.xml"))
+    val multi = "Sitemap: https://a/1.xml\nUser-agent: *\nDisallow: /\n" +
+      "  sitemap:https://a/2.xml\nSiteMap: \n"
+    assert(Robots.sitemapUrls(multi) ===
+      Seq("https://a/1.xml", "https://a/2.xml"))
+    val s = spark
+    import s.implicits._
+    val col0 = Seq(multi).toDF("t")
+      .select(org.apache.spark.sql.functions.explode(
+        Robots.sitemapUrlsCol(org.apache.spark.sql.functions.col("t"))))
+      .collect().map(_.getString(0))
+    assert(col0.toSeq === Seq("https://a/1.xml", "https://a/2.xml"))
+  }
 }

@@ -110,6 +110,28 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r2)
   }
 
+  test("fast append: parent files by reference, schema evolution reads") {
+    import spark.implicits._
+    val t = new SnapshotTable(tmpRoot())
+    val s1 = t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "append", "base")
+    // appended batch carries a NEW column the base files lack
+    val s2 = t.append(Seq((3L, "c", "en")).toDF("id", "v", "lang"), "evolved")
+    assert(s2.parentId.contains(s1.id))
+    assert(s1.files.map(_.path).toSet.subsetOf(s2.files.map(_.path).toSet),
+      "append must reuse every parent file")
+    assert(s2.rows == 3)
+    val cur = t.read(spark).orderBy("id")
+      .select(col("id"), col("v"), coalesce(col("lang"), lit("-")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(cur.toSeq === Seq((1L, "a", "-"), (2L, "b", "-"), (3L, "c", "en")))
+    // time travel to v1 shows the PRE-evolution schema
+    assert(!t.readAt(spark, 1).columns.contains("lang"))
+    // appending to an empty table is a plain first commit
+    val t2 = new SnapshotTable(tmpRoot())
+    assert(t2.append(Seq((9L, "z")).toDF("id", "v"), "first").version == 1)
+  }
+
   test("readers see the old snapshot until the pointer swap") {
     import spark.implicits._
     val t = new SnapshotTable(tmpRoot())

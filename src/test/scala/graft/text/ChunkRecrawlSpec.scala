@@ -105,6 +105,29 @@ class ChunkRecrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1 === s64)
   }
 
+  test("bigramPmi: exact micro-nat scores against hand math") {
+    // one doc: "a b a b a b" → bigrams: (a,b)x3, (b,a)x2; unigrams a=3 b=3
+    // N=6 tokens, B=5 bigrams
+    val df = docs(1L -> "a b a b a b")
+    val out = PipelineOps.bigramPmi(df, "doc_id", "text", minCount = 2)
+      .orderBy("w1").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    def pmi(c: Long, c1: Long, c2: Long): Long =
+      math.round(math.log((c * 6L * 6L) / (5L * c1 * c2 * 1.0)) * 1e6)
+    assert(out(("a", "b")) === ((3L, pmi(3, 3, 3))))
+    assert(out(("b", "a")) === ((2L, pmi(2, 3, 3))))
+  }
+
+  test("bigramPmi: minCount prunes and bigrams never cross documents") {
+    // "x y" in two docs (c=2); the doc boundary between y|x must not
+    // create a (y, x) bigram
+    val df = docs(1L -> "x y", 2L -> "x y")
+    val out = PipelineOps.bigramPmi(df, "doc_id", "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(("x", "y")))
+  }
+
   test("anchorTextIndex aggregates (dst_domain, anchor_text)") {
     val s = spark
     import s.implicits._
