@@ -346,6 +346,50 @@ object EntryRound4 {
         .select(col("doc_id"), md5(col("text")).as("text_hash"),
           coalesce(col("lang"), lit("-")).as("lang"))
         .orderBy("doc_id")
+    }),
+
+    // WKT source round-trip into the flagship surrogate: the tract
+    // geometry is RENDERED to WKT text and PARSED back before the q04
+    // pipeline runs — the oracle is the q04 area oracle at code 150, so
+    // a single coordinate smeared by the text codec fails 2,000+ rows
+    "q102_wkt_srg" -> ((s, dir) => {
+      import graft.fixtures.TpchGeo
+      import graft.sources.Wkt
+      val viaWkt = TpchGeo.tracts(s, dir)
+        .select(col("p_partkey"), col("p_size"),
+          Wkt.toWktCol(col("geom")).as("wkt"))
+        .select(col("p_partkey"), col("p_size"),
+          Wkt.polygonCol(col("wkt")).as("geom"))
+      graft.operators.Surrogate.polySurrogate(viaWkt, TpchGeo.counties(s),
+        TpchGeo.grid, TpchGeo.domain, TpchGeo.zres, srgCode = 150,
+        weight = Some("p_size"))
+    }),
+
+    // compacted-coverage membership: hot cells (>= 3 pages at res 4) are
+    // COMPACTED to the minimal mixed-resolution set, then pages probe it
+    // via their ancestor chain (one key per level) — the oracle computes
+    // plain hot-cell membership without ever seeing the index, so the
+    // compact + multi-res join must be semantically invisible
+    "q103_compact_membership" -> ((s, dir) => {
+      import graft.fixtures.TpchGeo
+      import graft.spark.GeoFunctions
+      val d = TpchGeo.domain; val res = 4 // 16x16 cells of 512 units
+      val pg = Pages.geotag(Pages.pages(s, dir))
+        .select(col("url"), col("x"), col("y"))
+      val withCell = pg.withColumn("cell",
+        GeoFunctions.cellEncode(col("x"), col("y"), d, res))
+      val hot = withCell.groupBy("cell").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3).select("cell")
+      val compacted = graft.cells.CellSetOps.compactCells(hot, "cell")
+      withCell
+        .select(col("x"), col("y"),
+          explode(GeoFunctions.cellAncestors(col("x"), col("y"), d, res))
+            .as("cell"))
+        .join(broadcast(compacted), Seq("cell"))
+        .select(floor(col("x") / 512).cast("long").as("ix"),
+          floor(col("y") / 512).cast("long").as("iy"))
+        .groupBy("ix", "iy").agg(count(lit(1)).as("n_pages"))
+        .orderBy("ix", "iy")
     })
   )
 
@@ -702,6 +746,20 @@ object EntryRound4 {
         |UNION ALL
         |SELECT doc_id + 400000, md5('V2 ' || text), lang
         |FROM documents WHERE doc_id % 11 = 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the q04 area-surrogate oracle verbatim at the WKT query's code —
+    // the text codec must be invisible in the output
+    "q102_wkt_srg" -> SparkEntry.srgAreaStmtFor(150, "p_size"),
+
+    "q103_compact_membership" -> {
+      s"""WITH pts AS (${Pages.geotaggedSql}),
+         |t AS (SELECT CAST(floor(x / 512) AS BIGINT) AS ix,
+         |             CAST(floor(y / 512) AS BIGINT) AS iy
+         |      FROM pts)
+         |SELECT ix, iy, count(*) AS n_pages
+         |FROM t GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY ix, iy""".stripMargin
+    }
   )
 }
