@@ -1,0 +1,328 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Pages
+import graft.text.{CrawlOps, PipelineOps}
+
+/** Round-4 batch 2: crawl-index and retrieval operators — per-domain
+  * boilerplate detection (CCNet), CDX/SURT capture index with revisit
+  * classification (ISO 28500 dedupe model), inverted-index tf-idf top-k
+  * retrieval, and integer HITS hubs/authorities. Same oracle discipline as
+  * EntryRound4: exact integer stats, md5 identity, identical expression
+  * chains on both engines, iterative jobs gated by unrolled-CTE oracles. */
+object EntryRound4b {
+
+  /** Templated pages: a 16-token per-domain header (nav-bar stand-in)
+    * prepended to every document of the domain — the closed form both
+    * engines rebuild exactly. 7 domains so every domain has enough pages
+    * to cross the boilerplate threshold at every SF. */
+  private def templatedDocs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("d"), (col("doc_id") % 7).cast("string")).as("domain"),
+        concat(
+          expr("array_join(transform(sequence(0, 15), i -> " +
+            "concat('m', CAST(doc_id % 7 AS STRING), '_', CAST(i AS STRING))), ' ')"),
+          lit(" "), col("text")).as("text"))
+
+  /** Multi-capture crawl: 1 + (doc_id % 3) captures per page, a day apart;
+    * the third capture (j = 2) carries modified content, so j = 1 is the
+    * classic byte-identical revisit and j = 2 a fresh response. */
+  private def captures(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0L, doc_id % 3)")).as("j"))
+      .select(
+        concat(lit("https://host"), (col("doc_id") % 97).cast("string"),
+          lit(".example.org/doc/"), col("doc_id").cast("string")).as("url"),
+        (lit(1600000000L) + col("doc_id") * 137L + col("j") * 86400L).as("ts"),
+        when(col("j") === 2, concat(lit("MOD "), col("text")))
+          .otherwise(col("text")).as("text"))
+
+  private val tfidfQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join"),
+    2 -> Seq("window", "merge", "stream"),
+    3 -> Seq("customer"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CCNet-style per-domain boilerplate: 16-token chunks repeated in >= 3
+    // distinct docs of a domain are template text; the injected per-domain
+    // header makes chunk 0 boilerplate everywhere, and the oracle recomputes
+    // the whole chunk/hash/threshold pipeline from the same closed form
+    "q104_boilerplate" -> ((s, dir) =>
+      CrawlOps.boilerplateChunks(templatedDocs(s, dir),
+          "doc_id", "domain", "text", chunkTokens = 16, minDocs = 3)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_boiler"),
+          col("boiler_pct"))
+        .orderBy("doc_id")),
+
+    // CDX capture index: SURT keys via the real reverse-host transform,
+    // revisit classification via the (url, digest) first-capture window —
+    // the oracle predicts surt/digest/op in closed form WITHOUT the
+    // transform, so the string machinery is independently certified
+    "q105_cdx_index" -> ((s, dir) =>
+      CrawlOps.cdxIndex(captures(s, dir), "url", "ts", "text")
+        .orderBy("surt", "ts")),
+
+    // inverted-index retrieval: top-10 docs for three bag-of-terms queries
+    // under exact-integer tf-idf (idf in micro-units via the one-double-op
+    // discipline); two-phase salted top-k per query
+    "q106_tfidf_topk" -> ((s, dir) =>
+      CrawlOps.tfidfTopK(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          tfidfQueries, k = 10)
+        .withColumn("doc_id", col("id")).drop("id")
+        .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+        .orderBy("qid", "rank")),
+
+    // 2-round integer HITS over the q87 link graph: hubs and authorities
+    // max-norm-rescaled to milli-units each half-pass — the oracle unrolls
+    // the identical mutually-recursive integer recurrence
+    "q107_hits" -> ((s, dir) =>
+      graft.graph.Hits.hits(
+          PipelineOps.domainLinkGraph(Pages.linkPages(s, dir),
+            "doc_id", "url", "html"),
+          iters = 2)
+        .orderBy("domain")),
+
+    // z-order-clustered snapshot + 2-D manifest pruning: geotagged pages
+    // written sorted by Morton z-value, a bounding-box read through the
+    // per-file (ix, iy) stats envelope — the in-query require proves files
+    // were actually skipped, and the oracle (a plain filter over the
+    // closed-form geotag) proves the index is invisible in the result
+    "q108_zorder_prune" -> ((s, dir) => {
+      import graft.cells.ZOrder
+      import graft.table.SnapshotTable
+      val t = new SnapshotTable(SparkEntry.scratch(s, "zorder", dir) + "/" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val pts = Pages.geotag(Pages.pages(s, dir))
+        .select((col("x") / 256).cast("long").as("ix"),
+          (col("y") / 256).cast("long").as("iy"))
+      val z = ZOrder.zvalue(col("ix"), col("iy"))
+      t.commit(pts.repartitionByRange(8, z).sortWithinPartitions(z),
+        "append", "zorder pages")
+      val box = Seq(("ix", 8L, 11L), ("iy", 16L, 23L))
+      val pruned = t.prunedFilesWhere(box)
+      require(pruned.size < t.current.get.files.size,
+        s"z-order layout degenerated: bbox scan reads all " +
+          s"${t.current.get.files.size} files")
+      t.readWhereBox(s, box)
+        .groupBy("ix", "iy").agg(count(lit(1)).as("n_pages"))
+        .orderBy("ix", "iy")
+    }),
+
+    // near-dup cluster canonicalization: connected components (the q47
+    // pair/CC machinery) + keep-best-by-(length DESC, id ASC) — the oracle
+    // recomputes clusters by recursive reachability and the argmax by
+    // window rank, certifying the keep/drop decision table row-for-row
+    "q109_canonical_dedup" -> ((s, dir) => {
+      import graft.fixtures.TextFixtures
+      import graft.text.TextOps
+      val corpus = TextFixtures.nearDupCorpus(s, dir, " graftmark near dup copy")
+        .localCheckpoint(true)
+      PipelineOps.canonicalPerCluster(
+          TextOps.dedupComponents(corpus, "doc_id", "text", n = 3, tau = 0.5),
+          "doc_id", "rep_id",
+          corpus.select(col("doc_id"), length(col("text")).as("q")),
+          "doc_id", "q")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Jelinek-Mercer interpolated bigram LM (0.7 bigram + 0.3 add-one
+    // unigram, two backoff tiers), trained on the even-id half, scoring
+    // every doc in integer micro-nats — the oracle rebuilds counts with
+    // the identical window/join chain and the identical one-division
+    // three-arm probability expression
+    "q110_bigram_lm" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val lm = graft.text.NgramLm.trainBigram(
+        docs.where(col("doc_id") % 2 === 0), "text")
+      graft.text.NgramLm.scoreBigram(docs, "doc_id", "text", lm)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("sum_unll"),
+          col("avg_unll"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q104_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+        |    'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+        |    array_to_string(list_transform(range(0, 16),
+        |      i -> 'm' || CAST(doc_id % 7 AS VARCHAR) || '_' || CAST(i AS VARCHAR)),
+        |      ' ') || ' ' || text AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id, domain, string_split(t, ' ') AS toks FROM d),
+        |c AS (SELECT doc_id, domain,
+        |        CAST((len(toks) + 15) // 16 AS BIGINT) AS n_chunks,
+        |        unnest(range((len(toks) + 15) // 16)) AS chunk_id, toks
+        |      FROM s),
+        |h AS (SELECT doc_id, domain, n_chunks, chunk_id,
+        |        md5(array_to_string(
+        |          toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ')) AS h
+        |      FROM c),
+        |b AS (SELECT domain, h FROM h
+        |      GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3),
+        |f AS (SELECT h.doc_id, h.n_chunks,
+        |        CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_boiler
+        |      FROM h LEFT JOIN b ON h.domain = b.domain AND h.h = b.h
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, n_chunks, n_boiler,
+        |  (100 * n_boiler) // n_chunks AS boiler_pct
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q105_cdx_index" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    unnest(range(doc_id % 3 + 1)) AS j FROM documents)
+        |SELECT 'org,example,host' || CAST(doc_id % 97 AS VARCHAR)
+        |    || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+        |  CAST(1600000000 + doc_id * 137 + j * 86400 AS BIGINT) AS ts,
+        |  md5(CASE WHEN j = 2 THEN 'MOD ' || text ELSE text END) AS digest,
+        |  CASE WHEN j = 1 THEN 'revisit' ELSE 'response' END AS op
+        |FROM c ORDER BY surt, ts""".stripMargin,
+
+    "q106_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |p AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT doc_id) AS nn FROM p),
+        |idf AS (SELECT w,
+        |          CAST(round(ln((nn + 1.0) / (count(*) + 1)) * 1e6, 0)
+        |            AS BIGINT) AS idf_micro
+        |        FROM p, n GROUP BY w, nn),
+        |q AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'), (2, 'window'),
+        |        (2, 'merge'), (2, 'stream'), (3, 'customer')) t(qid, w)),
+        |sc AS (SELECT q.qid, p.doc_id, sum(p.tf * idf.idf_micro) AS score
+        |       FROM p JOIN q ON p.w = q.w JOIN idf ON p.w = idf.w
+        |       GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT CAST(qid AS INT) AS qid, CAST(rank AS INT) AS rank, doc_id,
+        |  CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q107_hits" -> {
+      // the q87/q88 edge derivation, then the HITS recurrence unrolled —
+      // identical integer arithmetic to Hits.hits (Scale = 1e6, max-norm,
+      // integer div), one (authority, hub) CTE pair per round
+      val edgeCtes =
+        """nd AS (SELECT count(*) AS nn FROM documents),
+          |raw AS (SELECT doc_id,
+          |         'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+          |           AS src_domain,
+          |         unnest([(doc_id * 31 + 7919) % nn, (doc_id * 31 + 15838) % nn,
+          |                 (doc_id * 31 + 23757) % nn]) AS t
+          |       FROM documents, nd),
+          |e AS (SELECT src_domain,
+          |        'host' || CAST(t % 97 AS VARCHAR) || '.example.org' AS dst_domain,
+          |        count(*) AS n_links
+          |      FROM raw GROUP BY 1, 2),
+          |nodes AS (SELECT DISTINCT src_domain AS domain FROM e
+          |          UNION SELECT DISTINCT dst_domain FROM e),
+          |h0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS h FROM nodes)""".stripMargin
+      val rounds = (1 to 2).map { k =>
+        s"""ar$k AS (SELECT n.domain, coalesce(s.a, 0) AS a
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst_domain AS domain, sum(p.h * e.n_links) AS a
+           |    FROM e JOIN h${k - 1} p ON e.src_domain = p.domain GROUP BY 1) s
+           |  ON n.domain = s.domain),
+           |am$k AS (SELECT max(a) AS m FROM ar$k),
+           |a$k AS (SELECT domain, (a * 1000000) // m AS a FROM ar$k, am$k),
+           |hr$k AS (SELECT n.domain, coalesce(s.h, 0) AS h
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.src_domain AS domain, sum(p.a * e.n_links) AS h
+           |    FROM e JOIN a$k p ON e.dst_domain = p.domain GROUP BY 1) s
+           |  ON n.domain = s.domain),
+           |hm$k AS (SELECT max(h) AS m FROM hr$k),
+           |h$k AS (SELECT domain, (h * 1000000) // m AS h FROM hr$k, hm$k)""".stripMargin
+      }
+      "WITH " + (edgeCtes +: rounds).mkString(",\n") +
+        """
+          |SELECT a2.domain, CAST(a2.a AS BIGINT) AS auth,
+          |  CAST(h2.h AS BIGINT) AS hub
+          |FROM a2 JOIN h2 ON a2.domain = h2.domain ORDER BY a2.domain""".stripMargin
+    },
+
+    "q108_zorder_prune" ->
+      s"""WITH pg AS (${Pages.geotaggedSql}),
+         |t AS (SELECT CAST(floor(x / 256) AS BIGINT) AS ix,
+         |             CAST(floor(y / 256) AS BIGINT) AS iy
+         |      FROM pg)
+         |SELECT ix, iy, count(*) AS n_pages
+         |FROM t WHERE ix BETWEEN 8 AND 11 AND iy BETWEEN 16 AND 23
+         |GROUP BY 1, 2 ORDER BY ix, iy""".stripMargin,
+
+    "q109_canonical_dedup" -> {
+      val corpusSql = graft.fixtures.TextFixtures
+        .nearDupCorpusSql(" graftmark near dup copy")
+      s"""WITH RECURSIVE
+         |c0 AS ($corpusSql),
+         |nodes AS (SELECT doc_id AS id FROM c0),
+         |p AS (SELECT id_a, id_b FROM (
+         |  ${EntryText.jaccardPairsSql(corpusSql, 0.5)}) jp),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         |          UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+         |r AS (
+         |  SELECT id AS u, id AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS rep_id FROM r GROUP BY u),
+         |j AS (SELECT comp.doc_id, comp.rep_id, len(c0.text) AS q
+         |      FROM comp JOIN c0 ON comp.doc_id = c0.doc_id),
+         |can AS (SELECT rep_id, doc_id AS canonical_id FROM (
+         |    SELECT rep_id, doc_id,
+         |      row_number() OVER (PARTITION BY rep_id
+         |                         ORDER BY q DESC, doc_id) AS rn
+         |    FROM j) x WHERE rn = 1)
+         |SELECT j.doc_id, j.rep_id, can.canonical_id,
+         |  CAST(CASE WHEN j.doc_id = can.canonical_id THEN 1 ELSE 0 END
+         |    AS INT) AS keep
+         |FROM j JOIN can ON j.rep_id = can.rep_id
+         |ORDER BY j.doc_id""".stripMargin
+    },
+
+    "q110_bigram_lm" ->
+      """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |ttok AS (SELECT doc_id,
+        |           generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS w
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM tr)),
+        |uni AS (SELECT w, count(*) AS c FROM ttok GROUP BY 1),
+        |nv AS (SELECT (SELECT sum(c) FROM uni) + (SELECT count(*) FROM uni)
+        |         AS d),
+        |bg AS (SELECT w AS w1,
+        |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |       FROM ttok),
+        |pairs AS (SELECT w1, w2, count(*) AS c12 FROM bg
+        |          WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |stok AS (SELECT doc_id,
+        |           generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS w2
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |               FROM documents)),
+        |seq AS (SELECT doc_id, pos, w2,
+        |          lag(w2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |        FROM stok),
+        |sc AS (SELECT s.doc_id,
+        |         CAST(round(-ln(
+        |           CASE WHEN s.w1 IS NULL OR u1.c IS NULL
+        |                THEN (coalesce(u2.c, 0) + 1) / d
+        |                WHEN p.c12 IS NULL
+        |                THEN (3 * (coalesce(u2.c, 0) + 1)) / (10 * d)
+        |                ELSE (7 * p.c12 * d
+        |                      + 3 * u1.c * (coalesce(u2.c, 0) + 1))
+        |                     / (10 * u1.c * d)
+        |           END) * 1e6, 0) AS BIGINT) AS unll
+        |       FROM seq s CROSS JOIN nv
+        |       LEFT JOIN uni u1 ON s.w1 = u1.w
+        |       LEFT JOIN uni u2 ON s.w2 = u2.w
+        |       LEFT JOIN pairs p ON s.w1 = p.w1 AND s.w2 = p.w2)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(unll) AS BIGINT) AS sum_unll,
+        |  CAST(sum(unll) // count(*) AS BIGINT) AS avg_unll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

@@ -187,7 +187,7 @@ object EntryText {
   private def stopCntSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
-  private def jaccardPairsSql(corpusSql: String, tau: Double): String =
+  private[graft] def jaccardPairsSql(corpusSql: String, tau: Double): String =
     s"""WITH corpus AS ($corpusSql),
        |w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM corpus),
        |shl AS (SELECT id, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]

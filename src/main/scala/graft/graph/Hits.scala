@@ -1,0 +1,83 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS (Kleinberg 1999) hubs-and-authorities over the link-weighted
+  * domain graph, in exact integer arithmetic — the [[DomainRank]]
+  * discipline applied to the mutually-recursive pair:
+  *
+  *   a_k(v) = Σ_{u→v} h_{k-1}(u) · w(u→v)        (authority update)
+  *   h_k(u) = Σ_{u→v} a_k(v)   · w(u→v)          (hub update)
+  *
+  * with each vector rescaled after its update to `Scale` milli-units of
+  * its maximum: `x' = (x · Scale) div max(x)` (integer div). Max-norm
+  * replaces the usual L2 norm so the whole computation stays in integer
+  * arithmetic — a fixed iteration count then yields BIT-IDENTICAL scores
+  * on any engine and any partitioning, which is what lets a DuckDB
+  * unrolled-CTE oracle gate an iterative distributed graph job.
+  *
+  * Overflow: after rescaling, every score is ≤ Scale, so one update term
+  * is ≤ Scale·w and a node's sum ≤ Scale·Σw — guarded by one tiny
+  * aggregate (total edge weight), same contract as DomainRank.
+  *
+  * Scale: state is one (domain, score) row per node; each half-iteration
+  * is one keyed join + one keyed integer sum, partial-aggregated map-side;
+  * `localCheckpoint` cuts lineage per pass; edges checkpoint once. The
+  * max(x) rescale is a single scalar aggregate per half-pass (at 10⁸
+  * domains: one long per executor → driver).
+  */
+object Hits {
+
+  final val Scale = 1000000L
+
+  /** `edges(src_domain, dst_domain, n_links)` → `(domain, auth, hub)` in
+    * milli-units of the per-vector maximum after `iters` full rounds. */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val nodes = edges.select(col("src_domain").as("domain"))
+      .unionByName(edges.select(col("dst_domain").as("domain")))
+      .distinct()
+      .localCheckpoint()
+    val ew = edges.select(col("src_domain"), col("dst_domain"),
+        col("n_links").cast("long").as("w"))
+      .localCheckpoint()
+    // worst case: an update term sums to Scale·totW, and the rescale
+    // multiplies THAT by Scale before dividing — so Scale²·totW must fit
+    val totW = ew.agg(sum(col("w"))).head().getLong(0)
+    require(totW > 0 && totW <= Long.MaxValue / Scale / Scale,
+      s"Scale=$Scale squared x total edge weight $totW would overflow Long" +
+        " — lower Scale or pre-bucket edge weights")
+
+    def rescale(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(max(col(c))).head().getLong(0)
+      require(mx > 0, s"degenerate $c vector: max <= 0")
+      scores.select(col("domain"),
+        expr(s"($c * ${Scale}L) div ${mx}L").as(c))
+    }
+
+    var hub = nodes.withColumn("h", lit(Scale)).localCheckpoint()
+    var auth: DataFrame = null
+    var k = 0
+    while (k < iters) {
+      val a = nodes
+        .join(ew.join(hub.withColumnRenamed("domain", "src_domain"),
+              "src_domain")
+            .select(col("dst_domain").as("domain"), (col("h") * col("w")).as("c"))
+            .groupBy("domain").agg(sum("c").as("a")),
+          Seq("domain"), "left")
+        .select(col("domain"), coalesce(col("a"), lit(0L)).as("a"))
+      auth = rescale(a, "a").localCheckpoint()
+      val h = nodes
+        .join(ew.join(auth.withColumnRenamed("domain", "dst_domain"),
+              "dst_domain")
+            .select(col("src_domain").as("domain"), (col("a") * col("w")).as("c"))
+            .groupBy("domain").agg(sum("c").as("h")),
+          Seq("domain"), "left")
+        .select(col("domain"), coalesce(col("h"), lit(0L)).as("h"))
+      hub = rescale(h, "h").localCheckpoint()
+      k += 1
+    }
+    nodes.join(auth, "domain").join(hub, "domain")
+      .select(col("domain"), col("a").as("auth"), col("h").as("hub"))
+  }
+}

@@ -419,13 +419,36 @@ class SnapshotTable(val root: String) {
 
   /** The manifest-pruned file list for `[lo, hi]` on `keyCol` (exposed so
     * tests can assert how many files a scan touches). */
-  def prunedFiles(keyCol: String, lo: Long, hi: Long): Seq[FileMetrics] = {
+  def prunedFiles(keyCol: String, lo: Long, hi: Long): Seq[FileMetrics] =
+    prunedFilesWhere(Seq((keyCol, lo, hi)))
+
+  /** Conjunctive multi-column pruning: keep the files whose stats envelope
+    * intersects EVERY `[lo, hi]` — the 2-D (and n-D) data-skipping read
+    * that z-order clustering ([[graft.cells.ZOrder]]) makes selective: a
+    * z-sorted file covers a compact lattice patch, so its per-axis min/max
+    * bounds are tight and a bounding-box query touches only the files
+    * whose patch intersects the box (Iceberg/Delta z-order semantics). */
+  def prunedFilesWhere(preds: Seq[(String, Long, Long)]): Seq[FileMetrics] = {
     val cur = current.getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
-    cur.files.filter(f => f.stats.get(keyCol) match {
-      case Some((fmin, fmax)) => fmax >= lo && fmin <= hi
-      case None               => true
+    cur.files.filter(f => preds.forall { case (c, lo, hi) =>
+      f.stats.get(c) match {
+        case Some((fmin, fmax)) => fmax >= lo && fmin <= hi
+        case None               => true
+      }
     })
+  }
+
+  /** Stats-pruned bounding-box scan: `prunedFilesWhere` for the file list,
+    * then the exact residual predicate on the survivors. */
+  def readWhereBox(spark: SparkSession,
+                   preds: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = prunedFilesWhere(preds)
+    val base = if (files.isEmpty) read(spark).limit(0) else readFiles(spark, files)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.where(col(c).between(lo, hi))
+    }
   }
 }
 

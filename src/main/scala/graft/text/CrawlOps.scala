@@ -1,0 +1,151 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-corpus curation operators of the CCNet / CDX family: per-domain
+  * boilerplate detection, capture-index (CDX/SURT) construction, and
+  * inverted-index tf-idf retrieval. Reference semantics: the corpus-cleaning
+  * stages a Common-Crawl-derived training pipeline runs between the raw
+  * fetch (WARC, q85) and the clean-document table — the same role the
+  * reference's filter/overlay stages play for spatial weights
+  * (`/root/reference/src/vector_64bits/filter.c` applies per-layer
+  * predicates before allocation; these apply per-domain predicates before
+  * training).
+  *
+  * Oracle discipline (graft round-1 conventions): integer counts, md5 for
+  * content identity, and identical expression chains on both engines.
+  */
+object CrawlOps {
+
+  // ---------------------------------------------------- domain boilerplate
+
+  /** CCNet-style per-domain boilerplate measurement: split every document
+    * into non-overlapping `chunkTokens`-token chunks, hash each chunk, and
+    * flag a chunk as boilerplate when the SAME chunk text occurs in at
+    * least `minDocs` DISTINCT documents of the SAME domain (nav bars,
+    * cookie banners, footers — template text repeated across a site but
+    * not across the web). Returns one row per document:
+    * `(id, n_chunks, n_boiler, boiler_pct)` with `boiler_pct` an exact
+    * integer `100·n_boiler div n_chunks`.
+    *
+    * Scale: chunk hashes are computed MAP-SIDE (md5 before any exchange),
+    * so the only shuffles move `(domain, chunk_hash, id)` triples — text
+    * never leaves its scan partition. The (domain, hash) distinct-doc
+    * count partial-aggregates; domains are bounded groups (a site's
+    * template vocabulary, not its page count, drives the group size
+    * because identical chunks collapse in the map-side combine). The
+    * per-doc rollup joins flags back on (id, chunk_id) — ints only. */
+  def boilerplateChunks(df: DataFrame, idCol: String, domainCol: String,
+                        textCol: String, chunkTokens: Int,
+                        minDocs: Int): DataFrame = {
+    require(chunkTokens > 0 && minDocs > 1,
+      s"need chunkTokens > 0, minDocs > 1; got $chunkTokens, $minDocs")
+    val ct = chunkTokens
+    val chunks = df
+      .select(col(idCol).as("id"), col(domainCol).as("domain"),
+        split(col(textCol), " ").as("toks"))
+      .withColumn("n_chunks",
+        expr("CAST((size(toks) + " + (ct - 1) + ") div " + ct + " AS BIGINT)"))
+      .withColumn("chunk_id", explode(expr("sequence(0L, n_chunks - 1)")))
+      .select(col("id"), col("domain"), col("n_chunks"), col("chunk_id"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * ct + 1).cast("int"), lit(ct))))
+          .as("h"))
+    val boiler = chunks
+      .groupBy("domain", "h")
+      .agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("domain"), col("h"), lit(1L).as("is_boiler"))
+    chunks
+      .join(boiler, Seq("domain", "h"), "left")
+      .groupBy("id", "n_chunks")
+      .agg(sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .select(col("id"), col("n_chunks"), col("n_boiler"),
+        expr("(100 * n_boiler) div n_chunks").as("boiler_pct"))
+  }
+
+  // ------------------------------------------------------------- CDX index
+
+  /** CDX-style capture index over a multi-capture crawl: every (url, ts)
+    * capture keyed by its SURT (Sort-friendly URI Reordering Transform —
+    * host labels reversed and comma-joined, then the path), with the
+    * content digest and the standard revisit classification: the FIRST
+    * capture of a given (url, digest) is a `response` record, every later
+    * byte-identical re-fetch is a `revisit` (the WARC/CDX dedupe model,
+    * ISO 28500 §6.7). Sorting by (surt, ts) yields the CDX file order.
+    *
+    * Scale: digest is md5'd map-side; the one exchange keys on url and
+    * carries (surt, ts, digest) — no page bytes. At web scale the CDX
+    * build is a by-product of the WARC scan partition layout: captures of
+    * one url land in one partition and the min-ts window never spills. */
+  def cdxIndex(captures: DataFrame, urlCol: String, tsCol: String,
+               textCol: String): DataFrame = {
+    val host = regexp_extract(col(urlCol), "^https?://([^/]+)", 1)
+    val path = regexp_extract(col(urlCol), "^https?://[^/]*(/.*)?$", 1)
+    val keyed = captures.select(
+      concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), path)
+        .as("surt"),
+      col(urlCol).as("url"), col(tsCol).as("ts"),
+      md5(col(textCol)).as("digest"))
+    keyed
+      .withColumn("first_ts",
+        min(col("ts")).over(Window.partitionBy("url", "digest")))
+      .select(col("surt"), col("ts"), col("digest"),
+        when(col("ts") === col("first_ts"), "response")
+          .otherwise("revisit").as("op"))
+  }
+
+  // ------------------------------------------------- tf-idf top-k retrieval
+
+  /** Inverted-index retrieval: score every document against each query (a
+    * bag of terms) by `Σ_terms tf(t, d) · idf_micro(t)` where
+    * `idf_micro(t) = round(ln((N + 1) / (df(t) + 1)) · 1e6)` — the
+    * floating-point idf made engine-exact by the q79/q99 discipline (exact
+    * integer operands, ONE double division, one `ln`, one round), after
+    * which every score is exact integer arithmetic. Returns the top `k`
+    * documents per query ranked by (score DESC, id ASC).
+    *
+    * Scale: postings `(term, id, tf)` partial-aggregate out of the
+    * tokenize pass; document frequency is a second partial aggregate of
+    * the POSTINGS (not the corpus). Query terms broadcast onto the
+    * postings — the corpus-side exchange carries ints plus the term key,
+    * and only terms that appear in some query survive the broadcast
+    * semi-join before any wide work. The final rank uses the two-phase
+    * salted top-k (a query IS a mega-group at crawl scale — its candidate
+    * set is every matching document). */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                queries: Seq[(Int, Seq[String])], k: Int,
+                salts: Int = 16): DataFrame = {
+    require(queries.nonEmpty && k > 0, "need queries and k > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val postings = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val n = postings.select(col("id")).distinct().count()
+    val dfreq = postings.groupBy("w").agg(count(lit(1)).as("df"))
+      .select(col("w"),
+        round(log((lit(n) + 1.0) / (col("df") + lit(1L))) * 1e6, 0)
+          .cast("long").as("idf_micro"))
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "w")
+    val order = Seq(col("score").desc, col("id").asc)
+    postings
+      .join(broadcast(qterms), "w")
+      .join(broadcast(dfreq), "w")
+      .groupBy("qid", "id")
+      .agg(sum(col("tf") * col("idf_micro")).as("score"))
+      .withColumn("__salt", pmod(hash(col("id")), lit(salts)))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("qid", "__salt").orderBy(order: _*)))
+      .where(col("__pr") <= k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(order: _*)))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("id"),
+        col("score"))
+  }
+}

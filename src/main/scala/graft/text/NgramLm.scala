@@ -69,4 +69,89 @@ object NgramLm {
       when(col("avg_unll") < t1, lit(1))
         .when(col("avg_unll") < t2, lit(2)).otherwise(lit(3)))
   }
+
+  // ----------------------------------------------- interpolated bigram LM
+
+  /** Bigram LM state: per-pair and per-word counts plus the add-one
+    * denominator `d = N + V` from the training split. */
+  final case class BigramLm(pairs: DataFrame, unigrams: DataFrame, d: Long)
+
+  /** Train the Jelinek-Mercer-interpolated bigram model: raw bigram counts
+    * c12(w1,w2), raw unigram counts c(w), and the add-one denominator.
+    * The model ITSELF is two count tables — vocabulary- and pair-typed,
+    * not corpus-sized (the standard LM artifact shape). */
+  def trainBigram(train: DataFrame, textCol: String): BigramLm = {
+    val tok = train
+      .select(monotonically_increasing_id().as("__doc"),
+        split(col(textCol), " ").as("ws"))
+      .select(col("__doc"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .transform(graft.spark.PersistTracker.persist)
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .transform(graft.spark.PersistTracker.persist)
+    val nv = uni.agg(sum("c").as("n"), count(lit(1)).as("v")).head()
+    require(!nv.isNullAt(0) && nv.getLong(1) > 0,
+      "training split is empty — the LM needs at least one document")
+    val pairs = tok
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy("__doc").orderBy("pos")))
+      .where(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val d = nv.getLong(0) + nv.getLong(1)
+    // bit-exactness contract: every score-side operand (≤ 7·c12·d with
+    // c12 ≤ N) must be exactly representable as a double (< 2^53) — at
+    // larger corpora train on a sample or rescale the interpolation
+    require(7.0 * nv.getLong(0) * d < (1L << 53).toDouble,
+      s"bigram LM operands would exceed 2^53 (N=${nv.getLong(0)}, d=$d) — " +
+        "train on a sample to keep scores engine-exact")
+    BigramLm(pairs, uni, d)
+  }
+
+  /** Score documents under the interpolated bigram model
+    * `p(w2|w1) = 0.7·c12/c1 + 0.3·(c2+1)/d`, with the two backoff tiers a
+    * crawl corpus forces (unseen context → unigram; seen context, unseen
+    * pair → the interpolation's unigram share alone):
+    *
+    *   - first token / unseen w1 : p = (c2 + 1) / d
+    *   - seen w1, unseen (w1,w2) : p = 3·(c2 + 1) / (10·d)
+    *   - seen pair               : p = (7·c12·d + 3·c1·(c2 + 1)) / (10·c1·d)
+    *
+    * Every numerator/denominator is an EXACT integer (< 2^53), evaluated
+    * in ONE double division + one `ln` + one round per token — the q79/q99
+    * bit-exactness discipline extended to a conditional three-arm model.
+    * Returns (id, n_tokens, sum_unll, avg_unll) in integer micro-nats.
+    *
+    * Scale: the pair join shuffles (w1, w2, id-local ints); unigram joins
+    * broadcast (vocabulary-sized). Document text never leaves its scan
+    * partition — only the token stream moves. */
+  def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
+                  lm: BigramLm): DataFrame = {
+    val d = lm.d
+    val tok = docs
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "w2")))
+      .withColumn("w1",
+        lag(col("w2"), 1).over(Window.partitionBy("id").orderBy("pos")))
+    val c1t = broadcast(lm.unigrams.select(col("w").as("w1"), col("c").as("c1")))
+    val c2t = broadcast(lm.unigrams.select(col("w").as("w2"), col("c").as("c2")))
+    tok
+      .join(c1t, Seq("w1"), "left")
+      .join(c2t, Seq("w2"), "left")
+      .join(lm.pairs, Seq("w1", "w2"), "left")
+      .withColumn("__c2", coalesce(col("c2"), lit(0L)))
+      .withColumn("__p",
+        when(col("w1").isNull || col("c1").isNull,
+          (col("__c2") + lit(1L)) / lit(d))
+        .when(col("c12").isNull,
+          (lit(3L) * (col("__c2") + lit(1L))) / lit(10L * d))
+        .otherwise(
+          (lit(7L) * col("c12") * lit(d) +
+            lit(3L) * col("c1") * (col("__c2") + lit(1L))) /
+          (lit(10L) * col("c1") * lit(d))))
+      .select(col("id"),
+        round(-log(col("__p")) * 1e6, 0).cast("long").as("unll"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("unll").as("sum_unll"))
+      .withColumn("avg_unll", expr("sum_unll div n_tokens"))
+  }
 }

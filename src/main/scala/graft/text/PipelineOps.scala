@@ -1014,4 +1014,33 @@ object PipelineOps {
         col("__r._2").as("n_removed"),
         col("__r._3").as("text_clean"))
   }
+
+  // ------------------------------------------------- cluster canonicalization
+
+  /** Canonical-document selection over near-dup clusters: given cluster
+    * membership `(id, rep)` (e.g. [[TextOps.dedupComponents]] output) and a
+    * per-document quality score `(id, q)`, keep exactly ONE document per
+    * cluster — the argmax by `(q DESC, id ASC)` — and point every other
+    * member at it. The "keep best, not first" policy of a dedup stage that
+    * has a quality model (CCNet keeps the lowest-perplexity member; the
+    * naive min-id keep throws away the best copy).
+    *
+    * The argmax is a single partial-aggregatable `max(struct(q, -id))` per
+    * cluster — no window, so a mega-cluster (boilerplate that collapsed to
+    * one component at crawl scale) costs one combine tree, not one
+    * partition. Ties on `q` break to the SMALLEST id via the negated id in
+    * the packed ordering struct. All shuffles carry (id, rep, q) longs. */
+  def canonicalPerCluster(members: DataFrame, idCol: String, repCol: String,
+                          quality: DataFrame, qIdCol: String,
+                          qCol: String): DataFrame = {
+    val m = members.select(col(idCol).as("id"), col(repCol).as("rep"))
+      .join(quality.select(col(qIdCol).as("id"), col(qCol).cast("long").as("q")),
+        "id")
+    val canon = m.groupBy("rep")
+      .agg(max(struct(col("q"), (-col("id")).as("nid"))).as("__best"))
+      .select(col("rep"), (-col("__best.nid")).as("canonical_id"))
+    m.join(canon, "rep")
+      .select(col("id"), col("rep").as("rep_id"), col("canonical_id"),
+        (col("id") === col("canonical_id")).cast("int").as("keep"))
+  }
 }
