@@ -143,7 +143,55 @@ object EntryRound4b {
         .select(col("id").as("doc_id"), col("n_tokens"), col("sum_unll"),
           col("avg_unll"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // WET derivation: real WARC archives → response walk → the q77 html
+    // extraction chain → serialized ISO-28500 conversion records (per-file
+    // regroup, warcinfo + WARC-Refers-To, odd files per-record-gzip) →
+    // parsed BACK by the record walk — the oracle predicts every
+    // (uri, epoch, md5) from the raw documents, certifying the whole
+    // write/read round trip byte-for-byte
+    "q111_wet_extract" -> ((s, dir) => {
+      import graft.sources.Warc
+      import graft.text.Html
+      val resp = Warc.responsesKeeping(Pages.warcFiles(s, dir), "warc",
+        Seq("file_id"))
+      val wet = resp
+        .select(col("file_id"), col("uri"), col("warc_epoch"),
+          encode(Html.extractText(col("body")), "UTF-8").as("wtext"))
+        .groupBy("file_id")
+        .agg(sort_array(collect_list(
+          struct(col("uri"), col("warc_epoch"), col("wtext")))).as("arr"))
+        .select(Warc.wetBuildUdf(col("file_id"), col("arr.uri"),
+          col("arr.warc_epoch"), col("arr.wtext")).as("wet"))
+      Warc.conversions(wet, "wet")
+        .select(regexp_extract(col("uri"), "(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("uri"), col("wet_epoch"),
+          length(decode(col("text"), "UTF-8")).cast("long").as("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // dataset-card rollup: per-(source, lang) doc counts and char volume
+    // with ROLLUP subtotals and the standard GROUPING bitmask — grouping
+    // sets through Catalyst's Expand, matched against DuckDB's ROLLUP
+    "q112_crawl_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          grouping_id().cast("int").as("gid"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("sum_chars"), col("gid"))
+        .orderBy("gid", "source", "lang")),
+
+    // URL-template mining over the crawl frontier: numeric segments
+    // collapsed to {d}, per-(domain, template) url/distinct counts and the
+    // duplicate-fetch share — the crawl-trap detector
+    "q113_url_templates" -> ((s, dir) =>
+      CrawlOps.urlTemplates(Pages.crawlUrls(s, dir), "domain", "path")
+        .orderBy("domain", "template"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -323,6 +371,37 @@ object EntryRound4b {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(unll) AS BIGINT) AS sum_unll,
         |  CAST(sum(unll) // count(*) AS BIGINT) AS avg_unll
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q111_wet_extract" ->
+      """SELECT doc_id,
+        |  'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org/doc/'
+        |    || CAST(doc_id AS VARCHAR) AS uri,
+        |  1600000000 + doc_id * 137 AS wet_epoch,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q112_crawl_rollup" ->
+      """SELECT coalesce(source, '(all)') AS source,
+        |  coalesce(lang, '(all)') AS lang,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(GROUPING(source, lang) AS INT) AS gid
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY gid, source, lang""".stripMargin,
+
+    "q113_url_templates" ->
+      """WITH u AS (SELECT doc_id,
+        |    'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' AS domain,
+        |    CASE WHEN doc_id % 4 = 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id % 5 AS VARCHAR)
+        |         WHEN doc_id % 4 = 2
+        |           THEN '/p/' || CAST(doc_id % 5 AS VARCHAR) || '/ok'
+        |         ELSE '/private/' || CAST(doc_id % 9 AS VARCHAR) END AS path
+        |  FROM documents)
+        |SELECT domain, regexp_replace(path, '[0-9]+', '{d}', 'g') AS template,
+        |  count(*) AS n_urls, count(DISTINCT path) AS n_distinct,
+        |  (100 * (count(*) - count(DISTINCT path))) // count(*) AS dup_pct
+        |FROM u GROUP BY 1, 2 ORDER BY domain, template""".stripMargin
   )
 }

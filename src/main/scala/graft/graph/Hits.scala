@@ -48,10 +48,15 @@ object Hits {
       s"Scale=$Scale squared x total edge weight $totW would overflow Long" +
         " — lower Scale or pre-bucket edge weights")
 
+    // materialize the raw vector ONCE (localCheckpoint), then the scalar
+    // max is a cheap scan of the checkpoint and the rescale a lazy narrow
+    // map — without the checkpoint-first ordering each half-pass would run
+    // its join+sum job twice (once for the max action, once downstream)
     def rescale(scores: DataFrame, c: String): DataFrame = {
-      val mx = scores.agg(max(col(c))).head().getLong(0)
+      val raw = scores.localCheckpoint(true)
+      val mx = raw.agg(max(col(c))).head().getLong(0)
       require(mx > 0, s"degenerate $c vector: max <= 0")
-      scores.select(col("domain"),
+      raw.select(col("domain"),
         expr(s"($c * ${Scale}L) div ${mx}L").as(c))
     }
 
@@ -66,7 +71,7 @@ object Hits {
             .groupBy("domain").agg(sum("c").as("a")),
           Seq("domain"), "left")
         .select(col("domain"), coalesce(col("a"), lit(0L)).as("a"))
-      auth = rescale(a, "a").localCheckpoint()
+      auth = rescale(a, "a")
       val h = nodes
         .join(ew.join(auth.withColumnRenamed("domain", "dst_domain"),
               "dst_domain")
@@ -74,7 +79,7 @@ object Hits {
             .groupBy("domain").agg(sum("c").as("h")),
           Seq("domain"), "left")
         .select(col("domain"), coalesce(col("h"), lit(0L)).as("h"))
-      hub = rescale(h, "h").localCheckpoint()
+      hub = rescale(h, "h")
       k += 1
     }
     nodes.join(auth, "domain").join(hub, "domain")

@@ -87,6 +87,19 @@ object Warc {
       "Content-Type" -> "application/http;msgtype=request"), http)
   }
 
+  /** A WET conversion record (the Common Crawl text-extraction sidecar
+    * format): `WARC-Type: conversion`, text/plain payload, pointing back
+    * at the response it was extracted from via `WARC-Refers-To` (ISO
+    * 28500 §6.8 — conversion records reference their source record). */
+  def conversionRecord(uri: String, epochSec: Long, text: Array[Byte]): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Record-ID" -> recordId(s"conversion:$uri"),
+      "WARC-Refers-To" -> recordId(s"response:$uri"),
+      "WARC-Date" -> isoDate(epochSec),
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "text/plain"), text)
+
   /** The warcinfo record real crawls open every file with. */
   def warcinfoRecord(fileName: String, epochSec: Long): Array[Byte] = {
     val info = s"software: graft$Crlf".getBytes("US-ASCII")
@@ -216,5 +229,38 @@ object Warc {
       .select(col("r._1").as("uri"), col("r._2").as("warc_epoch"),
         col("r._3").as("http_status"), col("r._4").as("content_type"),
         col("r._5").as("body"))
+  }
+
+  /** `responses` preserving pass-through columns (e.g. the archive file
+    * id, so a WET derivation can regroup extractions per source file). */
+  def responsesKeeping(df: DataFrame, fileCol: String,
+                       keep: Seq[String]): DataFrame = {
+    val parseUdf = udf((bytes: Array[Byte]) =>
+      parse(bytes).filter(_.warcType == "response")
+        .map(r => (r.targetUri, r.epochSec, r.httpStatus, r.httpContentType, r.body)))
+    df.select(keep.map(col) :+ explode(parseUdf(col(fileCol))).as("r"): _*)
+      .select(keep.map(col) ++ Seq(col("r._1").as("uri"),
+        col("r._2").as("warc_epoch"), col("r._3").as("http_status"),
+        col("r._4").as("content_type"), col("r._5").as("body")): _*)
+  }
+
+  /** Serialize one WET file: a warcinfo header then one conversion record
+    * per extraction, parallel arrays in record order. */
+  val wetBuildUdf = udf((fileId: Long, uris: Seq[String], eps: Seq[Long],
+                         texts: Seq[Array[Byte]]) =>
+    writeFile(
+      warcinfoRecord(s"crawl-$fileId.warc.wet", 1600000000L) +:
+        uris.indices.map(i => conversionRecord(uris(i), eps(i), texts(i))),
+      gzipPerRecord = fileId % 2 == 1))
+
+  /** Flatten WET files into one row per conversion record — the same
+    * narrow scan → generate → project shape as `responses`. */
+  def conversions(df: DataFrame, fileCol: String): DataFrame = {
+    val parseUdf = udf((bytes: Array[Byte]) =>
+      parse(bytes).filter(_.warcType == "conversion")
+        .map(r => (r.targetUri, r.epochSec, r.body)))
+    df.select(explode(parseUdf(col(fileCol))).as("r"))
+      .select(col("r._1").as("uri"), col("r._2").as("wet_epoch"),
+        col("r._3").as("text"))
   }
 }

@@ -97,6 +97,28 @@ object CrawlOps {
           .otherwise("revisit").as("op"))
   }
 
+  // ----------------------------------------------------- URL templates
+
+  /** URL-template mining: collapse numeric path segments to `{d}` and
+    * aggregate per (domain, template) — the crawl-frontier view that
+    * exposes calendar traps, session-id explosions, and pagination
+    * families (a template with millions of URLs but few distinct contents
+    * is a trap; `dup_pct` = share of fetches that were repeat URLs).
+    *
+    * Scale: the template is a codegen'd regexp map; the aggregation keys
+    * on (domain, template) — bounded by a site's ROUTE table, not its URL
+    * count, so groups partial-aggregate to almost nothing map-side. */
+  def urlTemplates(df: DataFrame, domainCol: String,
+                   pathCol: String): DataFrame =
+    df.select(col(domainCol).as("domain"),
+        regexp_replace(col(pathCol), "[0-9]+", "{d}").as("template"),
+        col(pathCol).as("__p"))
+      .groupBy("domain", "template")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("__p")).as("n_distinct"))
+      .withColumn("dup_pct",
+        expr("(100 * (n_urls - n_distinct)) div n_urls"))
+
   // ------------------------------------------------- tf-idf top-k retrieval
 
   /** Inverted-index retrieval: score every document against each query (a

@@ -100,4 +100,31 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"ingest must be narrow:\n$plan")
   }
+
+  test("WET conversion records round-trip with Refers-To and text/plain") {
+    val bytes = Warc.writeFile(Seq(
+      Warc.warcinfoRecord("f.warc.wet", 1600000000L),
+      Warc.conversionRecord("https://a.org/1", 1600000100L,
+        "one extracted".getBytes("UTF-8")),
+      Warc.conversionRecord("https://b.org/2", 1600000200L,
+        "two".getBytes("UTF-8"))),
+      gzipPerRecord = true)
+    val recs = Warc.parse(bytes)
+    assert(recs.map(_.warcType) === Seq("warcinfo", "conversion", "conversion"))
+    assert(new String(recs(1).body, "UTF-8") === "one extracted")
+    // the serialized header block carries the back-reference + content type
+    val raw = new String(Warc.conversionRecord("https://a.org/1", 0L,
+      Array.emptyByteArray).takeWhile(_ != 0), "US-ASCII")
+    assert(raw.contains("WARC-Refers-To: "))
+    assert(raw.contains("Content-Type: text/plain"))
+    // conversions operator: one row per conversion record, narrow plan
+    val s = spark
+    import s.implicits._
+    val out = Warc.conversions(Seq(Tuple1(bytes)).toDF("wet"), "wet")
+    assert(out.count() === 2)
+    assert(out.select("uri").collect().map(_.getString(0)).sorted ===
+      Array("https://a.org/1", "https://b.org/2"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"WET walk must be narrow:\n$plan")
+  }
 }
