@@ -191,7 +191,73 @@ object EntryRound4b {
     // duplicate-fetch share — the crawl-trap detector
     "q113_url_templates" -> ((s, dir) =>
       CrawlOps.urlTemplates(Pages.crawlUrls(s, dir), "domain", "path")
-        .orderBy("domain", "template"))
+        .orderBy("domain", "template")),
+
+    // WAT derivation: WARC archives of the link corpus → response walk →
+    // anchors regexp-extracted from the real bodies → JSON metadata
+    // envelope → serialized ISO-28500 metadata records → parsed back and
+    // the JSON re-opened — the oracle predicts status/length/link facts
+    // from the fixture's closed-form targets without touching any byte
+    // of WARC or JSON
+    "q114_wat_extract" -> ((s, dir) => {
+      import graft.sources.Warc
+      import org.apache.spark.sql.types._
+      val resp = Warc.responsesKeeping(Pages.linkWarcFiles(s, dir), "warc",
+        Seq("file_id"))
+      val meta = resp.select(col("file_id"), col("uri"), col("warc_epoch"),
+        to_json(struct(
+          col("uri").as("url"),
+          col("http_status").as("status"),
+          length(col("body")).cast("long").as("content_length"),
+          expr("regexp_extract_all(decode(body, 'UTF-8'), " +
+            "'<a href=\"([^\"]+)\"', 1)").as("links"))).as("json"))
+      val wat = meta.groupBy("file_id")
+        .agg(sort_array(collect_list(
+          struct(col("uri"), col("warc_epoch"), col("json")))).as("arr"))
+        .select(Warc.watBuildUdf(col("file_id"), col("arr.uri"),
+          col("arr.warc_epoch"), col("arr.json")).as("wat"))
+      val schema = StructType(Seq(
+        StructField("url", StringType), StructField("status", IntegerType),
+        StructField("content_length", LongType),
+        StructField("links", ArrayType(StringType))))
+      Warc.metadataRecords(wat, "wat")
+        .select(regexp_extract(col("uri"), "(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("uri"), col("wat_epoch"),
+          from_json(col("json"), schema).as("m"))
+        .select(col("doc_id"), col("uri"), col("wat_epoch"),
+          col("m.status").as("status"),
+          col("m.content_length").as("content_length"),
+          size(col("m.links")).as("n_links"),
+          md5(concat_ws(",", col("m.links"))).as("links_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // freshness-weighted page density: per-cell page counts with exact
+    // integer half-life decay (1e6 >> (age div h) — halving as a bit
+    // shift, the recency weighting that stays engine-exact)
+    "q115_decay_density" -> ((s, dir) => {
+      import graft.cells.Freshness
+      val pts = Pages.geotag(Pages.pages(s, dir))
+        .select((col("x") / 512).cast("long").as("ix"),
+          (col("y") / 512).cast("long").as("iy"),
+          expr("(1610000000L - unix_timestamp(warc_ts)) div 86400")
+            .as("age_days"))
+      Freshness.decayDensity(pts, "ix", "iy", "age_days", halfLife = 16)
+        .orderBy("ix", "iy")
+    }),
+
+    // map-tile pyramid: per-tile page counts at every zoom 0..6 from ONE
+    // pass (explode the zoom sequence, then a single partial-aggregated
+    // rollup) — geotag coords on the 8192-lattice, tile = floor-div by
+    // the zoom's power-of-two cell size, exact in both engines
+    "q116_tile_pyramid" -> ((s, dir) => {
+      import graft.cells.TilePyramid
+      val pts = Pages.geotag(Pages.pages(s, dir))
+        .select(col("x").cast("long").as("xi"), col("y").cast("long").as("yi"))
+      TilePyramid.pyramidCounts(pts, "xi", "yi", bits = 13, maxRes = 6)
+        .orderBy("res", "ix", "iy")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -402,6 +468,64 @@ object EntryRound4b {
         |SELECT domain, regexp_replace(path, '[0-9]+', '{d}', 'g') AS template,
         |  count(*) AS n_urls, count(DISTINCT path) AS n_distinct,
         |  (100 * (count(*) - count(DISTINCT path))) // count(*) AS dup_pct
-        |FROM u GROUP BY 1, 2 ORDER BY domain, template""".stripMargin
+        |FROM u GROUP BY 1, 2 ORDER BY domain, template""".stripMargin,
+
+    // the q87 closed-form targets predict every WAT fact — the Spark side
+    // must recover them through WARC bytes, real anchor extraction, JSON
+    // serialization, WAT bytes, and the JSON re-open
+    "q114_wat_extract" ->
+      """WITH nd AS (SELECT count(*) AS nn FROM documents),
+        |d AS (SELECT doc_id, text,
+        |        (doc_id * 31 + 7919) % nn AS t1,
+        |        (doc_id * 31 + 15838) % nn AS t2,
+        |        (doc_id * 31 + 23757) % nn AS t3
+        |      FROM documents, nd),
+        |l AS (SELECT doc_id, text,
+        |        'https://host' || CAST(t1 % 97 AS VARCHAR)
+        |          || '.example.org/doc/' || CAST(t1 AS VARCHAR) AS l1,
+        |        'https://host' || CAST(t2 % 97 AS VARCHAR)
+        |          || '.example.org/doc/' || CAST(t2 AS VARCHAR) AS l2,
+        |        'https://host' || CAST(t3 % 97 AS VARCHAR)
+        |          || '.example.org/doc/' || CAST(t3 AS VARCHAR) AS l3
+        |      FROM d)
+        |SELECT doc_id,
+        |  'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org/doc/'
+        |    || CAST(doc_id AS VARCHAR) AS uri,
+        |  1600000000 + doc_id * 137 AS wat_epoch,
+        |  CAST(200 AS INT) AS status,
+        |  CAST(octet_length(encode('<html><body><p>' || text || '</p><a href="'
+        |    || l1 || '">link1</a><a href="' || l2 || '">link2</a><a href="'
+        |    || l3 || '">link3</a></body></html>')) AS BIGINT)
+        |    AS content_length,
+        |  CAST(3 AS INT) AS n_links,
+        |  md5(l1 || ',' || l2 || ',' || l3) AS links_md5
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    "q115_decay_density" -> {
+      s"""WITH pg AS (${Pages.geotaggedSql}),
+         |t AS (SELECT CAST(floor(x / 512) AS BIGINT) AS ix,
+         |             CAST(floor(y / 512) AS BIGINT) AS iy,
+         |        (1610000000 - CAST(epoch(warc_ts) AS BIGINT)) // 86400
+         |          AS age
+         |      FROM pg)
+         |SELECT ix, iy, count(*) AS n_pages,
+         |  CAST(sum(CASE WHEN age < 0 THEN 1000000
+         |       WHEN (age // 16) > 62 THEN 0
+         |       ELSE 1000000 >> CAST(age // 16 AS INT) END) AS BIGINT)
+         |    AS w_sum
+         |FROM t GROUP BY 1, 2 ORDER BY ix, iy""".stripMargin
+    },
+
+    "q116_tile_pyramid" -> {
+      s"""WITH pg AS (${Pages.geotaggedSql}),
+         |t AS (SELECT CAST(x AS BIGINT) AS xi, CAST(y AS BIGINT) AS yi
+         |      FROM pg),
+         |z AS (SELECT CAST(unnest(range(7)) AS INT) AS res, xi, yi FROM t)
+         |SELECT res,
+         |  xi // CAST(power(2, 13 - res) AS BIGINT) AS ix,
+         |  yi // CAST(power(2, 13 - res) AS BIGINT) AS iy,
+         |  count(*) AS n_pages
+         |FROM z GROUP BY 1, 2, 3 ORDER BY res, ix, iy""".stripMargin
+    }
   )
 }

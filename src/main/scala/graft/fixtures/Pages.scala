@@ -151,6 +151,31 @@ object Pages {
              anchor(1), anchor(2), anchor(3), lit("</body></html>")).as("html"))
   }
 
+  /** The linkPages corpus serialized as WARC archives (same file grouping
+    * and gzip mix as [[warcFiles]]) — the input of the WAT derivation:
+    * link extraction must happen from REAL response bodies walked out of
+    * real archive bytes, not from a convenience column. */
+  def linkWarcFiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val build = udf((fileId: Long, ids: Seq[Long], uris: Seq[String],
+                     htmls: Seq[String]) => {
+      val recs = Warc.warcinfoRecord(s"crawl-$fileId.warc", 1600000000L) +:
+        ids.indices.flatMap { i =>
+          val ep = 1600000000L + ids(i) * 137L
+          Seq(Warc.requestRecord(uris(i), ep),
+              Warc.responseRecord(uris(i), ep, htmls(i).getBytes("UTF-8")))
+        }
+      Warc.writeFile(recs, gzipPerRecord = fileId % 2 == 1)
+    })
+    linkPages(spark, dir)
+      .groupBy(expr("doc_id div 10").as("file_id"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("url"), col("html")))).as("arr"))
+      .select(col("file_id"),
+        build(col("file_id"), col("arr.doc_id"), col("arr.url"),
+          col("arr.html")).as("warc"))
+  }
+
   /** Per-domain robots.txt with realistic structure: a blocked bot group,
     * a named-bot group our crawler does NOT match, and the `*` group
     * carrying the rules that matter (with Crawl-delay / Sitemap noise the

@@ -100,6 +100,19 @@ object Warc {
       "WARC-Target-URI" -> uri,
       "Content-Type" -> "text/plain"), text)
 
+  /** A WAT metadata record (the Common Crawl link/metadata sidecar): an
+    * `application/json` payload describing the referenced response (ISO
+    * 28500 §6.9 metadata records; the JSON envelope shape follows the
+    * public WAT convention of url/status/length/links). */
+  def watRecord(uri: String, epochSec: Long, json: String): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "metadata",
+      "WARC-Record-ID" -> recordId(s"metadata:$uri"),
+      "WARC-Refers-To" -> recordId(s"response:$uri"),
+      "WARC-Date" -> isoDate(epochSec),
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "application/json"), json.getBytes("UTF-8"))
+
   /** The warcinfo record real crawls open every file with. */
   def warcinfoRecord(fileName: String, epochSec: Long): Array[Byte] = {
     val info = s"software: graft$Crlf".getBytes("US-ASCII")
@@ -262,5 +275,24 @@ object Warc {
     df.select(explode(parseUdf(col(fileCol))).as("r"))
       .select(col("r._1").as("uri"), col("r._2").as("wet_epoch"),
         col("r._3").as("text"))
+  }
+
+  /** Serialize one WAT file: warcinfo then one metadata record per page,
+    * parallel arrays in record order. */
+  val watBuildUdf = udf((fileId: Long, uris: Seq[String], eps: Seq[Long],
+                         jsons: Seq[String]) =>
+    writeFile(
+      warcinfoRecord(s"crawl-$fileId.warc.wat", 1600000000L) +:
+        uris.indices.map(i => watRecord(uris(i), eps(i), jsons(i))),
+      gzipPerRecord = fileId % 2 == 1))
+
+  /** Flatten WAT files into one row per metadata record, json as string. */
+  def metadataRecords(df: DataFrame, fileCol: String): DataFrame = {
+    val parseUdf = udf((bytes: Array[Byte]) =>
+      parse(bytes).filter(_.warcType == "metadata")
+        .map(r => (r.targetUri, r.epochSec, new String(r.body, "UTF-8"))))
+    df.select(explode(parseUdf(col(fileCol))).as("r"))
+      .select(col("r._1").as("uri"), col("r._2").as("wat_epoch"),
+        col("r._3").as("json"))
   }
 }
