@@ -257,6 +257,38 @@ object EntryRound4b {
         .select(col("x").cast("long").as("xi"), col("y").cast("long").as("yi"))
       TilePyramid.pyramidCounts(pts, "xi", "yi", bits = 13, maxRes = 6)
         .orderBy("res", "ix", "iy")
+    }),
+
+    // positional phrase search: exact-phrase occurrence counts per doc via
+    // positional-postings intersection (anchor joined to term k on
+    // (id, pos + k)) — two bigram queries and one trigram, the oracle
+    // running the identical positional joins
+    "q117_phrase_search" -> ((s, dir) =>
+      CrawlOps.phraseSearch(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          Seq(1 -> Seq("data", "line"), 2 -> Seq("merge", "slow"),
+            3 -> Seq("batch", "batch", "batch")))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("qid", "doc_id")),
+
+    // frontier expansion: outlink targets of the crawled 4/5 of the corpus
+    // (anchors re-extracted from real markup) anti-joined against the
+    // capture set, scored by in-link count, top-3 per destination domain —
+    // the next-crawl candidate list
+    "q118_frontier_expand" -> ((s, dir) => {
+      val crawledPages = Pages.linkPages(s, dir)
+        .where(col("doc_id") % 5 =!= 0)
+      val outlinks = crawledPages
+        .select(explode(expr(
+          "regexp_extract_all(html, '<a href=\"([^\"]+)\"', 1)")).as("t"))
+        .select(regexp_extract(col("t"), "(\\d+)$", 1).cast("long")
+            .as("tgt_id"),
+          regexp_extract(col("t"), "^https://([^/]+)", 1).as("tgt_domain"))
+      val crawled = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 5 =!= 0).select(col("doc_id"))
+      CrawlOps.frontierExpand(outlinks, "tgt_id", "tgt_domain",
+          crawled, "doc_id", k = 3)
+        .orderBy("domain", "rank")
     })
   )
 
@@ -526,6 +558,43 @@ object EntryRound4b {
          |  yi // CAST(power(2, 13 - res) AS BIGINT) AS iy,
          |  count(*) AS n_pages
          |FROM z GROUP BY 1, 2, 3 ORDER BY res, ix, iy""".stripMargin
-    }
+    },
+
+    "q117_phrase_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |m1 AS (SELECT a.doc_id, count(*) AS n FROM tok a
+        |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       WHERE a.w = 'data' AND b.w = 'line' GROUP BY 1),
+        |m2 AS (SELECT a.doc_id, count(*) AS n FROM tok a
+        |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       WHERE a.w = 'merge' AND b.w = 'slow' GROUP BY 1),
+        |m3 AS (SELECT a.doc_id, count(*) AS n FROM tok a
+        |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |       WHERE a.w = 'batch' AND b.w = 'batch' AND c.w = 'batch'
+        |       GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS qid, doc_id, n AS n_matches FROM m1
+        |UNION ALL SELECT CAST(2 AS INT), doc_id, n FROM m2
+        |UNION ALL SELECT CAST(3 AS INT), doc_id, n FROM m3
+        |ORDER BY qid, doc_id""".stripMargin,
+
+    "q118_frontier_expand" ->
+      """WITH nd AS (SELECT count(*) AS nn FROM documents),
+        |e AS (SELECT doc_id,
+        |        unnest([(doc_id * 31 + 7919) % nn, (doc_id * 31 + 15838) % nn,
+        |                (doc_id * 31 + 23757) % nn]) AS t
+        |      FROM documents, nd WHERE doc_id % 5 <> 0),
+        |c AS (SELECT t AS id,
+        |        'host' || CAST(t % 97 AS VARCHAR) || '.example.org' AS domain,
+        |        count(*) AS n_inlinks
+        |      FROM e WHERE t % 5 = 0 GROUP BY 1, 2),
+        |r AS (SELECT domain, id, n_inlinks,
+        |        row_number() OVER (PARTITION BY domain
+        |                           ORDER BY n_inlinks DESC, id) AS rank
+        |      FROM c)
+        |SELECT domain, CAST(rank AS INT) AS rank, id, n_inlinks
+        |FROM r WHERE rank <= 3 ORDER BY domain, rank""".stripMargin
   )
 }

@@ -119,6 +119,71 @@ object CrawlOps {
       .withColumn("dup_pct",
         expr("(100 * (n_urls - n_distinct)) div n_urls"))
 
+  // --------------------------------------------------------- phrase search
+
+  /** Positional-postings phrase search: count exact phrase occurrences per
+    * document by aligning the positional index — the anchor term's
+    * postings joined to term k's postings on `(id, pos + k)`. The
+    * classical inverted-index phrase algorithm (positional intersection),
+    * expressed as equi-joins Catalyst can plan.
+    *
+    * Scale: the postings stream is filtered to the query's terms BEFORE
+    * any join (a broadcast semi-join against the tiny term set), so the
+    * positional joins move only the matching slivers — (id, pos) int
+    * pairs keyed by (id, pos), never text. One phrase of k terms costs
+    * k−1 sliver joins. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrases: Seq[(Int, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.size >= 2),
+      "phrases need at least two terms each")
+    val pos = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .where(col("w").isin(phrases.flatMap(_._2).distinct: _*))
+      .localCheckpoint(true)
+    val perPhrase = phrases.map { case (qid, terms) =>
+      val anchor = pos.where(col("w") === terms.head)
+        .select(col("id"), col("pos"))
+      terms.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, k)) =>
+        acc.join(
+          pos.where(col("w") === t)
+            .select(col("id"), (col("pos") - k).as("pos")),
+          Seq("id", "pos"))
+      }
+        .groupBy("id").agg(count(lit(1)).as("n_matches"))
+        .select(lit(qid).as("qid"), col("id"), col("n_matches"))
+    }
+    perPhrase.reduce(_.unionByName(_))
+  }
+
+  // --------------------------------------------------- frontier expansion
+
+  /** Crawl-frontier expansion: outlink targets of the crawled set that are
+    * NOT yet crawled (left anti join on the capture table), deduplicated,
+    * scored by in-link count, and politeness-capped to the top `k`
+    * candidates per destination domain (two-phase: the exact count
+    * aggregate bounds the group before the rank window).
+    *
+    * Scale: edges move as (target id, domain) pairs; the anti join keys on
+    * the url id against the capture manifest's id column (at 10^12 pages
+    * that side is the (id) projection of the manifest scan, not the
+    * corpus). The per-domain rank is bounded by the candidate count of one
+    * site — already capped by the in-link aggregation's map-side combine. */
+  def frontierExpand(outlinks: DataFrame, tgtIdCol: String,
+                     tgtDomainCol: String, crawled: DataFrame,
+                     crawledIdCol: String, k: Int): DataFrame = {
+    val cand = outlinks
+      .select(col(tgtIdCol).as("id"), col(tgtDomainCol).as("domain"))
+      .join(crawled.select(col(crawledIdCol).as("id")), Seq("id"), "left_anti")
+      .groupBy("id", "domain").agg(count(lit(1)).as("n_inlinks"))
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("domain")
+          .orderBy(col("n_inlinks").desc, col("id"))))
+      .where(col("rank") <= k)
+      .select(col("domain"), col("rank").cast("int").as("rank"), col("id"),
+        col("n_inlinks"))
+  }
+
   // ------------------------------------------------- tf-idf top-k retrieval
 
   /** Inverted-index retrieval: score every document against each query (a
