@@ -289,6 +289,50 @@ object EntryRound4b {
       CrawlOps.frontierExpand(outlinks, "tgt_id", "tgt_domain",
           crawled, "doc_id", k = 3)
         .orderBy("domain", "rank")
+    }),
+
+    // incremental pyramid maintenance: P(v1) ⊕ Δ-pyramid must equal
+    // P(v2) recomputed from scratch — the Spark side NEVER sees v2 whole
+    // (base artifact + anti-joined adds/deletes only), the oracle computes
+    // the v2 pyramid directly, so the incremental-view-maintenance
+    // contract is the gate
+    "q119_pyramid_delta" -> ((s, dir) => {
+      import graft.cells.TilePyramid
+      val pts = Pages.geotag(Pages.pages(s, dir))
+        .select(regexp_extract(col("url"), "(\\d+)$", 1).cast("long")
+            .as("pid"),
+          col("x").cast("long").as("xi"), col("y").cast("long").as("yi"))
+        .localCheckpoint(true)
+      val v1 = pts.where(col("pid") % 11 =!= 3)
+      val v2 = pts.where(col("pid") % 13 =!= 5)
+      val base = TilePyramid.pyramidCounts(v1, "xi", "yi",
+        bits = 13, maxRes = 6)
+      val adds = v2.join(v1.select("pid"), Seq("pid"), "left_anti")
+        .withColumn("w", lit(1L))
+      val dels = v1.join(v2.select("pid"), Seq("pid"), "left_anti")
+        .withColumn("w", lit(-1L))
+      val delta = TilePyramid.pyramidSum(adds.unionByName(dels),
+        "xi", "yi", "w", bits = 13, maxRes = 6)
+      TilePyramid.applyDelta(base, delta).orderBy("res", "ix", "iy")
+    }),
+
+    // Count-Min heavy-hitter profile: a 3x512 sketch built as one keyed
+    // rollup, point estimates for the exact top-20 tokens, the
+    // overestimate guarantee asserted as a column — the sketch arithmetic
+    // is engine-neutral (md5-prefix hash rows, integer sums, least)
+    "q120_cms_heavy" -> ((s, dir) => {
+      import graft.text.CountMin
+      val counts = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val sk = CountMin.sketch(counts, "w", "c", width = 512)
+      val top = counts.orderBy(col("c").desc, col("w")).limit(20)
+      CountMin.estimate(sk, top, "w", width = 512)
+        .join(counts, "w")
+        .select(col("w"), col("c").as("exact"), col("cms_est"),
+          (col("cms_est") >= col("c")).cast("int").as("ge_ok"))
+        .orderBy(col("exact").desc, col("w"))
     })
   )
 
@@ -595,6 +639,54 @@ object EntryRound4b {
         |                           ORDER BY n_inlinks DESC, id) AS rank
         |      FROM c)
         |SELECT domain, CAST(rank AS INT) AS rank, id, n_inlinks
-        |FROM r WHERE rank <= 3 ORDER BY domain, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY domain, rank""".stripMargin,
+
+    // the v2 pyramid recomputed directly — the incremental path must
+    // land on exactly this
+    "q119_pyramid_delta" -> {
+      s"""WITH pg AS (${Pages.geotaggedSql}),
+         |t AS (SELECT CAST(regexp_extract(url, '(\\d+)$$', 1) AS BIGINT)
+         |        AS pid,
+         |        CAST(x AS BIGINT) AS xi, CAST(y AS BIGINT) AS yi
+         |      FROM pg),
+         |v2 AS (SELECT * FROM t WHERE pid % 13 <> 5),
+         |z AS (SELECT CAST(unnest(range(7)) AS INT) AS res, xi, yi FROM v2)
+         |SELECT res,
+         |  xi // CAST(power(2, 13 - res) AS BIGINT) AS ix,
+         |  yi // CAST(power(2, 13 - res) AS BIGINT) AS iy,
+         |  count(*) AS n_pages
+         |FROM z GROUP BY 1, 2, 3 ORDER BY res, ix, iy""".stripMargin
+    },
+
+    "q120_cms_heavy" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |r AS (SELECT unnest([1, 2, 3]) AS row),
+        |buck AS (SELECT r.row, c.w, c.c,
+        |    ((instr('0123456789abcdef', substring(
+        |        md5('r' || CAST(r.row AS VARCHAR) || ':' || c.w), 1, 1)) - 1)
+        |       * 256 +
+        |     (instr('0123456789abcdef', substring(
+        |        md5('r' || CAST(r.row AS VARCHAR) || ':' || c.w), 2, 1)) - 1)
+        |       * 16 +
+        |     (instr('0123456789abcdef', substring(
+        |        md5('r' || CAST(r.row AS VARCHAR) || ':' || c.w), 3, 1)) - 1)
+        |    ) % 512 AS bucket
+        |  FROM c, r),
+        |sk AS (SELECT row, bucket, CAST(sum(c) AS BIGINT) AS counter
+        |       FROM buck GROUP BY 1, 2),
+        |top AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 20),
+        |est AS (SELECT t.w, t.c AS exact,
+        |          least(max(CASE WHEN b.row = 1 THEN sk.counter END),
+        |                max(CASE WHEN b.row = 2 THEN sk.counter END),
+        |                max(CASE WHEN b.row = 3 THEN sk.counter END))
+        |            AS cms_est
+        |        FROM top t JOIN buck b ON t.w = b.w
+        |        JOIN sk ON sk.row = b.row AND sk.bucket = b.bucket
+        |        GROUP BY t.w, t.c)
+        |SELECT w, exact, cms_est,
+        |  CAST(CASE WHEN cms_est >= exact THEN 1 ELSE 0 END AS INT) AS ge_ok
+        |FROM est ORDER BY exact DESC, w""".stripMargin
   )
 }

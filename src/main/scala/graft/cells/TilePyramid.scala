@@ -33,4 +33,40 @@ object TilePyramid {
         expr(s"__yi div cast(pow(2, $bits - res) as bigint)").as("iy"))
       .agg(count(lit(1)).as("n_pages"))
   }
+
+  /** Signed-weight pyramid: the same one-pass rollup summing `wCol` —
+    * the DELTA form (+1 inserts, −1 deletes) of incremental pyramid
+    * maintenance. */
+  def pyramidSum(df: DataFrame, xiCol: String, yiCol: String, wCol: String,
+                 bits: Int, maxRes: Int): DataFrame = {
+    require(maxRes >= 0 && maxRes <= bits && bits <= 30,
+      s"need 0 <= maxRes <= bits <= 30, got bits=$bits maxRes=$maxRes")
+    df.select(col(xiCol).cast("long").as("__xi"),
+        col(yiCol).cast("long").as("__yi"), col(wCol).cast("long").as("__w"))
+      .select(explode(expr(s"sequence(0, $maxRes)")).as("res"),
+        col("__xi"), col("__yi"), col("__w"))
+      .groupBy(col("res"),
+        expr(s"__xi div cast(pow(2, $bits - res) as bigint)").as("ix"),
+        expr(s"__yi div cast(pow(2, $bits - res) as bigint)").as("iy"))
+      .agg(sum(col("__w")).as("n_pages"))
+  }
+
+  /** Incremental maintenance: merge a materialized base pyramid with a
+    * signed delta pyramid — full outer join on the tile key, zero tiles
+    * dropped. `applyDelta(P(v1), Δ-pyramid) == P(v2)` is the
+    * incremental-view-maintenance contract (gated by the q119 oracle,
+    * which recomputes P(v2) from scratch).
+    *
+    * Scale: this is why the pyramid survives a daily 10^9-page recrawl —
+    * the base is an artifact read, only the CHANGED pages fan out through
+    * the zoom explode, and the merge joins two tile tables whose size is
+    * the touched-tile count, not the corpus. */
+  def applyDelta(base: DataFrame, delta: DataFrame): DataFrame =
+    base.withColumnRenamed("n_pages", "__b")
+      .join(delta.withColumnRenamed("n_pages", "__d"),
+        Seq("res", "ix", "iy"), "full_outer")
+      .select(col("res"), col("ix"), col("iy"),
+        (coalesce(col("__b"), lit(0L)) + coalesce(col("__d"), lit(0L)))
+          .as("n_pages"))
+      .where(col("n_pages") =!= 0)
 }
