@@ -333,6 +333,29 @@ object EntryRound4b {
         .select(col("w"), col("c").as("exact"), col("cms_est"),
           (col("cms_est") >= col("c")).cast("int").as("ge_ok"))
         .orderBy(col("exact").desc, col("w"))
+    }),
+
+    // HyperLogLog distinct estimates, BIT-IDENTICAL across engines
+    // (integer rank ladder, exact dyadic harmonic sum, one injected
+    // constant, one division) — per-language token groups exercise the
+    // small-range linear-counting branch, per-shard URL groups the raw
+    // harmonic branch; the oracle rebuilds the identical sketch and the
+    // identical estimate alongside the exact distinct
+    "q121_hll_distinct" -> ((s, dir) => {
+      import graft.text.HyperLogLog
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tok = docs
+        .select(col("lang").as("g"), explode(split(col("text"), " ")).as("w"))
+      val urls = docs.select(
+        concat(lit("shard"), (col("doc_id") % 3).cast("string")).as("g"),
+        concat(lit("https://host"), (col("doc_id") % 97).cast("string"),
+          lit(".example.org/doc/"), col("doc_id").cast("string")).as("w"))
+      val both = tok.unionByName(urls).localCheckpoint(true)
+      val exact = both.groupBy("g").agg(countDistinct(col("w")).as("n_exact"))
+      HyperLogLog.estimateDistinct(both, "g", "w")
+        .join(exact, "g")
+        .select(col("g"), col("n_exact"), col("hll_est"))
+        .orderBy("g")
     })
   )
 
@@ -687,6 +710,43 @@ object EntryRound4b {
         |        GROUP BY t.w, t.c)
         |SELECT w, exact, cms_est,
         |  CAST(CASE WHEN cms_est >= exact THEN 1 ELSE 0 END AS INT) AS ge_ok
-        |FROM est ORDER BY exact DESC, w""".stripMargin
+        |FROM est ORDER BY exact DESC, w""".stripMargin,
+
+    "q121_hll_distinct" -> {
+      import graft.text.HyperLogLog.{K, M, rho32Sql}
+      def nib(i: Int) =
+        s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      // Horner over nibbles 3..10 = the 32-bit rank stream
+      val v32 = (4 to 10).foldLeft(nib(3))((acc, i) => s"($acc * 16 + ${nib(i)})")
+      s"""WITH tok AS (SELECT lang AS g, unnest(string_split(text, ' ')) AS w
+         |             FROM documents
+         |             UNION ALL
+         |             SELECT 'shard' || CAST(doc_id % 3 AS VARCHAR),
+         |               'https://host' || CAST(doc_id % 97 AS VARCHAR)
+         |                 || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+         |             FROM documents),
+         |h AS (SELECT g, md5(w) AS h FROM tok),
+         |rk AS (SELECT g,
+         |         (${nib(1)} * 16 + ${nib(2)}) % $M AS bucket,
+         |         ${rho32Sql(v32)} AS rho
+         |       FROM h),
+         |regs0 AS (SELECT g, bucket, max(rho) AS reg FROM rk GROUP BY 1, 2),
+         |frame AS (SELECT g, unnest(range($M)) AS bucket
+         |          FROM (SELECT DISTINCT g FROM tok)),
+         |regs AS (SELECT f.g, coalesce(r.reg, 0) AS reg
+         |         FROM frame f LEFT JOIN regs0 r
+         |         ON f.g = r.g AND f.bucket = r.bucket),
+         |agg AS (SELECT g,
+         |          CAST(sum(CAST(1 AS BIGINT) << (33 - reg)) AS BIGINT) AS s,
+         |          CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS zeros
+         |        FROM regs GROUP BY 1),
+         |ex AS (SELECT g, count(DISTINCT w) AS n_exact FROM tok GROUP BY 1)
+         |SELECT agg.g AS g, ex.n_exact,
+         |  CAST(CASE WHEN $K / s <= 160.0 AND zeros > 0
+         |       THEN round(64.0 * ln(64.0 / zeros), 0)
+         |       ELSE round($K / s, 0) END AS BIGINT) AS hll_est
+         |FROM agg JOIN ex ON agg.g = ex.g ORDER BY g""".stripMargin
+    }
   )
 }

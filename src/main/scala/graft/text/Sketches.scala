@@ -60,3 +60,68 @@ object CountMin {
       least((1 to Depth).map(r => col(s"__c$r")): _*).as("cms_est"))
   }
 }
+
+/** HyperLogLog distinct-count estimation (Flajolet et al. 2007), built so
+  * the ESTIMATE ITSELF is bit-identical on any engine — the property that
+  * normally makes sketches un-oracle-able:
+  *
+  *   - bucket/rank come from md5-prefix integers (engine-neutral);
+  *   - the leading-zero rank is an integer CASE ladder on power-of-two
+  *     thresholds (no `log2`, whose last-ulp rounding could flip a rank);
+  *   - the harmonic sum is kept as the exact INTEGER `Σ 2^(33−reg)` (every
+  *     term a power of two ≥ 1; 64 terms fit a long exactly), converted to
+  *     a double in ONE final division by a single injected constant;
+  *   - the small-range correction branch (`m·ln(m/V)`) is one `ln` of an
+  *     exactly-representable ratio.
+  *
+  * Scale: registers are a `groups × m` aggregate (max per bucket) — the
+  * sketch a 10^12-url crawl ships to the driver is kilobytes per group,
+  * and register tables MERGE by max, so per-partition sketches combine
+  * without re-scanning (the entire point of HLL at 100 TB). */
+object HyperLogLog {
+
+  final val M = 64 // 2^6 buckets
+  /** alpha_m · m² · 2^33 precomputed in Scala and injected as ONE literal
+    * into both engines, so neither engine's constant folding order
+    * matters. */
+  final val K: Double = 0.709 * (M.toDouble * M.toDouble) * 8589934592.0
+
+  /** rank = leading zeros of the 32-bit hash stream + 1 (v = 0 → 33), as
+    * an integer threshold ladder. */
+  def rho32(v: Column): Column =
+    (31 to 0 by -1).foldLeft(when(v === 0L, lit(33))) { (acc, k) =>
+      acc.when(v >= (1L << k), lit(32 - k))
+    }.otherwise(lit(33))
+
+  /** The same ladder as SQL text (for DuckDB oracles). */
+  def rho32Sql(v: String): String =
+    s"CASE WHEN $v = 0 THEN 33 " +
+      (31 to 0 by -1).map(k => s"WHEN $v >= ${1L << k} THEN ${32 - k}")
+        .mkString(" ") + " END"
+
+  /** Per-group HLL estimate of distinct `wCol` values:
+    * (group, hll_est). */
+  def estimateDistinct(df: DataFrame, groupCol: String,
+                       wCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(groupCol).as("g"),
+        (conv(substring(md5(col(wCol)), 1, 2), 16, 10).cast("long") % M)
+          .as("bucket"),
+        conv(substring(md5(col(wCol)), 3, 8), 16, 10).cast("long").as("v"))
+      .select(col("g"), col("bucket"), rho32(col("v")).as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").as("reg"))
+    val allBuckets = df.select(col(groupCol).as("g")).distinct()
+      .crossJoin((0 until M).toDF("bucket"))
+    val regs = allBuckets.join(hashed, Seq("g", "bucket"), "left")
+      .select(col("g"), coalesce(col("reg"), lit(0)).as("reg"))
+    regs.groupBy("g")
+      .agg(sum(expr("shiftleft(1L, cast(33 - reg as int))")).as("s"),
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("zeros"))
+      .select(col("g"),
+        when((lit(K) / col("s") <= 2.5 * M) && col("zeros") > 0,
+            round(lit(M.toDouble) * log(lit(M.toDouble) / col("zeros")), 0))
+          .otherwise(round(lit(K) / col("s"), 0))
+          .cast("long").as("hll_est"))
+  }
+}
