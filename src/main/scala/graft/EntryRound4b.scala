@@ -13,6 +13,8 @@ import graft.text.{CrawlOps, PipelineOps}
   * chains on both engines, iterative jobs gated by unrolled-CTE oracles. */
 object EntryRound4b {
 
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Templated pages: a 16-token per-domain header (nav-bar stand-in)
     * prepended to every document of the domain — the closed form both
     * engines rebuild exactly. 7 domains so every domain has enough pages
@@ -356,7 +358,51 @@ object EntryRound4b {
         .join(exact, "g")
         .select(col("g"), col("n_exact"), col("hll_est"))
         .orderBy("g")
-    })
+    }),
+
+    // the q115 freshness surface through STRUCTURED STREAMING: urls arrive
+    // as two micro-batches, the SAME geotag + decay aggregation runs in
+    // complete mode, and the final state must equal the batch oracle —
+    // incremental crawl monitoring with one codepath
+    "q122_decay_stream" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.cells.Freshness
+      val mem = MemoryStream[String](s)
+      val qname = s"q122_decay_${streamSeq.incrementAndGet()}"
+      val pts = Pages.geotag(mem.toDF().toDF("url"))
+        .withColumn("pid",
+          regexp_extract(col("url"), "(\\d+)$", 1).cast("long"))
+        .select((col("x") / 512).cast("long").as("ix"),
+          (col("y") / 512).cast("long").as("iy"),
+          expr("(1610000000L - (1600000000L + pid * 137L)) div 86400")
+            .as("age_days"))
+      val q = Freshness.decayDensity(pts, "ix", "iy", "age_days", 16)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      val urls = Pages.pages(s, dir).select("url").collect()
+        .map(_.getString(0))
+      val (first, second) = urls.splitAt(urls.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(s.table(qname).collect(): _*),
+        s.table(qname).schema)
+      q.stop()
+      out.orderBy("ix", "iy")
+    }),
+
+    // dataset-card percentiles: exact discrete p50/p90/p99 of doc length
+    // per language — pure integer rank arithmetic (value at ordered rank
+    // ceil(n·p/100)), engine-identical with no interpolation
+    "q123_length_percentiles" -> ((s, dir) =>
+      PipelineOps.exactPercentiles(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "lang", "n_chars", "doc_id", Seq(50, 90, 99))
+        .withColumnRenamed("g", "lang")
+        .orderBy("lang"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -747,6 +793,35 @@ object EntryRound4b {
          |       THEN round(64.0 * ln(64.0 / zeros), 0)
          |       ELSE round($K / s, 0) END AS BIGINT) AS hll_est
          |FROM agg JOIN ex ON agg.g = ex.g ORDER BY g""".stripMargin
-    }
+    },
+
+    // the streamed decay state must equal this batch computation — the
+    // q115 oracle reshaped to the /512 lattice IS the gate
+    "q122_decay_stream" -> {
+      s"""WITH pg AS (${Pages.geotaggedSql}),
+         |t AS (SELECT CAST(floor(x / 512) AS BIGINT) AS ix,
+         |             CAST(floor(y / 512) AS BIGINT) AS iy,
+         |        (1610000000 - CAST(epoch(warc_ts) AS BIGINT)) // 86400
+         |          AS age
+         |      FROM pg)
+         |SELECT ix, iy, count(*) AS n_pages,
+         |  CAST(sum(CASE WHEN age < 0 THEN 1000000
+         |       WHEN (age // 16) > 62 THEN 0
+         |       ELSE 1000000 >> CAST(age // 16 AS INT) END) AS BIGINT)
+         |    AS w_sum
+         |FROM t GROUP BY 1, 2 ORDER BY ix, iy""".stripMargin
+    },
+
+    "q123_length_percentiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT lang, max(n) AS n_rows,
+        |  max(CASE WHEN r = (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+        |  max(CASE WHEN r = (n * 90 + 99) // 100 THEN n_chars END) AS p90,
+        |  max(CASE WHEN r = (n * 99 + 99) // 100 THEN n_chars END) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

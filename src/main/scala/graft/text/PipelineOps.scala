@@ -1043,4 +1043,32 @@ object PipelineOps {
       .select(col("id"), col("rep").as("rep_id"), col("canonical_id"),
         (col("id") === col("canonical_id")).cast("int").as("keep"))
   }
+
+  // ---------------------------------------------------- exact percentiles
+
+  /** Exact discrete percentiles per group (dataset-card stats): the value
+    * at ordered rank `ceil(n·p/100)` — pure integer rank arithmetic, so
+    * the reported value is the same on any engine (no interpolation,
+    * whose midpoint average would reopen float territory). `idCol` breaks
+    * ordering ties deterministically; the value AT a rank of a multiset
+    * is tie-order-independent anyway.
+    *
+    * Scale: one per-group sort (the honest exact plan — a range exchange
+    * keyed by group); 100 TB pipelines freeze sampled thresholds instead
+    * (`NgramLm.bucketByThresholds` is that path) and run this exact form
+    * on samples or per-partition-bounded groups. */
+  def exactPercentiles(df: DataFrame, groupCol: String, valCol: String,
+                       idCol: String, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in 1..100, got $ps")
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val ranked = df.select(col(groupCol).as("g"),
+        col(valCol).cast("long").as("v"), col(idCol).as("id"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+    ranked.groupBy("g")
+      .agg(max(col("n")).as("n_rows"),
+        ps.map(p => max(when(col("r") === expr(s"(n * $p + 99) div 100"),
+          col("v"))).as(s"p$p")): _*)
+  }
 }
