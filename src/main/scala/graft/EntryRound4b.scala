@@ -79,7 +79,7 @@ object EntryRound4b {
         .orderBy("qid", "rank")),
 
     // 2-round integer HITS over the q87 link graph: hubs and authorities
-    // max-norm-rescaled to milli-units each half-pass — the oracle unrolls
+    // max-norm-rescaled to micro-units each half-pass — the oracle unrolls
     // the identical mutually-recursive integer recurrence
     "q107_hits" -> ((s, dir) =>
       graft.graph.Hits.hits(

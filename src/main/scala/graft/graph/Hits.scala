@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *   a_k(v) = Σ_{u→v} h_{k-1}(u) · w(u→v)        (authority update)
   *   h_k(u) = Σ_{u→v} a_k(v)   · w(u→v)          (hub update)
   *
-  * with each vector rescaled after its update to `Scale` milli-units of
+  * with each vector rescaled after its update to `Scale` micro-units of
   * its maximum: `x' = (x · Scale) div max(x)` (integer div). Max-norm
   * replaces the usual L2 norm so the whole computation stays in integer
   * arithmetic — a fixed iteration count then yields BIT-IDENTICAL scores
@@ -32,8 +32,9 @@ object Hits {
   final val Scale = 1000000L
 
   /** `edges(src_domain, dst_domain, n_links)` → `(domain, auth, hub)` in
-    * milli-units of the per-vector maximum after `iters` full rounds. */
+    * micro-units of the per-vector maximum after `iters` full rounds. */
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
     val nodes = edges.select(col("src_domain").as("domain"))
       .unionByName(edges.select(col("dst_domain").as("domain")))
       .distinct()

@@ -53,6 +53,9 @@ object CrawlOps {
         md5(concat_ws(" ",
           slice(col("toks"), (col("chunk_id") * ct + 1).cast("int"), lit(ct))))
           .as("h"))
+      // two consumers below (threshold aggregate + per-doc rollup) — one
+      // tokenize/hash pass, not two
+      .localCheckpoint(true)
     val boiler = chunks
       .groupBy("domain", "h")
       .agg(countDistinct(col("id")).as("nd"))

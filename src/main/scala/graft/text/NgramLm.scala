@@ -98,10 +98,13 @@ object NgramLm {
       .groupBy(col("w").as("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     val d = nv.getLong(0) + nv.getLong(1)
-    // bit-exactness contract: every score-side operand (≤ 7·c12·d with
-    // c12 ≤ N) must be exactly representable as a double (< 2^53) — at
-    // larger corpora train on a sample or rescale the interpolation
-    require(7.0 * nv.getLong(0) * d < (1L << 53).toDouble,
+    // bit-exactness contract: every score-side operand must be exactly
+    // representable as a double (< 2^53). The worst case is the arm-3
+    // numerator 7·c12·d + 3·c1·(c2+1) ≤ 10·N·d and the denominator
+    // 10·c1·d ≤ 10·N·d — guard on the full factor 10, not the leading 7,
+    // or corpora in the (2^53/10, 2^53/7) band would pass the guard and
+    // silently lose ulps. At larger corpora train on a sample.
+    require(10.0 * nv.getLong(0) * d < (1L << 53).toDouble,
       s"bigram LM operands would exceed 2^53 (N=${nv.getLong(0)}, d=$d) — " +
         "train on a sample to keep scores engine-exact")
     BigramLm(pairs, uni, d)

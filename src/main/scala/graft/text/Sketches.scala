@@ -29,17 +29,21 @@ object CountMin {
       .cast("long") % width
 
   /** The sketch: (row, bucket, counter) — `Depth × width` counters from
-    * one pass over `(token, weight)` rows. */
+    * ONE pass over `(token, weight)` rows: each input row emits its Depth
+    * (row, bucket) addresses through a single inline array explode, so an
+    * unpersisted/expensive upstream is scanned once (a union of per-row
+    * selects would execute it Depth times). */
   def sketch(tokenCounts: DataFrame, wCol: String, cCol: String,
              width: Int): DataFrame = {
     require(width > 0 && width <= 4096, s"width must be in 1..4096 (3 md5 " +
       s"nibbles address 4096 buckets), got $width")
-    (1 to Depth).map { r =>
-      tokenCounts.select(lit(r).as("row"),
-        bucket(col(wCol), r, width).as("bucket"),
+    tokenCounts
+      .select(explode(array((1 to Depth).map(r =>
+          struct(lit(r).as("row"), bucket(col(wCol), r, width).as("bucket")))
+          : _*)).as("rb"),
         col(cCol).cast("long").as("c"))
-    }.reduce(_.unionByName(_))
-      .groupBy("row", "bucket").agg(sum("c").as("counter"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(sum("c").as("counter"))
   }
 
   /** Point estimates for `probes` (a small token table): min over the
@@ -51,13 +55,17 @@ object CountMin {
       probes.select(col(wCol).as("w"))) { (acc, r) =>
       acc.withColumn(s"__b$r", bucket(col("w"), r, width))
     }
+    // LEFT joins: a probe addressing an empty bucket has counter 0 (it was
+    // never added), not "no estimate" — an inner join would silently drop
+    // the probe row
     val est = (1 to Depth).foldLeft(withBuckets) { (acc, r) =>
       acc.join(broadcast(sketchDf.where(col("row") === r)
           .select(col("bucket").as(s"__b$r"), col("counter").as(s"__c$r"))),
-        Seq(s"__b$r"))
+        Seq(s"__b$r"), "left")
     }
     est.select(col("w"),
-      least((1 to Depth).map(r => col(s"__c$r")): _*).as("cms_est"))
+      least((1 to Depth).map(r => coalesce(col(s"__c$r"), lit(0L))): _*)
+        .as("cms_est"))
   }
 }
 
@@ -111,7 +119,13 @@ object HyperLogLog {
         conv(substring(md5(col(wCol)), 3, 8), 16, 10).cast("long").as("v"))
       .select(col("g"), col("bucket"), rho32(col("v")).as("rho"))
       .groupBy("g", "bucket").agg(max("rho").as("reg"))
-    val allBuckets = df.select(col(groupCol).as("g")).distinct()
+      // two consumers (group frame + register join): materialize the TINY
+      // register table once instead of scanning the corpus twice
+      .localCheckpoint(true)
+    // every non-empty group has >= 1 register row, so the frame derives
+    // from the registers (groups x <= 64 rows), not from a second corpus
+    // scan
+    val allBuckets = hashed.select(col("g")).distinct()
       .crossJoin((0 until M).toDF("bucket"))
     val regs = allBuckets.join(hashed, Seq("g", "bucket"), "left")
       .select(col("g"), coalesce(col("reg"), lit(0)).as("reg"))
