@@ -89,7 +89,7 @@ object EntryPages {
     })
   )
 
-  private def srgSelect(code: Int): String =
+  private[graft] def srgSelect(code: Int): String =
     s"""SELECT CAST($code AS INT) AS srg_code, fips, col, "row",
        |  numer/denom AS frac, numer, denom,
        |  sum(numer/denom) OVER (PARTITION BY fips ORDER BY "row", col) AS qasum

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fixtures.{Pages, TpchGeo}
+import graft.fixtures.TpchGeo.{grid, domain, zres}
+import graft.operators.Surrogate
+import graft.sources.Sitemaps
+
+/** Round-4 batch 3: crawl-operations metrics that close the loop between
+  * the webtext layer and the geospatial flagship — a quality-weighted page
+  * surrogate (the srgcreate weight-function path driven by a page-level
+  * signal), sitemap coverage / freshness-lag audits, and link-rot rates.
+  * Same oracle discipline throughout. */
+object EntryRound4c {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the flagship surrogate WEIGHTED by a page-quality signal (text
+    // length as the stand-in score): srgcreate's weight-attribute path
+    // (sumpoly.c weight mode) over web pages — numerators/denominators
+    // become exact integer-valued double sums, still bit-exact vs SQL
+    "q124_srg_quality" -> ((s, dir) =>
+      Surrogate.pointSurrogate(
+        Pages.geotag(Pages.pages(s, dir))
+          .withColumn("wq", length(col("text")).cast("double")),
+        TpchGeo.counties(s), grid, domain, zres, srgCode = 310,
+        weight = Some("wq"))),
+
+    // sitemap coverage audit: per domain, how much of what the site LISTS
+    // has actually been captured — listed urls parsed from real sitemap
+    // XML, capture set a closed-form subset both engines share
+    "q125_sitemap_coverage" -> ((s, dir) => {
+      val listed = Sitemaps.entries(Pages.sitemaps(s, dir), "sitemap_xml")
+        .select(col("domain"),
+          regexp_extract(col("loc"), "(\\d+)$", 1).cast("long").as("doc_id"))
+      val captured = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 3 =!= 1)
+        .select(col("doc_id"), lit(1L).as("cap"))
+      listed.join(captured, Seq("doc_id"), "left")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_listed"),
+          sum(coalesce(col("cap"), lit(0L))).as("n_captured"))
+        .withColumn("coverage_pct", expr("(100 * n_captured) div n_listed"))
+        .orderBy("domain")
+    }),
+
+    // freshness lag: the newest lastmod a domain advertises (parsed from
+    // real sitemap XML) vs the newest capture day — the recrawl
+    // prioritization signal; domains with no captures report -1/-999999
+    "q126_freshness_lag" -> ((s, dir) => {
+      val listed = Sitemaps.entries(Pages.sitemaps(s, dir), "sitemap_xml")
+        .groupBy("domain").agg(max("lastmod_day").as("latest_listed_day"))
+      val capped = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 3 =!= 1)
+        .groupBy(concat(lit("host"), (col("doc_id") % 97).cast("string"),
+          lit(".example.org")).as("domain"))
+        .agg(max(expr("(1600000000L + doc_id * 137L) div 86400"))
+          .as("latest_capture_day"))
+      listed.join(capped, Seq("domain"), "left")
+        .select(col("domain"), col("latest_listed_day"),
+          coalesce(col("latest_capture_day"), lit(-1L))
+            .as("latest_capture_day"))
+        .withColumn("lag_days",
+          when(col("latest_capture_day") >= 0,
+            col("latest_listed_day") - col("latest_capture_day"))
+            .otherwise(lit(-999999L)))
+        .orderBy("domain")
+    }),
+
+    // link rot: per source domain, the share of outlinks (anchors
+    // re-extracted from real markup) pointing at urls the crawl never
+    // captured — the dead-link dashboard metric
+    "q127_link_rot" -> ((s, dir) => {
+      val crawled = Pages.linkPages(s, dir).where(col("doc_id") % 5 =!= 0)
+      val out = crawled.select(
+        regexp_extract(col("url"), "^https://([^/]+)", 1).as("src_domain"),
+        explode(expr(
+          "regexp_extract_all(html, '<a href=\"([^\"]+)\"', 1)")).as("t"))
+        .select(col("src_domain"),
+          regexp_extract(col("t"), "(\\d+)$", 1).cast("long").as("tgt_id"))
+      val captured = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("tgt_id"), lit(1L).as("cap"))
+      out.join(captured, Seq("tgt_id"), "left")
+        .groupBy("src_domain")
+        .agg(count(lit(1)).as("n_outlinks"),
+          sum(when(col("cap").isNull, 1L).otherwise(0L)).as("n_dangling"))
+        .withColumn("rot_pct", expr("(100 * n_dangling) div n_outlinks"))
+        .orderBy("src_domain")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q124_srg_quality" ->
+      s"""WITH pg AS (${Pages.geotaggedSql}),
+         |tagged AS (SELECT ${TpchGeo.fipsOfSql("x", "y")} AS fips,
+         |  CAST(floor(x/1000.0) AS INT)+1 AS col,
+         |  CAST(floor(y/1000.0) AS INT)+1 AS "row", len(text) AS wq FROM pg),
+         |num AS (SELECT fips, col, "row", CAST(sum(wq) AS DOUBLE) AS numer
+         |        FROM tagged GROUP BY 1, 2, 3),
+         |den AS (SELECT fips, CAST(sum(wq) AS DOUBLE) AS denom
+         |        FROM tagged GROUP BY 1)
+         |${EntryPages.srgSelect(310)}""".stripMargin,
+
+    "q125_sitemap_coverage" ->
+      """WITH l AS (SELECT
+        |    'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+        |      AS domain,
+        |    doc_id FROM documents)
+        |SELECT domain, count(*) AS n_listed,
+        |  CAST(sum(CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_captured,
+        |  (100 * sum(CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END))
+        |    // count(*) AS coverage_pct
+        |FROM l GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "q126_freshness_lag" ->
+      """WITH d AS (SELECT doc_id,
+        |    'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+        |      AS domain,
+        |    18262 + doc_id % 365 AS listed_day,
+        |    CASE WHEN doc_id % 3 <> 1
+        |         THEN (1600000000 + doc_id * 137) // 86400 END AS cap_day
+        |  FROM documents),
+        |a AS (SELECT domain,
+        |        CAST(max(listed_day) AS BIGINT) AS latest_listed_day,
+        |        CAST(coalesce(max(cap_day), -1) AS BIGINT)
+        |          AS latest_capture_day
+        |      FROM d GROUP BY 1)
+        |SELECT domain, latest_listed_day, latest_capture_day,
+        |  CASE WHEN latest_capture_day >= 0
+        |       THEN latest_listed_day - latest_capture_day
+        |       ELSE -999999 END AS lag_days
+        |FROM a ORDER BY domain""".stripMargin,
+
+    "q127_link_rot" ->
+      """WITH nd AS (SELECT count(*) AS nn FROM documents),
+        |e AS (SELECT
+        |    'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+        |      AS src_domain,
+        |    unnest([(doc_id * 31 + 7919) % nn, (doc_id * 31 + 15838) % nn,
+        |            (doc_id * 31 + 23757) % nn]) AS t
+        |  FROM documents, nd WHERE doc_id % 5 <> 0)
+        |SELECT src_domain, count(*) AS n_outlinks,
+        |  CAST(sum(CASE WHEN t % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dangling,
+        |  (100 * sum(CASE WHEN t % 5 = 0 THEN 1 ELSE 0 END)) // count(*)
+        |    AS rot_pct
+        |FROM e GROUP BY 1 ORDER BY src_domain""".stripMargin
+  )
+}
