@@ -22,6 +22,10 @@ import graft.text.PipelineOps
   *     codegen extraction chain → md5 (q77 shape). Purely narrow (zero
   *     shuffle): its efficiency is the embarrassingly-parallel ceiling
   *     the shuffling scenarios are judged against.
+  *   - `index`: the retrieval-index build — tokenize → (page, term)
+  *     postings aggregate → term dictionary (df/ctf) — the q106 family's
+  *     100 TB shape: a token explode feeding two keyed aggregations
+  *     whose zipf-skewed term key is eaten by map-side combine.
   *
   * Reported per level: wall seconds (best of `iters` after a warmup) and
   * pages/sec; efficiency = (throughput_4N / throughput_N) / 4.
@@ -34,10 +38,10 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scenario = sys.env.getOrElse("SPARK_GRAFT_SCENARIO", "srg")
-    require(Set("srg", "clean", "extract")(scenario),
-      s"unknown SPARK_GRAFT_SCENARIO '$scenario' (srg | clean | extract)")
+    require(Set("srg", "clean", "extract", "index")(scenario),
+      s"unknown SPARK_GRAFT_SCENARIO '$scenario' (srg | clean | extract | index)")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS",
-      if (scenario == "clean") "400" else "2000").toInt
+      if (scenario == "clean" || scenario == "index") "400" else "2000").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val tableDir = sys.env.getOrElse("SPARK_GRAFT_PAGES_DIR",
       s"/tmp/graft_bench_pages_r$replicas")
@@ -139,6 +143,10 @@ object ScalingBench {
         """HTML→text extraction layer (parquet scan of raw html bytes →
           |codegen regexp extraction chain → md5 — q77 shape, purely
           |narrow)""".stripMargin.replace("\n", " ")
+      case "index" =>
+        """Retrieval-index build (parquet scan → tokenize → (page, term)
+          |postings aggregate → term dictionary df/ctf — q106 family
+          |shape)""".stripMargin.replace("\n", " ")
       case _ =>
         """Flagship page pipeline (parquet scan → geotag → spatial join →
           |surrogate ratio)""".stripMargin.replace("\n", " ")
@@ -206,6 +214,18 @@ object ScalingBench {
         .select(md5(graft.text.Html.extractText(col("html"))).as("h"))
         .groupBy(substring(col("h"), 1, 2).as("hp"))
         .agg(count(lit(1)).as("n"))
+    case "index" =>
+      // the retrieval-index build: token explode → postings per (page,
+      // term) → term dictionary. The dictionary count() is data-dependent
+      // (vocabulary size), so the whole pipeline is forced; the postings
+      // exchange keys on (pid, term) and the dictionary partial-aggregates
+      // the zipf head map-side
+      spark.read.parquet(tableDir)
+        .select(regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("pid"),
+          col("text"))
+        .select(col("pid"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("pid", "w").agg(count(lit(1)).as("tf"))
+        .groupBy("w").agg(count(lit(1)).as("df"), sum("tf").as("ctf"))
     case "clean" =>
       PipelineOps.cleanCorpusAuditWith(
         spark.read.parquet(tableDir)
