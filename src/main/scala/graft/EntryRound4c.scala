@@ -6,6 +6,7 @@ import graft.fixtures.{Pages, TpchGeo}
 import graft.fixtures.TpchGeo.{grid, domain, zres}
 import graft.operators.Surrogate
 import graft.sources.Sitemaps
+import graft.text.PipelineOps
 
 /** Round-4 batch 3: crawl-operations metrics that close the loop between
   * the webtext layer and the geospatial flagship — a quality-weighted page
@@ -87,7 +88,35 @@ object EntryRound4c {
           sum(when(col("cap").isNull, 1L).otherwise(0L)).as("n_dangling"))
         .withColumn("rot_pct", expr("(100 * n_dangling) div n_outlinks"))
         .orderBy("src_domain")
-    })
+    }),
+
+    // soft dedup: duplicates downweighted, not dropped — each md5 group
+    // survives with ~1 expected copy via the deterministic q89 hash gate;
+    // the oracle re-derives every keep decision from the same closed form
+    "q128_soft_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionByName(docs.where(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+      graft.text.PipelineOps.softDedupWeights(corpus, "doc_id", "text")
+        .orderBy("id")
+    }),
+
+    // crawl-quota apportionment: the 5-iteration integer PageRank feeds a
+    // largest-remainder split of a 10000-document sampling budget —
+    // quotas sum to EXACTLY the budget, every seat decision integer-exact,
+    // so the oracle gates rank + apportionment end to end
+    "q129_quota_apportion" -> ((s, dir) =>
+      graft.graph.Apportion.largestRemainder(
+          graft.graph.DomainRank.pageRank(
+            PipelineOps.domainLinkGraph(Pages.linkPages(s, dir),
+              "doc_id", "url", "html"),
+            iters = 5),
+          "domain", "pr", budget = 10000)
+        .orderBy("key"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -146,6 +175,44 @@ object EntryRound4c {
         |    AS n_dangling,
         |  (100 * sum(CASE WHEN t % 5 = 0 THEN 1 ELSE 0 END)) // count(*)
         |    AS rot_pct
-        |FROM e GROUP BY 1 ORDER BY src_domain""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY src_domain""".stripMargin,
+
+    "q128_soft_dedup" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 500000, text FROM documents
+        |    WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id + 600000, text FROM documents
+        |    WHERE doc_id % 20 = 0),
+        |g AS (SELECT doc_id AS id,
+        |        CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+        |          AS n_dups
+        |      FROM c),
+        |w AS (SELECT id, n_dups,
+        |        CAST(1000 // n_dups AS BIGINT) AS milli FROM g)
+        |SELECT id, n_dups, milli,
+        |  CAST(milli // 1000 +
+        |    CASE WHEN (id * 131 + 7) % 1000 < milli % 1000
+        |         THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM w ORDER BY id""".stripMargin,
+
+    "q129_quota_apportion" -> {
+      // the q88 rank oracle verbatim as a CTE, then the identical
+      // largest-remainder arithmetic
+      s"""WITH ranks AS (${EntryRound4.oracles("q88_pagerank")}),
+         |tot AS (SELECT sum(pr) AS st FROM ranks),
+         |based AS (SELECT domain AS key, pr AS s,
+         |            CAST((10000 * pr) // st AS BIGINT) AS base,
+         |            CAST((10000 * pr) % st AS BIGINT) AS rem
+         |          FROM ranks, tot),
+         |lo AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS l FROM based),
+         |r AS (SELECT key, s, base, rem,
+         |        row_number() OVER (ORDER BY rem DESC, key) AS rr
+         |      FROM based)
+         |SELECT key, s, base,
+         |  CAST(CASE WHEN rr <= l THEN 1 ELSE 0 END AS BIGINT) AS extra,
+         |  base + CAST(CASE WHEN rr <= l THEN 1 ELSE 0 END AS BIGINT)
+         |    AS quota
+         |FROM r, lo ORDER BY key""".stripMargin
+    }
   )
 }

@@ -1044,6 +1044,32 @@ object PipelineOps {
         (col("id") === col("canonical_id")).cast("int").as("keep"))
   }
 
+  // ----------------------------------------------------------- soft dedup
+
+  /** Soft deduplication (the "downweight, don't drop" recipe): a document
+    * with `n` byte-identical copies in the corpus survives with
+    * probability ~1/n, realized DETERMINISTICALLY by the q89 hash gate —
+    * `milli = 1000 div n`, keep iff `milli = 1000` (unique) or the doc's
+    * hash residue falls under `milli` — so each duplicate GROUP
+    * contributes ≈1 expected copy while every decision is a pure function
+    * of (id, n), reproducible on any engine. Training pipelines use this
+    * when hard dedup would distort the natural distribution of genuinely
+    * popular content.
+    *
+    * Scale: one exchange keyed on the content md5 carrying (hash, id)
+    * only; the gate is a narrow map. */
+  def softDedupWeights(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val counted = df.select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy("__h")))
+      .withColumn("milli", expr("1000L div n_dups"))
+    counted.select(col("id"), col("n_dups"), col("milli"),
+      (expr("milli div 1000") +
+        when(expr("(id * 131 + 7) % 1000") < col("milli") % 1000, 1L)
+          .otherwise(0L)).cast("int").as("keep"))
+  }
+
   // ---------------------------------------------------- exact percentiles
 
   /** Exact discrete percentiles per group (dataset-card stats): the value
