@@ -6,7 +6,7 @@ import graft.fixtures.{Pages, TpchGeo}
 import graft.fixtures.TpchGeo.{grid, domain, zres}
 import graft.operators.Surrogate
 import graft.sources.Sitemaps
-import graft.text.PipelineOps
+import graft.text.{CrawlOps, PipelineOps}
 
 /** Round-4 batch 3: crawl-operations metrics that close the loop between
   * the webtext layer and the geospatial flagship — a quality-weighted page
@@ -116,7 +116,30 @@ object EntryRound4c {
               "doc_id", "url", "html"),
             iters = 5),
           "domain", "pr", budget = 10000)
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // "more like this": top-5 related documents per probe by the integer
+    // tf-idf dot product over the shared-term inverted-index join — idf
+    // quantized once per term, every pair score exact integer arithmetic
+    "q130_related_docs" -> ((s, dir) =>
+      CrawlOps.relatedTopK(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          probeIds = Seq(1L, 2L, 3L), k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("qid", "rank")),
+
+    // per-cell language-diversity map: Shannon entropy of each tile's
+    // language mix in integer micro-nats (per-category independent
+    // quantization makes the float statistic order-exact) — the
+    // monolingual-region crawl-coverage diagnostic
+    "q131_cell_diversity" -> ((s, dir) => {
+      import graft.cells.Diversity
+      val pts = Pages.geotag(Pages.pages(s, dir))
+        .select((col("x") / 512).cast("long").as("ix"),
+          (col("y") / 512).cast("long").as("iy"), col("lang"))
+      Diversity.cellEntropy(pts, "ix", "iy", "lang")
+        .orderBy("ix", "iy")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -213,6 +236,46 @@ object EntryRound4c {
          |  base + CAST(CASE WHEN rr <= l THEN 1 ELSE 0 END AS BIGINT)
          |    AS quota
          |FROM r, lo ORDER BY key""".stripMargin
+    },
+
+    "q130_related_docs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |p AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT doc_id) AS nn FROM p),
+        |idf AS (SELECT w,
+        |          CAST(round(ln((nn + 1.0) / (count(*) + 1)) * 1e3, 0)
+        |            AS BIGINT) AS idf_milli
+        |        FROM p, n GROUP BY w, nn),
+        |q AS (SELECT doc_id AS qid, w, tf AS tf_q FROM p
+        |      WHERE doc_id IN (1, 2, 3)),
+        |sc AS (SELECT q.qid, p.doc_id,
+        |         sum(p.tf * q.tf_q * idf.idf_milli * idf.idf_milli)
+        |           AS score
+        |       FROM p JOIN idf ON p.w = idf.w JOIN q ON p.w = q.w
+        |       WHERE p.doc_id <> q.qid
+        |       GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id,
+        |  CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q131_cell_diversity" -> {
+      s"""WITH pg AS (${Pages.geotaggedSql}),
+         |c AS (SELECT CAST(floor(x / 512) AS BIGINT) AS ix,
+         |             CAST(floor(y / 512) AS BIGINT) AS iy, lang,
+         |        count(*) AS c
+         |      FROM pg GROUP BY 1, 2, 3),
+         |t AS (SELECT ix, iy, c,
+         |        CAST(sum(c) OVER (PARTITION BY ix, iy) AS BIGINT) AS n
+         |      FROM c)
+         |SELECT ix, iy, max(n) AS n_pages, count(*) AS n_langs,
+         |  CAST(sum(CAST(round(1e6 * (c / n) * ln(n / c), 0) AS BIGINT))
+         |    AS BIGINT) AS ent_micro
+         |FROM t GROUP BY 1, 2 ORDER BY ix, iy""".stripMargin
     }
   )
 }

@@ -41,3 +41,33 @@ object Freshness {
       .groupBy("ix", "iy")
       .agg(count(lit(1)).as("n_pages"), sum("w").as("w_sum"))
 }
+
+/** Per-cell categorical diversity — Shannon entropy of the language mix
+  * in integer micro-nats. Each category's term
+  * `round(1e6 · (c/n) · ln(n/c))` is quantized INDEPENDENTLY (exact
+  * integer operands, fixed left-associated double expression both
+  * engines), then summed exactly — so a float statistic over a float sum
+  * becomes an order-independent integer, the same construction as the
+  * LM/PMI scores. The map this draws is the "is this region's crawl
+  * monolingual?" coverage diagnostic.
+  *
+  * Scale: one keyed (cell, lang) aggregation with map-side combine, a
+  * per-cell window over ≤ |languages| rows, one keyed rollup. */
+object Diversity {
+
+  def cellEntropy(df: DataFrame, ixCol: String, iyCol: String,
+                  langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(ixCol).as("ix"), col(iyCol).as("iy"),
+        col(langCol).as("lang"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("ix", "iy")))
+      .select(col("ix"), col("iy"), col("c"), col("n"),
+        round(lit(1e6) * (col("c") / col("n")) * log(col("n") / col("c")), 0)
+          .cast("long").as("term"))
+      .groupBy("ix", "iy")
+      .agg(max(col("n")).as("n_pages"), count(lit(1)).as("n_langs"),
+        sum(col("term")).as("ent_micro"))
+  }
+}

@@ -187,6 +187,58 @@ object CrawlOps {
         col("n_inlinks"))
   }
 
+  // ------------------------------------------------ related-document top-k
+
+  /** "More like this": for every probe document, the top `k` other
+    * documents ranked by the integer tf-idf dot product
+    * `Σ_terms tf_a·tf_b·idf_milli²` — the shared-term inverted-index plan
+    * (two postings slivers joined on the term), with idf quantized ONCE
+    * per term to milli-units so every pair score is exact integer
+    * arithmetic (a cosine would need per-doc sqrt norms — the dot-product
+    * form is what stays engine-exact, and the ranking it induces is the
+    * standard unnormalized relevance).
+    *
+    * Scale: the probe side is a filtered sliver (broadcast); the corpus
+    * postings shuffle once on the term; per-pair partial sums aggregate
+    * map-side; the per-probe rank is the salted two-phase top-k. Stop-term
+    * explosion is bounded by the idf weighting itself at ranking time but
+    * NOT at join time — real deployments drop df > cap terms first, which
+    * `maxDf` does here. */
+  def relatedTopK(df: DataFrame, idCol: String, textCol: String,
+                  probeIds: Seq[Long], k: Int,
+                  maxDf: Long = Long.MaxValue, salts: Int = 16): DataFrame = {
+    require(probeIds.nonEmpty && k > 0, "need probes and k > 0")
+    val postings = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val n = postings.select(col("id")).distinct().count()
+    val dfreq = postings.groupBy("w").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("w"),
+        round(log((lit(n) + 1.0) / (col("df") + lit(1L))) * 1e3, 0)
+          .cast("long").as("idf_milli"))
+    val probes = postings.where(col("id").isin(probeIds: _*))
+      .select(col("id").as("qid"), col("w"), col("tf").as("tf_q"))
+    val order = Seq(col("score").desc, col("id").asc)
+    postings
+      .join(broadcast(dfreq), "w")
+      .join(broadcast(probes), "w")
+      .where(col("id") =!= col("qid"))
+      .groupBy("qid", "id")
+      .agg(sum(col("tf") * col("tf_q") * col("idf_milli") * col("idf_milli"))
+        .as("score"))
+      .withColumn("__salt", pmod(hash(col("id")), lit(salts)))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("qid", "__salt").orderBy(order: _*)))
+      .where(col("__pr") <= k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(order: _*)))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("id"),
+        col("score"))
+  }
+
   // ------------------------------------------------- tf-idf top-k retrieval
 
   /** Inverted-index retrieval: score every document against each query (a
