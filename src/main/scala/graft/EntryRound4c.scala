@@ -139,8 +139,79 @@ object EntryRound4c {
           (col("y") / 512).cast("long").as("iy"), col("lang"))
       Diversity.cellEntropy(pts, "ix", "iy", "lang")
         .orderBy("ix", "iy")
+    }),
+
+    // the CDX dedupe STATE through structured streaming: the q105 capture
+    // feed arrives as two micro-batches, per-(url, digest) first-capture
+    // ts and capture counts aggregate in complete mode — the incremental
+    // form of the capture index, gated by the batch SQL
+    "q132_cdx_stream" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[(String, Long, String)](s)
+      val qname = s"q132_cdx_${EntryRound4c.streamSeq.incrementAndGet()}"
+      val q = mem.toDF().toDF("url", "ts", "text")
+        .select(col("url"), col("ts"), md5(col("text")).as("digest"))
+        .groupBy("url", "digest")
+        .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_caps"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      val rows = captures(s, dir)
+        .as[(String, Long, String)].collect()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(s.table(qname).collect(): _*),
+        s.table(qname).schema)
+      q.stop()
+      out.orderBy("url", "digest")
+    }),
+
+    // trending terms between two crawls: log-ratio of per-term counts in
+    // integer micro-nats (one division + ln + round over exact (c+1)
+    // operands), top-20 risers — the corpus-drift monitor
+    "q133_trending_terms" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def counts(cond: org.apache.spark.sql.Column) = docs.where(cond)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val v1 = counts(col("doc_id") % 2 === 0)
+        .withColumnRenamed("c", "c1")
+      val v2 = counts(col("doc_id") % 2 =!= 0)
+        .withColumnRenamed("c", "c2")
+      v1.join(v2, Seq("w"), "full_outer")
+        .select(col("w"), coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+        .where(col("c1") + col("c2") >= 20)
+        .withColumn("drift_micro",
+          round(log((col("c2") + lit(1L)) / (col("c1") + lit(1L))) * 1e6, 0)
+            .cast("long"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("drift_micro").desc, col("w"))))
+        .where(col("rank") <= 20)
+        .select(col("rank").cast("int").as("rank"), col("w"), col("c1"),
+          col("c2"), col("drift_micro"))
+        .orderBy("rank")
     })
   )
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The q105 multi-capture fixture (shared by the streaming twin). */
+  private def captures(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0L, doc_id % 3)")).as("j"))
+      .select(
+        concat(lit("https://host"), (col("doc_id") % 97).cast("string"),
+          lit(".example.org/doc/"), col("doc_id").cast("string")).as("url"),
+        (lit(1600000000L) + col("doc_id") * 137L + col("j") * 86400L).as("ts"),
+        when(col("j") === 2, concat(lit("MOD "), col("text")))
+          .otherwise(col("text")).as("text"))
 
   def oracles: Map[String, String] = Map(
     "q124_srg_quality" ->
@@ -276,6 +347,39 @@ object EntryRound4c {
          |  CAST(sum(CAST(round(1e6 * (c / n) * ln(n / c), 0) AS BIGINT))
          |    AS BIGINT) AS ent_micro
          |FROM t GROUP BY 1, 2 ORDER BY ix, iy""".stripMargin
-    }
+    },
+
+    // the streamed state must equal this batch aggregation of the q105
+    // capture fixture
+    "q132_cdx_stream" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    unnest(range(doc_id % 3 + 1)) AS j FROM documents),
+        |r AS (SELECT
+        |    'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    CAST(1600000000 + doc_id * 137 + j * 86400 AS BIGINT) AS ts,
+        |    md5(CASE WHEN j = 2 THEN 'MOD ' || text ELSE text END) AS digest
+        |  FROM c)
+        |SELECT url, digest, min(ts) AS first_ts, count(*) AS n_caps
+        |FROM r GROUP BY 1, 2 ORDER BY url, digest""".stripMargin,
+
+    "q133_trending_terms" ->
+      """WITH t1 AS (SELECT unnest(string_split(text, ' ')) AS w
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |t2 AS (SELECT unnest(string_split(text, ' ')) AS w
+        |       FROM documents WHERE doc_id % 2 <> 0),
+        |c1 AS (SELECT w, count(*) AS c1 FROM t1 GROUP BY 1),
+        |c2 AS (SELECT w, count(*) AS c2 FROM t2 GROUP BY 1),
+        |j AS (SELECT coalesce(c1.w, c2.w) AS w,
+        |        coalesce(c1.c1, 0) AS c1, coalesce(c2.c2, 0) AS c2
+        |      FROM c1 FULL OUTER JOIN c2 ON c1.w = c2.w),
+        |f AS (SELECT w, c1, c2,
+        |        CAST(round(ln((c2 + 1.0) / (c1 + 1)) * 1e6, 0) AS BIGINT)
+        |          AS drift_micro
+        |      FROM j WHERE c1 + c2 >= 20),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY drift_micro DESC, w) AS rank FROM f)
+        |SELECT CAST(rank AS INT) AS rank, w, c1, c2, drift_micro
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
   )
 }
