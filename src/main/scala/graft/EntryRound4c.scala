@@ -196,6 +196,24 @@ object EntryRound4c {
         .select(col("rank").cast("int").as("rank"), col("w"), col("c1"),
           col("c2"), col("drift_micro"))
         .orderBy("rank")
+    }),
+
+    // robots-compliance audit: per domain, captures that the domain's own
+    // robots.txt disallowed (decisions from REAL RFC-9309 parsing, capture
+    // set the closed-form subset) — the politeness post-mortem every crawl
+    // operation runs
+    "q134_robots_compliance" -> ((s, dir) => {
+      import graft.sources.Robots
+      val dec = Robots.decisions(Pages.crawlUrls(s, dir), "doc_id",
+        "domain", "path", Pages.robotsTxt(s, dir), ua = "graftbot/1.0")
+      dec.where(col("doc_id") % 3 =!= 1) // the captured subset
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_captured"),
+          sum(when(col("allowed") === 0, 1L).otherwise(0L))
+            .as("n_violations"))
+        .withColumn("compliance_pct",
+          expr("(100 * (n_captured - n_violations)) div n_captured"))
+        .orderBy("domain")
     })
   )
 
@@ -380,6 +398,24 @@ object EntryRound4c {
         |r AS (SELECT *, row_number() OVER
         |        (ORDER BY drift_micro DESC, w) AS rank FROM f)
         |SELECT CAST(rank AS INT) AS rank, w, c1, c2, drift_micro
-        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // the q90 closed-form decision table restricted to the capture subset
+    "q134_robots_compliance" ->
+      """WITH u AS (SELECT doc_id, doc_id % 97 AS k, doc_id % 4 AS m,
+        |             doc_id % 5 AS p5, (doc_id % 97) % 5 AS k5
+        |           FROM documents WHERE doc_id % 3 <> 1),
+        |d AS (SELECT doc_id,
+        |        'host' || CAST(k AS VARCHAR) || '.example.org' AS domain,
+        |        CASE WHEN m = 3 THEN 0
+        |             WHEN m = 1 AND p5 = k5 THEN 0
+        |             ELSE 1 END AS allowed
+        |      FROM u)
+        |SELECT domain, count(*) AS n_captured,
+        |  CAST(sum(CASE WHEN allowed = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  (100 * (count(*) - sum(CASE WHEN allowed = 0 THEN 1 ELSE 0 END)))
+        |    // count(*) AS compliance_pct
+        |FROM d GROUP BY 1 ORDER BY domain""".stripMargin
   )
 }
