@@ -214,6 +214,55 @@ object EntryRound4c {
         .withColumn("compliance_pct",
           expr("(100 * (n_captured - n_violations)) div n_captured"))
         .orderBy("domain")
+    }),
+
+    // recrawl-cadence report: per-url inter-capture gaps recovered by a
+    // lag window over the capture series, fed to the exact-percentile
+    // machinery — p50/p90 interval per domain, integer rank arithmetic;
+    // the oracle predicts every gap in closed form WITHOUT the window
+    "q135_recrawl_cadence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // growing, id-varied gaps: capture j arrives 3600·(j + id%5) s
+      // after capture j−1, so domains carry a real gap distribution
+      val caps = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          explode(expr("sequence(0L, doc_id % 3)")).as("j"))
+        .select(
+          concat(lit("https://host"), (col("doc_id") % 97).cast("string"),
+            lit(".example.org/doc/"), col("doc_id").cast("string")).as("url"),
+          (lit(1600000000L) + col("doc_id") * 137L +
+            lit(3600L) * (expr("(j * (j + 1)) div 2") +
+              col("j") * (col("doc_id") % 5))).as("ts"))
+      val gaps = caps
+        .withColumn("prev",
+          lag(col("ts"), 1).over(Window.partitionBy("url").orderBy("ts")))
+        .where(col("prev").isNotNull)
+        .select(regexp_extract(col("url"), "^https://([^/]+)", 1)
+            .as("domain"),
+          col("url"), (col("ts") - col("prev")).as("gap_s"))
+        .withColumn("gid",
+          concat(col("url"), lit("#"), col("gap_s").cast("string")))
+      PipelineOps.exactPercentiles(gaps, "domain", "gap_s", "gid",
+          Seq(50, 90))
+        .withColumnRenamed("g", "domain")
+        .orderBy("domain")
+    }),
+
+    // county-level language diversity THROUGH the real spatial join:
+    // geotag → cell-cover prefilter → exact PIP → per-county Shannon
+    // entropy of the language mix — the geospatial flagship composed with
+    // the webtext diversity metric, one oracle gating both
+    "q136_county_diversity" -> ((s, dir) => {
+      import graft.cells.Diversity
+      import graft.operators.SpatialJoin
+      val tagged = SpatialJoin.pointInPoly(
+        Pages.geotag(Pages.pages(s, dir)), TpchGeo.counties(s), domain, zres)
+      Diversity.cellEntropy(
+          tagged.select(col("fips").as("ix"), lit(0L).as("iy"), col("lang")),
+          "ix", "iy", "lang")
+        .select(col("ix").as("fips"), col("n_pages"), col("n_langs"),
+          col("ent_micro"))
+        .orderBy("fips")
     })
   )
 
@@ -416,6 +465,42 @@ object EntryRound4c {
         |    AS n_violations,
         |  (100 * (count(*) - sum(CASE WHEN allowed = 0 THEN 1 ELSE 0 END)))
         |    // count(*) AS compliance_pct
-        |FROM d GROUP BY 1 ORDER BY domain""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    // every gap in closed form: capture j of doc d arrives
+    // 3600·(j + d%5) s after capture j−1
+    "q135_recrawl_cadence" ->
+      """WITH g AS (SELECT doc_id, unnest(range(1, doc_id % 3 + 1)) AS j
+        |           FROM documents WHERE doc_id % 3 >= 1),
+        |v AS (SELECT
+        |    'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+        |      AS domain,
+        |    CAST(3600 * (j + doc_id % 5) AS BIGINT) AS gap_s,
+        |    'https://host' || CAST(doc_id % 97 AS VARCHAR)
+        |      || '.example.org/doc/' || CAST(doc_id AS VARCHAR) || '#'
+        |      || CAST(3600 * (j + doc_id % 5) AS VARCHAR) AS gid
+        |  FROM g),
+        |r AS (SELECT domain, gap_s,
+        |        CAST(row_number() OVER (PARTITION BY domain
+        |            ORDER BY gap_s, gid) AS BIGINT) AS r,
+        |        CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n
+        |      FROM v)
+        |SELECT domain, max(n) AS n_rows,
+        |  max(CASE WHEN r = (n * 50 + 99) // 100 THEN gap_s END) AS p50,
+        |  max(CASE WHEN r = (n * 90 + 99) // 100 THEN gap_s END) AS p90
+        |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q136_county_diversity" -> {
+      s"""WITH pg AS (${Pages.geotaggedSql}),
+         |t AS (SELECT ${TpchGeo.fipsOfSql("x", "y")} AS fips, lang FROM pg),
+         |c AS (SELECT fips, lang, count(*) AS c FROM t GROUP BY 1, 2),
+         |w AS (SELECT fips, c,
+         |        CAST(sum(c) OVER (PARTITION BY fips) AS BIGINT) AS n
+         |      FROM c)
+         |SELECT fips, max(n) AS n_pages, count(*) AS n_langs,
+         |  CAST(sum(CAST(round(1e6 * (c / n) * ln(n / c), 0) AS BIGINT))
+         |    AS BIGINT) AS ent_micro
+         |FROM w GROUP BY 1 ORDER BY fips""".stripMargin
+    }
   )
 }
