@@ -189,6 +189,15 @@ object EntryRound4c {
         .withColumn("drift_micro",
           round(log((col("c2") + lit(1L)) / (col("c1") + lit(1L))) * 1e6, 0)
             .cast("long"))
+        // salted two-phase top-k (the relatedTopK discipline): the whole
+        // vocabulary never funnels through one task — each of 16 salt
+        // shards keeps its local top-20, and only ≤ 16·20 survivors meet
+        // the final (tiny) total-order window
+        .withColumn("__salt", pmod(hash(col("w")), lit(16)))
+        .withColumn("__pr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__salt")
+            .orderBy(col("drift_micro").desc, col("w"))))
+        .where(col("__pr") <= 20)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("drift_micro").desc, col("w"))))
@@ -300,7 +309,8 @@ object EntryRound4c {
         |SELECT domain, count(*) AS n_listed,
         |  CAST(sum(CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_captured,
-        |  (100 * sum(CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END))
+        |  (100 * CAST(sum(CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT))
         |    // count(*) AS coverage_pct
         |FROM l GROUP BY 1 ORDER BY domain""".stripMargin,
 
@@ -334,8 +344,8 @@ object EntryRound4c {
         |SELECT src_domain, count(*) AS n_outlinks,
         |  CAST(sum(CASE WHEN t % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dangling,
-        |  (100 * sum(CASE WHEN t % 5 = 0 THEN 1 ELSE 0 END)) // count(*)
-        |    AS rot_pct
+        |  (100 * CAST(sum(CASE WHEN t % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // count(*) AS rot_pct
         |FROM e GROUP BY 1 ORDER BY src_domain""".stripMargin,
 
     "q128_soft_dedup" ->
@@ -463,7 +473,8 @@ object EntryRound4c {
         |SELECT domain, count(*) AS n_captured,
         |  CAST(sum(CASE WHEN allowed = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_violations,
-        |  (100 * (count(*) - sum(CASE WHEN allowed = 0 THEN 1 ELSE 0 END)))
+        |  (100 * CAST(count(*) - sum(CASE WHEN allowed = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT))
         |    // count(*) AS compliance_pct
         |FROM d GROUP BY 1 ORDER BY domain""".stripMargin,
 

@@ -42,11 +42,15 @@ object Hits {
     val ew = edges.select(col("src_domain"), col("dst_domain"),
         col("n_links").cast("long").as("w"))
       .localCheckpoint()
-    // worst case: an update term sums to Scale·totW, and the rescale
-    // multiplies THAT by Scale before dividing — so Scale²·totW must fit
+    // worst case for a half-pass sum: every score ≤ Scale after rescale,
+    // so a node's update sum ≤ Scale·totW — that is the bound that must
+    // fit in a Long here. The rescale's own x·Scale product is guarded at
+    // runtime against the ACTUAL max (inside rescale), not against the
+    // pessimistic Scale²·totW static bound, which would reject any graph
+    // with total weight above ~9223 at Scale=1e6.
     val totW = ew.agg(sum(col("w"))).head().getLong(0)
-    require(totW > 0 && totW <= Long.MaxValue / Scale / Scale,
-      s"Scale=$Scale squared x total edge weight $totW would overflow Long" +
+    require(totW > 0 && totW <= Long.MaxValue / Scale,
+      s"Scale=$Scale x total edge weight $totW would overflow Long" +
         " — lower Scale or pre-bucket edge weights")
 
     // materialize the raw vector ONCE (localCheckpoint), then the scalar
@@ -57,6 +61,8 @@ object Hits {
       val raw = scores.localCheckpoint(true)
       val mx = raw.agg(max(col(c))).head().getLong(0)
       require(mx > 0, s"degenerate $c vector: max <= 0")
+      require(mx <= Long.MaxValue / Scale,
+        s"rescale overflow: max($c)=$mx x Scale=$Scale exceeds Long range")
       raw.select(col("domain"),
         expr(s"($c * ${Scale}L) div ${mx}L").as(c))
     }

@@ -212,12 +212,22 @@ object MultimodalOps {
       .mapPartitions { rows =>
         val buf = new Array[Byte](8192)
         rows.map { r =>
+          val media = r.getAs[Array[Byte]]("media")
           val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+            new java.io.ByteArrayInputStream(media))
           val bos = new java.io.ByteArrayOutputStream()
+          // expansion bound (the Warc.gunzipAll discipline): an untrusted
+          // gzip-bomb payload fails loudly instead of OOMing the executor
+          val cap = graft.sources.Warc.inflateCap(media.length)
           try {
             var n = in.read(buf)
-            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            while (n >= 0) {
+              bos.write(buf, 0, n)
+              require(bos.size <= cap,
+                s"gzip expansion exceeds cap for ${media.length} " +
+                  "compressed bytes — refusing to inflate (gzip bomb?)")
+              n = in.read(buf)
+            }
           } finally in.close()
           val bytes = bos.toByteArray
           val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)

@@ -54,7 +54,11 @@ object Robots {
             delay = scala.util.Try(value.trim.toInt).toOption.filter(_ >= 0)
               .orElse(delay)
             inAgents = false
-          case _ => inAgents = false // Sitemap, extensions
+          // Sitemap / unknown extensions are NOT group members per RFC
+          // 9309 §2.2.2 — they must not split a User-agent line block
+          // ("User-agent: a / Sitemap: x / User-agent: b" is ONE group
+          // naming both agents), so they leave inAgents untouched
+          case _ => ()
         }
       }
     }

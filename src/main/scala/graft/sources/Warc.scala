@@ -141,7 +141,21 @@ object Warc {
 
   // -------------------------------------------------------------- parser
 
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+  /** Max decompressed bytes per archive chunk, as a multiple of the
+    * compressed size (floored at 16 MiB so tiny well-compressed chunks
+    * are never rejected). DEFLATE's theoretical ceiling is ~1032×; real
+    * web content sits under ~20×, so 1024× admits every legitimate
+    * archive while bounding a gzip-bomb member to a single clear error
+    * instead of an executor OOM. */
+  val MaxInflateRatio = 1024L
+
+  private[graft] def inflateCap(compressedLen: Int): Long =
+    math.max(16L << 20, compressedLen.toLong * MaxInflateRatio)
+
+  private def gunzipAll(b: Array[Byte]): Array[Byte] =
+    gunzipAll(b, inflateCap(b.length))
+
+  private[graft] def gunzipAll(b: Array[Byte], cap: Long): Array[Byte] = {
     // GZIPInputStream reads concatenated members transparently
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b), 65536)
@@ -149,7 +163,13 @@ object Warc {
     try {
       val buf = new Array[Byte](65536)
       var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0) {
+        bos.write(buf, 0, n)
+        require(bos.size <= cap,
+          s"gzip expansion exceeds cap $cap for ${b.length} compressed " +
+            "bytes — refusing to inflate (gzip bomb?)")
+        n = in.read(buf)
+      }
     } finally in.close()
     bos.toByteArray
   }

@@ -308,20 +308,42 @@ class SnapshotTable(val root: String) {
     * lists, so a CDF between adjacent merge snapshots costs the rewritten
     * files, not the table. */
   def changes(spark: SparkSession, fromVersion: Int, toVersion: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val a = snapshotAt(fromVersion)
     val b = snapshotAt(toVersion)
     val aPaths = a.files.map(_.path)
     val bPaths = b.files.map(_.path)
     val removed = aPaths.diff(bPaths)
     val added = bPaths.diff(aPaths)
+    // mergeSchema on BOTH sides (the readFiles discipline): an evolving
+    // append can leave mixed-generation files inside one side's diff set,
+    // and without the merge the schema comes from a single footer —
+    // silently dropping the later-added column, or tripping exceptAll on a
+    // schema mismatch between the two sides
     def readOrEmpty(paths: Seq[String], schemaFrom: Seq[String]): DataFrame =
-      if (paths.nonEmpty) spark.read.parquet(paths: _*)
-      else spark.read.parquet(schemaFrom: _*).limit(0)
+      if (paths.nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      else
+        spark.read.option("mergeSchema", "true")
+          .parquet(schemaFrom: _*).limit(0)
     require(aPaths.nonEmpty || bPaths.nonEmpty,
       s"both v$fromVersion and v$toVersion are empty — nothing to diff")
-    val oldRows = readOrEmpty(removed, (aPaths ++ bPaths).take(1))
-    val newRows = readOrEmpty(added, (aPaths ++ bPaths).take(1))
+    val oldRows0 = readOrEmpty(removed, (aPaths ++ bPaths).take(1))
+    val newRows0 = readOrEmpty(added, (aPaths ++ bPaths).take(1))
+    // align both sides to the union schema (null-fill the columns one side
+    // has never seen) so exceptAll compares like with like
+    val unionCols = (oldRows0.schema ++ newRows0.schema)
+      .groupBy(_.name).map { case (_, fs) => fs.head }.toSeq
+      .sortBy(_.name)
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(unionCols.map { f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val oldRows = align(oldRows0)
+    val newRows = align(newRows0)
     newRows.exceptAll(oldRows).withColumn("_op", lit("insert"))
       .unionByName(oldRows.exceptAll(newRows).withColumn("_op", lit("delete")))
   }
@@ -458,7 +480,8 @@ object Resumable {
   def stage(table: SnapshotTable, spark: SparkSession, name: String)
            (compute: => DataFrame): DataFrame =
     table.findStage(name) match {
-      case Some(snap) => spark.read.parquet(snap.files.map(_.path): _*)
+      case Some(snap) => spark.read.option("mergeSchema", "true")
+                           .parquet(snap.files.map(_.path): _*)
       case None       => table.commit(compute, "stage", name)
                          table.read(spark)
     }

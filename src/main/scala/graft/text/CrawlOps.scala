@@ -200,10 +200,10 @@ object CrawlOps {
     *
     * Scale: the probe side is a filtered sliver (broadcast); the corpus
     * postings shuffle once on the term; per-pair partial sums aggregate
-    * map-side; the per-probe rank is the salted two-phase top-k. Stop-term
-    * explosion is bounded by the idf weighting itself at ranking time but
-    * NOT at join time — real deployments drop df > cap terms first, which
-    * `maxDf` does here. */
+    * map-side; the per-probe rank is the salted two-phase top-k. The idf
+    * dimension is aggregated and broadcast as the PROBE-TERM sliver, never
+    * the full vocabulary, and the `maxDf` stop-term cap is applied inside
+    * that sliver before the postings meet the probe fan-out. */
   def relatedTopK(df: DataFrame, idCol: String, textCol: String,
                   probeIds: Seq[Long], k: Int,
                   maxDf: Long = Long.MaxValue, salts: Int = 16): DataFrame = {
@@ -213,13 +213,22 @@ object CrawlOps {
       .groupBy("id", "w").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val n = postings.select(col("id")).distinct().count()
-    val dfreq = postings.groupBy("w").agg(count(lit(1)).as("df"))
+    val probes = postings.where(col("id").isin(probeIds: _*))
+      .select(col("id").as("qid"), col("w"), col("tf").as("tf_q"))
+    // idf over the PROBE-TERM SLIVER only: semi-join df's group-by input to
+    // the (tiny, broadcast) probe term set so neither the aggregate nor the
+    // broadcast ever carries the full vocabulary. The sliver dfreq (with
+    // maxDf already applied) meets the corpus postings FIRST, so both the
+    // probe-term restriction and the stop-term cap prune the posting
+    // stream before the probe fan-out.
+    val probeTerms = probes.select(col("w")).distinct()
+    val dfreq = postings
+      .join(broadcast(probeTerms), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
       .select(col("w"),
         round(log((lit(n) + 1.0) / (col("df") + lit(1L))) * 1e3, 0)
           .cast("long").as("idf_milli"))
-    val probes = postings.where(col("id").isin(probeIds: _*))
-      .select(col("id").as("qid"), col("w"), col("tf").as("tf_q"))
     val order = Seq(col("score").desc, col("id").asc)
     postings
       .join(broadcast(dfreq), "w")
@@ -268,12 +277,19 @@ object CrawlOps {
       .groupBy("id", "w").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val n = postings.select(col("id")).distinct().count()
-    val dfreq = postings.groupBy("w").agg(count(lit(1)).as("df"))
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "w")
+    // document frequency is aggregated over the QUERY-TERM SLIVER of the
+    // postings, never the full vocabulary: the semi-join against the tiny
+    // broadcast query-term set happens BEFORE the df group-by, so both the
+    // aggregate and the later broadcast carry |query terms| rows — at crawl
+    // scale the vocabulary is billions of terms and is not broadcastable
+    val qw = queries.flatMap(_._2).distinct.map(Tuple1(_)).toDF("w")
+    val dfreq = postings.join(broadcast(qw), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("df"))
       .select(col("w"),
         round(log((lit(n) + 1.0) / (col("df") + lit(1L))) * 1e6, 0)
           .cast("long").as("idf_micro"))
-    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("qid", "w")
     val order = Seq(col("score").desc, col("id").asc)
     postings
       .join(broadcast(qterms), "w")

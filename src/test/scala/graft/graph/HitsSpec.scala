@@ -58,6 +58,22 @@ class HitsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hits admits realistically weighted graphs (total weight far above " +
+       "the old Scale-squared static bound) and stays bit-exact") {
+    val s = spark
+    import s.implicits._
+    // totW = 170_001 — the former Scale²·totW guard capped totW at ~9223,
+    // rejecting this graph outright; the half-pass bound Scale·totW and the
+    // runtime rescale guard admit it
+    val heavy = Seq(("a", "b", 100000L), ("b", "a", 50000L),
+      ("c", "b", 20000L), ("c", "a", 1L))
+    val got = Hits.hits(heavy.toDF("src_domain", "dst_domain", "n_links"), 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == ref(heavy, 2))
+    assert(got.values.map(_._1).max == Hits.Scale) // max-normed
+  }
+
   test("hits is partitioning-invariant") {
     val s = spark
     import s.implicits._

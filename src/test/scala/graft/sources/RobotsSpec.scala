@@ -119,6 +119,22 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"rules must broadcast:\n$plan")
   }
 
+  test("Sitemap/unknown lines between User-agent lines do not split the " +
+       "agent block (RFC 9309 grouping)") {
+    val t = "User-agent: alpha\nSitemap: https://x/s.xml\n" +
+      "Unknown-ext: v\nUser-agent: beta\nDisallow: /y\n"
+    val gs = Robots.parse(t)
+    assert(gs.length == 1, s"non-group lines split the block: $gs")
+    assert(gs.head.agents.toSet == Set("alpha", "beta"))
+    assert(gs.head.disallows == Seq("/y"))
+    // alpha obeys the shared group's rules, not an empty rule set
+    assert(Robots.rulesFor(gs, "alpha/1.0") == (Seq(), Seq("/y")))
+    // an Allow/Disallow DOES end the agent run: a later User-agent starts
+    // a fresh group
+    val t2 = "User-agent: a\nDisallow: /p\nUser-agent: b\nDisallow: /q\n"
+    assert(Robots.parse(t2).length == 2)
+  }
+
   test("sitemap directives: non-group lines, both forms, order kept") {
     assert(Robots.sitemapUrls(txt) === Seq("https://x/sitemap.xml"))
     val multi = "Sitemap: https://a/1.xml\nUser-agent: *\nDisallow: /\n" +

