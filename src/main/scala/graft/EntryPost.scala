@@ -15,13 +15,21 @@ import graft.operators.{Surrogate, PostOps}
   * — hence every output bit — is engine-independent. */
 object EntryPost {
 
+  // localCheckpoint(true): merge/gapfill reference each input TWICE (the
+  // cell data path plus the county-membership path), so without a
+  // within-query materialization every post-processing query rebuilds the
+  // whole upstream surrogate pipeline (spatial join + aggregation) twice.
+  // Eager localCheckpoint materializes through the codegen path once per
+  // query call; the county-bounded tables are small.
   private def srg100(s: SparkSession, dir: String): DataFrame =
     Surrogate.pointSurrogate(TpchGeo.points(s, dir), TpchGeo.counties(s),
       grid, domain, zres, srgCode = 100)
+      .localCheckpoint(true)
 
   private def srg120(s: SparkSession, dir: String): DataFrame =
     Surrogate.polySurrogate(TpchGeo.tracts(s, dir), TpchGeo.counties(s),
       grid, domain, zres, srgCode = 120, weight = Some("p_size"))
+      .localCheckpoint(true)
 
   // f1 + f2 = 0.875 ≠ 1 on purpose: the merged table is the normalize /
   // qa-not1 input, so those passes have real work to do.

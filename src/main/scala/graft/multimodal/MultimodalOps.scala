@@ -38,6 +38,61 @@ object MultimodalOps {
     }
   }
 
+  /** Real codec for the formats that dominate actual crawls (PNG, JPEG,
+    * GIF, BMP) via the JDK's own `javax.imageio` readers — pure JVM, no
+    * native deps. Meta extraction is a HEADER-ONLY walk: the reader is
+    * asked for dimensions without decoding pixel data (`reader.getWidth`
+    * reads the IHDR / SOF marker, not the image), which is the shape that
+    * survives a 100-TB crawl where full decode of every image is the job.
+    * Undecodable payloads fail loudly (no reader claims the bytes). */
+  object ImageIoCodec extends ImageCodec {
+    def imageMeta(bytes: Array[Byte]): MediaMeta = {
+      val (_, w, h) = headerFacts(bytes)
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      MediaMeta(bytes.length.toLong, hash, w, h)
+    }
+
+    /** (formatName, width, height) from the container header only. */
+    def headerFacts(bytes: Array[Byte]): (String, Int, Int) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          s"undecodable image payload (${bytes.length} bytes): " +
+            "no ImageIO reader claims the magic")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          (r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0))
+        } finally r.dispose()
+      } finally iis.close()
+    }
+
+    /** Full pixel decode → Σ red channel. Deterministic for LOSSLESS
+      * formats (PNG/BMP/GIF): the sum is a bit-exact certificate that the
+      * decoded raster matches what was encoded, closed-form-predictable by
+      * an oracle from the synthesis formula. (JPEG decodes fine but is
+      * lossy — no closed-form oracle, so callers skip it.) */
+    def redSum(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+      var acc = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          acc += (img.getRGB(x, y) >> 16) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      acc
+    }
+  }
+
   /** STUB decode — replace body with a real codec (e.g. javax.imageio /
     * ffmpeg bindings) in production; signature and batching stay as-is. */
   object FakeCodec extends ImageCodec {
@@ -72,6 +127,56 @@ object MultimodalOps {
       while (i < bytes.length) { acc(i % 8) += (bytes(i) & 0xff); i += 1 }
       acc.map(v => if (bytes.length == 0) 0f else v.toFloat / bytes.length)
     }
+  }
+
+  /** Deterministic synthesis raster → encoded container bytes via the JDK
+    * writers (fmt ∈ png | jpg | gif | bmp): gray pixel value at (x, y) is
+    * `(seed·31 + 7x + 13y) mod 256` — the closed form a SQL oracle can
+    * recompute, so a lossless encode→decode round trip is certifiable
+    * pixel for pixel. */
+  def encodeTestImage(fmt: String, seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((seed * 31 + 7L * x + 13L * y) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"no ImageIO writer for format $fmt")
+    bos.toByteArray
+  }
+
+  /** PNG/JPEG facts via the JDK readers (ImageIoCodec): header-only format
+    * + dimensions for every payload, plus the full-decode red-channel sum
+    * as a bit-exact raster certificate for LOSSLESS formats (−1 for JPEG,
+    * whose lossy raster has no closed-form oracle). Same mapPartitions
+    * batch shape as the other decoders. */
+  def decodeImageIoFacts(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("red_sum", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val (fmt, w, h) = ImageIoCodec.headerFacts(bytes)
+          val redSum =
+            if (fmt == "jpeg") -1L else ImageIoCodec.redSum(bytes)
+          Row(r.getLong(0), fmt, w.toLong, h.toLong, redSum)
+        }
+      }(enc)
   }
 
   val metaSchema: StructType = StructType(Seq(

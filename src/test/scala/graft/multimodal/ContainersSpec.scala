@@ -126,6 +126,51 @@ class ContainersSpec extends AnyFunSuite {
       .getMessage.contains("no data chunk"))
   }
 
+  test("ImageIoCodec: PNG/JPEG/GIF/BMP encode→decode round-trip fuzz — " +
+       "header facts match, PNG raster is bit-exact") {
+    val rnd = new Random(1337)
+    for (i <- 0 until 40) {
+      val w = rnd.nextInt(64) + 1
+      val h = rnd.nextInt(48) + 1
+      val seed = rnd.nextLong() & 0x7fffffffL
+      val fmt = Seq("png", "jpg", "gif", "bmp")(i % 4)
+      val bytes = MultimodalOps.encodeTestImage(fmt, seed, w, h)
+      val (gotFmt, gw, gh) = MultimodalOps.ImageIoCodec.headerFacts(bytes)
+      val wantFmt = if (fmt == "jpg") "jpeg" else fmt
+      assert(gotFmt == wantFmt && gw == w && gh == h,
+        s"$fmt ${w}x$h seed=$seed → ($gotFmt, $gw, $gh)")
+      if (fmt == "png" || fmt == "bmp") {
+        // lossless: decoded red channel equals the synthesis closed form
+        val want = (for (y <- 0 until h; x <- 0 until w)
+          yield (seed * 31 + 7L * x + 13L * y) % 256).sum
+        assert(MultimodalOps.ImageIoCodec.redSum(bytes) == want,
+          s"$fmt raster mismatch at ${w}x$h seed=$seed")
+      }
+      // meta codec agrees with the header walk
+      val m = MultimodalOps.ImageIoCodec.imageMeta(bytes)
+      assert(m.width == w && m.height == h &&
+        m.byteLen == bytes.length.toLong && m.contentHash.length == 32)
+    }
+  }
+
+  test("ImageIoCodec malformed inputs fail loudly") {
+    val good = MultimodalOps.encodeTestImage("png", 7L, 8, 8)
+    // garbage magic: no reader claims it
+    val e1 = intercept[IllegalArgumentException](
+      MultimodalOps.ImageIoCodec.headerFacts(
+        Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+    assert(e1.getMessage.contains("no ImageIO reader"))
+    // empty payload
+    assert(intercept[IllegalArgumentException](
+      MultimodalOps.ImageIoCodec.headerFacts(Array.empty[Byte]))
+      .getMessage.contains("no ImageIO reader"))
+    // truncated PNG: magic survives so a reader claims it, but the pixel
+    // decode must fail loudly, never return a half raster silently
+    val truncated = good.take(good.length / 3)
+    assertThrows[Exception](
+      MultimodalOps.ImageIoCodec.redSum(truncated))
+  }
+
   test("BmpCodec plugs into decodeImageMeta as a real-bytes ImageCodec") {
     val bytes = Bmp.write(10, -4, new Array[Byte](Bmp.stride(10, 24) * 4))
     val m = MultimodalOps.BmpCodec.imageMeta(bytes)
