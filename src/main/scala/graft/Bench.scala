@@ -14,6 +14,9 @@ object Bench {
     // land on whatever query happens to run first (Map order is arbitrary),
     // making per-query numbers incomparable across rounds
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // connected-components convergence probe: rounds per CC query, so a
+    // fixture change that doubles rounds is visible in the bench line
+    val ccRounds = scala.collection.mutable.Map.empty[String, Long]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query cache isolation: operators persist canonically-equal
       // intermediates, and Spark's CacheManager would silently warm later
@@ -21,6 +24,7 @@ object Bench {
       // run order (BENCH.md's cache pitfall)
       graft.spark.PersistTracker.drain()
       spark.sharedState.cacheManager.clearCache()
+      graft.text.TextOps.lastCcRounds.set(-1L)
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets Catalyst prune every computed
       // column, so narrow-map queries (tokenize, language-ID, PII redact…)
@@ -29,12 +33,16 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }
+      val r = graft.text.TextOps.lastCcRounds.get()
+      if (r >= 0) ccRounds(name) = r
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val cc = ccRounds.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cc_rounds":$cc,"sf":"$sfDir"}""")
     graft.spark.PersistTracker.drain()
     spark.stop()
   }

@@ -278,7 +278,7 @@ object EntryRound4c {
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The q105 multi-capture fixture (shared by the streaming twin). */
-  private def captures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def captures(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(0L, doc_id % 3)")).as("j"))

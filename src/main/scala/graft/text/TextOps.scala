@@ -218,6 +218,12 @@ object TextOps {
     * every pass localCheckpoints so lineage stays flat (same discipline as
     * Knn). Edge and label tables only carry (id, id) longs — document text
     * never shuffles. */
+  /** Bench probe: rounds the most recent CC invocation in this JVM took
+    * (label-propagation passes, or star rounds when the star path ran).
+    * Read by Bench so a fixture change that doubles convergence rounds is
+    * visible in the bench line instead of hiding inside wall-clock. */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     // both edge directions from ONE pass over the (expensive) pair plan —
     // a union of two selects would execute the pair join twice
@@ -242,6 +248,7 @@ object TextOps {
       labels = updated
       pass += 1
     }
+    lastCcRounds.set(pass.toLong)
     if (changed == 0)
       labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
     else
@@ -320,6 +327,7 @@ object TextOps {
       round += 1
     }
     require(stable, s"connectedComponentsStar did not stabilize in $round rounds")
+    lastCcRounds.set(round.toLong)
     nodes.select(col("id"))
       .join(edges.select(col("u").as("id"), col("v").as("__rep")), Seq("id"), "left")
       .select(col("id").as("doc_id"),
