@@ -111,6 +111,101 @@ object EntryRound5 {
         .groupBy("ix", "iy")
         .agg(max("n_pages").as("n_pages"), max("w_sum").as("w_sum"))
         .orderBy("ix", "iy")
+    }),
+
+    // AS-OF join: each capture picks up the robots.txt version that was
+    // live at its timestamp (latest version time ≤ capture time, −1 when
+    // none yet) — the temporal-version lookup Spark lacks natively,
+    // expressed as ONE keyed exchange + ONE ordered window (no row
+    // amplification); the oracle is DuckDB's own ASOF LEFT JOIN, a fully
+    // independent implementation of the same semantics
+    "q140_asof_robots" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val versions = s.range(97).select(col("id").as("k"))
+        .select(col("k"), explode(expr("sequence(0L, k % 4)")).as("v"))
+        .select(
+          concat(lit("host"), col("k").cast("string"),
+            lit(".example.org")).as("domain"),
+          (lit(1600000000L) + col("v") * 100000L + col("k") * 997L)
+            .as("vtime"),
+          col("v").as("robots_v"))
+      val caps = EntryRound4c.captures(s, dir)
+        .select(col("url"),
+          regexp_extract(col("url"), "^https://([^/]+)", 1).as("domain"),
+          col("ts"))
+      AsOfJoin.asOf(caps, versions, "domain", "ts", "vtime", Seq("robots_v"))
+        .select(col("url"), col("ts"),
+          coalesce(col("robots_v"), lit(-1L)).as("robots_v"))
+        .orderBy("url", "ts")
+    }),
+
+    // interval/range join: map each page's synthetic IPv4 address to its
+    // owning CIDR-ish block via the bucketed equi-join formulation (ranges
+    // explode onto 2^24-wide buckets, points hash-join on the bucket,
+    // containment filters) — never the BroadcastNestedLoop cross product
+    // Spark would pick for a raw BETWEEN join
+    "q141_ip_range_join" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val pts = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          ((col("doc_id") * 2654435761L) % 4294967296L).as("ip"))
+      val ranges = s.range(256).select(col("id").as("b"))
+        .select(
+          (col("b") * 16777216L + 9000000L).as("lo"),
+          (col("b") * 16777216L + 9000000L +
+            (col("b") % 9 + 1) * 1111111L).as("hi"),
+          (lit(64496L) + col("b")).as("asn"))
+      RangeJoin.pointInRange(pts, ranges, "ip", "lo", "hi", Seq("asn"),
+          bucketWidth = 16777216L)
+        .select(col("doc_id"), col("ip"),
+          coalesce(col("asn"), lit(-1L)).as("asn"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic stratified sampling: per-language keep rates decided
+    // by the (id·173 + 11) mod 1000 residue gate — reproducible on any
+    // engine/partitioning and stable under appends, which df.sample/
+    // TABLESAMPLE cannot give; every decision re-derived by the oracle
+    "q142_stratified_sample" -> ((s, dir) => {
+      import graft.text.PipelineOps
+      PipelineOps.stratifiedSample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "lang",
+          Map("en" -> 100, "zh" -> 400, "de" -> 250), defaultMilli = 500)
+        .select(col("doc_id"), col("lang"), col("rate_milli"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // int8 embedding quantization + integer-dot top-k: symmetric
+    // per-vector quantization in fixed IEEE-double steps (bit-exact on
+    // any engine), then brute-force neighbor ranking entirely in integer
+    // arithmetic — the 4×-compression path a 100-TB embedding store runs
+    // before index build
+    "q143_quantized_ann" -> ((s, dir) => {
+      import graft.ml.Quantize
+      Quantize.topKDotQuantized(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", probeIds = Seq(1L, 2L, 3L), k = 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // multi-source BFS crawl depth: how many hops from the seed domains is
+    // every domain of the closed-form link graph — Pregel-style frontier
+    // expansion with (long, int) rows only, gated by a DuckDB RECURSIVE
+    // CTE computing the same shortest depths independently
+    "q144_crawl_depth" -> ((s, dir) => {
+      import graft.graph.Bfs
+      val edges = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          explode(array(lit(7919L), lit(15838L), lit(23757L))).as("p"))
+        .select((col("doc_id") % 97).as("src"),
+          ((col("doc_id") * 31 + col("p")) % 97).as("dst"))
+        .distinct()
+      val seeds = s.range(3).select(col("id"))
+      Bfs.depths(edges, seeds, maxDepth = 6)
+        .select(col("id"), col("depth").cast("int").as("depth"))
+        .orderBy("id")
     })
   )
 
@@ -162,6 +257,97 @@ object EntryRound5 {
          |       WHEN (age // 16) > 62 THEN 0
          |       ELSE 1000000 >> CAST(age // 16 AS INT) END) AS BIGINT)
          |    AS w_sum
-         |FROM t GROUP BY 1, 2 ORDER BY ix, iy""".stripMargin
+         |FROM t GROUP BY 1, 2 ORDER BY ix, iy""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    // the t' <= t latest-version semantics the engine builds from a
+    // union + ordered window
+    "q140_asof_robots" ->
+      """WITH c AS (SELECT doc_id,
+        |    unnest(range(doc_id % 3 + 1)) AS j FROM documents),
+        |caps AS (SELECT
+        |    'https://host' || CAST(doc_id % 97 AS VARCHAR) ||
+        |      '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |    'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+        |      AS domain,
+        |    CAST(1600000000 + doc_id * 137 + j * 86400 AS BIGINT) AS ts
+        |  FROM c),
+        |kv AS (SELECT k, unnest(generate_series(0, k % 4)) AS v
+        |       FROM (SELECT unnest(range(97)) AS k)),
+        |ver AS (SELECT
+        |    'host' || CAST(k AS VARCHAR) || '.example.org' AS domain,
+        |    CAST(1600000000 + v * 100000 + k * 997 AS BIGINT) AS vtime,
+        |    CAST(v AS BIGINT) AS robots_v
+        |  FROM kv)
+        |SELECT cp.url, cp.ts, coalesce(r.robots_v, -1) AS robots_v
+        |FROM caps cp ASOF LEFT JOIN ver r
+        |  ON cp.domain = r.domain AND cp.ts >= r.vtime
+        |ORDER BY url, ts""".stripMargin,
+
+    // plain BETWEEN join: DuckDB's IEJoin handles the small oracle side;
+    // the engine side must produce the identical rows from the bucketed
+    // formulation
+    "q141_ip_range_join" ->
+      """WITH pts AS (SELECT doc_id,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS ip
+        |  FROM documents),
+        |r AS (SELECT
+        |    CAST(b * 16777216 + 9000000 AS BIGINT) AS lo,
+        |    CAST(b * 16777216 + 9000000 + (b % 9 + 1) * 1111111 AS BIGINT)
+        |      AS hi,
+        |    CAST(64496 + b AS BIGINT) AS asn
+        |  FROM (SELECT unnest(range(256)) AS b))
+        |SELECT p.doc_id, p.ip, coalesce(r.asn, -1) AS asn
+        |FROM pts p LEFT JOIN r ON p.ip BETWEEN r.lo AND r.hi
+        |ORDER BY doc_id""".stripMargin,
+
+    "q142_stratified_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 400
+        |         WHEN 'de' THEN 250 ELSE 500 END AS BIGINT) AS rate_milli
+        |  FROM documents)
+        |SELECT doc_id, lang, rate_milli,
+        |  CAST(CASE WHEN (doc_id * 173 + 11) % 1000 < rate_milli
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the full quantize → int-dot → rank pipeline re-derived in SQL: the
+    // same fixed IEEE-double quantization expression, then exact integer
+    // dot products and ranking
+    "q143_quantized_ann" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(
+        |      CAST(x AS DOUBLE) * 127 / greatest(1e-30,
+        |        list_max(list_transform(embedding,
+        |          y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS INT)) AS q8
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS qid, q8 AS pq8 FROM q
+        |      WHERE vec_id IN (1, 2, 3)),
+        |d AS (SELECT p.qid, q.vec_id AS id,
+        |    CAST(list_sum(list_transform(list_zip(q.q8, p.pq8),
+        |      z -> z[1] * z[2])) AS BIGINT) AS dot
+        |  FROM q, p WHERE q.vec_id <> p.qid),
+        |r AS (SELECT qid, id, dot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, id)
+        |      AS rank
+        |  FROM d)
+        |SELECT qid, CAST(rank AS INT) AS rank, id, dot FROM r
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // independent shortest-depth computation: a RECURSIVE CTE expands
+    // (node, depth) pairs to the same cap and takes the per-node minimum
+    "q144_crawl_depth" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT
+        |    doc_id % 97 AS src,
+        |    (doc_id * 31 + p) % 97 AS dst
+        |  FROM documents, (SELECT unnest([7919, 15838, 23757]) AS p)
+        |  WHERE doc_id % 5 <> 0),
+        |bfs(id, depth) AS (
+        |  SELECT CAST(k AS BIGINT), 0 FROM (SELECT unnest(range(3)) AS k)
+        |  UNION
+        |  SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.id
+        |  WHERE b.depth < 6)
+        |SELECT id, CAST(min(depth) AS INT) AS depth
+        |FROM bfs GROUP BY id ORDER BY id""".stripMargin
   )
 }

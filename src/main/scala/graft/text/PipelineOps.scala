@@ -1097,4 +1097,33 @@ object PipelineOps {
         ps.map(p => max(when(col("r") === expr(s"(n * $p + 99) div 100"),
           col("v"))).as(s"p$p")): _*)
   }
+
+  // ------------------------------------------------- stratified sampling
+
+  /** Deterministic stratified sampling: per-stratum keep rates in
+    * per-mille, decided by the hash-residue gate `(id·173 + 11) mod 1000 <
+    * rate` — a pure function of (id, stratum), so the sample reproduces on
+    * any engine and partitioning, and is STABLE under incremental appends
+    * (old rows never change their decision when new data arrives — the
+    * property a training-data refresh needs, which `TABLESAMPLE`/
+    * `df.sample` cannot give). Strata absent from `ratesMilli` use
+    * `defaultMilli`. Output keeps every row, carrying (rate_milli, keep),
+    * so callers can both filter and audit realized rates.
+    *
+    * Scale: one narrow codegen'd projection — no shuffle, no state. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       ratesMilli: Map[String, Int],
+                       defaultMilli: Int): DataFrame = {
+    require((ratesMilli.values.toSeq :+ defaultMilli)
+      .forall(r => r >= 0 && r <= 1000),
+      s"rates must be 0..1000 per-mille: $ratesMilli / $defaultMilli")
+    val rate = ratesMilli.toSeq.sortBy(_._1).foldLeft(
+      lit(defaultMilli).cast("long")) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v).cast("long")).otherwise(acc)
+    }
+    df.withColumn("rate_milli", rate)
+      .withColumn("keep",
+        (col(idCol).cast("long") * 173L + 11L) % 1000L < col("rate_milli"))
+      .withColumn("keep", col("keep").cast("int"))
+  }
 }
