@@ -206,6 +206,38 @@ object EntryRound5 {
       Bfs.depths(edges, seeds, maxDepth = 6)
         .select(col("id"), col("depth").cast("int").as("depth"))
         .orderBy("id")
+    }),
+
+    // content-type triage: magic-byte MIME sniffing (pure codegen column
+    // expression, no UDF) over payloads that are GENUINELY encoded by the
+    // real codecs — PNG/JPEG/GIF/BMP from the ImageIO writers, RIFF/WAVE
+    // from the container writer, gzip from the deflater, plus PDF/HTML
+    // prologs and plain text — so every magic the sniffer claims is the
+    // magic the writer actually produced
+    "q145_mime_sniff" -> ((s, dir) => {
+      import graft.multimodal.{Containers, MultimodalOps}
+      val mkPayload = udf((docId: Long, text: String) => {
+        val tb = (if (text == null) "x" else text).getBytes("UTF-8")
+        (docId % 8) match {
+          case 0 => MultimodalOps.encodeTestImage("png", docId, 4, 3)
+          case 1 => MultimodalOps.encodeTestImage("jpg", docId, 4, 3)
+          case 2 => MultimodalOps.encodeTestImage("gif", docId, 4, 3)
+          case 3 => MultimodalOps.encodeTestImage("bmp", docId, 4, 3)
+          case 4 => Containers.Wav.write(8000, 1, 8, new Array[Byte](16))
+          case 5 =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(tb); gz.close(); bos.toByteArray
+          case 6 => ("%PDF-1.4\n% synthetic\n").getBytes("US-ASCII")
+          case _ => tb
+        }
+      })
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          mkPayload(col("doc_id"), col("text")).as("media"))
+        .select(col("doc_id"),
+          MultimodalOps.sniffMimeCol(col("media")).as("mime"))
+        .orderBy("doc_id")
     })
   )
 
@@ -348,6 +380,18 @@ object EntryRound5 {
         |  SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.id
         |  WHERE b.depth < 6)
         |SELECT id, CAST(min(depth) AS INT) AS depth
-        |FROM bfs GROUP BY id ORDER BY id""".stripMargin
+        |FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    // the synthesis arm is keyed on doc_id mod 8, so the expected label is
+    // closed-form; the engine must recover it from the real encoded bytes
+    "q145_mime_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/bmp'
+        |    WHEN 4 THEN 'audio/wav' WHEN 5 THEN 'application/gzip'
+        |    WHEN 6 THEN 'application/pdf'
+        |    ELSE 'application/octet-stream' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -129,6 +129,30 @@ object MultimodalOps {
     }
   }
 
+  /** Magic-byte MIME sniffing as a PURE CODEGEN column expression (no
+    * UDF): the first payload bytes hex-compared against the container
+    * magics a crawl actually meets (PNG, JPEG, GIF87a/89a, BMP, RIFF/WAVE,
+    * gzip, PDF, HTML prologs) — the content-type triage step that runs on
+    * every fetched byte payload at crawl scale, so it must stay inside
+    * whole-stage codegen. Unknown or short payloads fall through to
+    * application/octet-stream; the WAVE check reads the format tag at
+    * offset 8, not just the RIFF magic. */
+  def sniffMimeCol(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = hex(substring(media, 1, 12))
+    when(h.startsWith("89504E470D0A1A0A"), "image/png")
+      .when(h.startsWith("FFD8FF"), "image/jpeg")
+      .when(h.startsWith("474946383761") || h.startsWith("474946383961"),
+        "image/gif")
+      .when(h.startsWith("424D"), "image/bmp")
+      .when(h.startsWith("52494646") &&
+        hex(substring(media, 9, 4)) === "57415645", "audio/wav")
+      .when(h.startsWith("1F8B"), "application/gzip")
+      .when(h.startsWith("255044462D"), "application/pdf")
+      .when(h.startsWith("3C21444F43") || h.startsWith("3C68746D6C") ||
+        h.startsWith("3C48544D4C"), "text/html")
+      .otherwise("application/octet-stream")
+  }
+
   /** Deterministic synthesis raster → encoded container bytes via the JDK
     * writers (fmt ∈ png | jpg | gif | bmp): gray pixel value at (x, y) is
     * `(seed·31 + 7x + 13y) mod 256` — the closed form a SQL oracle can

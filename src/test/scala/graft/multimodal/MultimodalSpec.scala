@@ -60,6 +60,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sniffMimeCol: real encoder magics detected, adversarial payloads " +
+       "fall to octet-stream, codegen stays UDF-free") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq[(Long, Array[Byte])](
+      (0L, MultimodalOps.encodeTestImage("png", 1L, 3, 2)),
+      (1L, MultimodalOps.encodeTestImage("jpg", 1L, 3, 2)),
+      (2L, MultimodalOps.encodeTestImage("gif", 1L, 3, 2)),
+      (3L, MultimodalOps.encodeTestImage("bmp", 1L, 3, 2)),
+      (4L, Containers.Wav.write(8000, 1, 8, new Array[Byte](4))),
+      (5L, Array[Byte](0x1f, 0x8b.toByte, 8)),
+      (6L, "%PDF-1.7".getBytes("US-ASCII")),
+      (7L, "<!DOCTYPE html><p>x</p>".getBytes("US-ASCII")),
+      (8L, "<html><body>".getBytes("US-ASCII")),
+      // RIFF magic but NOT a WAVE: must not claim audio/wav
+      (9L, "RIFF1234AVI LIST".getBytes("US-ASCII")),
+      (10L, Array.empty[Byte]),
+      (11L, Array[Byte](0x42)), // lone 'B' — too short for BMP's "BM"
+      (12L, "plain words".getBytes("US-ASCII")))
+    val df = rows.toDF("id", "media")
+      .select(col("id"), MultimodalOps.sniffMimeCol(col("media")).as("mime"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      0L -> "image/png", 1L -> "image/jpeg", 2L -> "image/gif",
+      3L -> "image/bmp", 4L -> "audio/wav", 5L -> "application/gzip",
+      6L -> "application/pdf", 7L -> "text/html", 8L -> "text/html",
+      9L -> "application/octet-stream", 10L -> "application/octet-stream",
+      11L -> "application/octet-stream",
+      12L -> "application/octet-stream"))
+    // no UDF in the plan: the sniffer must live inside codegen
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"sniffer fell out of codegen:\n$plan")
+  }
+
   test("stub features are unit-scale and feed cosine similarity") {
     val feats = media()
       .withColumn("embedding", MultimodalOps.featureUdf(col("media")))
