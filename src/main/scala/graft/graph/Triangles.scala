@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over the (undirected) domain link graph — the
+  * clustering/link-farm signal of a crawl graph audit: a domain whose
+  * neighborhood closes into many triangles is a tight community (or a
+  * spam ring); a hub with none is a pure directory.
+  *
+  * Node-iterator with DEGREE ORDERING (the standard distributed recipe):
+  * orient every undirected edge from the (degree, id)-smaller endpoint to
+  * the larger, making a DAG in which each triangle appears exactly once
+  * as wedge (u→v, u→w) + closing edge (v→w). The orientation bounds every
+  * node's out-degree by O(√m) on any graph, so the wedge self-join —
+  * the only quadratic-risk step — is quadratic in the SQRT-bounded
+  * out-degree, not in a hub's raw degree: the reason a 10^9-edge crawl
+  * graph's triangle job survives its power-law hubs. All exchanges carry
+  * (long, long) edges; the closing check is one equi-join on the edge key.
+  */
+object Triangles {
+
+  /** `edges(src, dst)` (directed or undirected input; self-loops dropped,
+    * duplicates collapsed) → per-node triangle membership counts
+    * `(id, n_tri)` for every node in ≥ 1 triangle. */
+  def perNode(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: a < b
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .transform(graft.spark.PersistTracker.persist) // consumed 3× below
+    // degree per endpoint (of the undirected graph)
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): u → v iff (deg(u), u) < (deg(v), v)
+    val withDeg = und
+      .join(deg.withColumnsRenamed(Map("id" -> "a", "deg" -> "da")), "a")
+      .join(deg.withColumnsRenamed(Map("id" -> "b", "deg" -> "db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges (u; v, w) from u's out-neighborhood, one per unordered {v,w}
+    // (v < w by node id, so the closing undirected key is exactly (v, w))
+    val e1 = oriented.alias("e1")
+    val e2 = oriented.alias("e2")
+    val wedges = e1.join(e2, col("e1.u") === col("e2.u") &&
+        col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
+    val tris = wedges.join(und,
+        col("v") === col("a") && col("w") === col("b"))
+      .select(col("u"), col("v"), col("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+}

@@ -208,5 +208,21 @@ object Containers {
       val durationUs = if (rate == 0) 0L else nSamples * 1000000L / rate
       WavMeta(riffLen, ch, rate, byteRate, block, bits, dataLen, nSamples, durationUs)
     }
+
+    /** The raw PCM sample bytes: the same validated chunk walk as meta(),
+      * returning the data-chunk slice. Validation is meta()'s — calling
+      * data() on bytes meta() rejects throws identically. */
+    def data(b: Array[Byte]): Array[Byte] = {
+      meta(b) // full validation (magic, fmt-before-data, bounds)
+      val end = (8 + u32(b, 4)).toInt
+      var p = 12
+      while (p + 8 <= end) {
+        val id = new String(b, p, 4, "US-ASCII")
+        val len = u32(b, p + 4).toInt
+        if (id == "data") return java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
+        p = p + 8 + len + (len & 1)
+      }
+      throw new IllegalArgumentException("no data chunk found") // unreachable after meta()
+    }
   }
 }

@@ -281,6 +281,46 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** Audio feature extraction from real RIFF/WAVE bytes: per-frame signal
+    * energy over 8-bit mono PCM — the silence-detection / loudness-profile
+    * pass an audio-crawl pipeline runs before heavier models. Each input
+    * row fans out to ceil(nSamples/frameLen) frame rows (id, frame,
+    * energy) where energy = Σ (sample − 128)² over the frame — exact
+    * integer arithmetic, closed-form-predictable by an oracle from the
+    * synthesis formula. mapPartitions: the media bytes never outlive the
+    * partition iterator; downstream sees only long triples. */
+  def decodeWavFrameEnergy(df: DataFrame, idCol: String, mediaCol: String,
+                           frameLen: Int = 64): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive (got $frameLen)")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val m = Containers.Wav.meta(bytes)
+          require(m.channels == 1 && m.bitsPerSample == 8,
+            s"frame energy expects 8-bit mono PCM, got ${m.channels}ch/${m.bitsPerSample}bit")
+          val pcm = Containers.Wav.data(bytes)
+          val id = r.getLong(0)
+          (0 until pcm.length by frameLen).map { off =>
+            var acc = 0L
+            var i = off
+            val end = math.min(off + frameLen, pcm.length)
+            while (i < end) {
+              val d = (pcm(i) & 0xff) - 128
+              acc += d.toLong * d
+              i += 1
+            }
+            Row(id, (off / frameLen).toLong, acc)
+          }
+        }
+      }(enc)
+  }
+
   /** Video frame sampling via mapPartitions: one row per sampled frame —
     * (id, frame_idx, frame_hash). The codec is the deterministic stub
     * (every `stride`-th 1 KB block hashed); the Spark-side shape is the
