@@ -83,8 +83,29 @@ object ScalingBench {
       finally s0.stop()
     } else None
 
+    // Settle gate before EACH level: the second level otherwise starts
+    // while the host still carries the first level's wind-down (and any
+    // co-tenant burst — this is a shared box; round-4/5 forensics show
+    // total-proc counts jumping 330 → 700 mid-leg, which costs the
+    // 16-thread leg far more than the 4-thread leg and reads as fake
+    // scaling loss). Bounded wait until the 1-min loadavg drops below
+    // the threshold; the wait itself is reported in the run record.
+    val settleMaxSec = sys.env.getOrElse("SPARK_GRAFT_SETTLE_SEC", "0").toInt
+    val settleLoad = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD", "0.5").toDouble
+    def settle(): Long = {
+      val t0 = System.nanoTime()
+      val deadline = t0 + settleMaxSec * 1000000000L
+      def l1: Double = try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble catch { case _: Exception => 0.0 }
+      while (settleMaxSec > 0 && l1 >= settleLoad && System.nanoTime() < deadline)
+        Thread.sleep(10000)
+      (System.nanoTime() - t0) / 1000000000L
+    }
+
     val results = levels.map { p =>
-      val loadStart = hostLoad()
+      val settledSec = settle()
+      val loadStart = hostLoad() + f" (settled ${settledSec}s)"
       val spark = SparkSession.builder()
         .master(s"local[$p]")
         .config("spark.sql.shuffle.partitions", p)

@@ -306,4 +306,79 @@ object CrawlOps {
       .select(col("qid"), col("rank").cast("int").as("rank"), col("id"),
         col("score"))
   }
+
+  // ---------------------------------------------------- BM25 top-k retrieval
+
+  /** Okapi BM25 retrieval (k1 = 1.2, b = 0.75) in EXACT integer
+    * arithmetic: per (query, doc) the term score
+    *
+    *   idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * is evaluated as `(idf_micro·22·A·tf) div (10·A·tf + 3·A + 9·dl·N)` —
+    * the rational k1/b constants and avgdl = A/N cleared to one integer
+    * numerator/denominator pair (A = Σ doc lengths, N = doc count), so
+    * scores are bit-exact on any engine. The one float op is the idf,
+    * quantized once per query term to micro-nats:
+    * `round(ln(1 + (N−df+0.5)/(df+0.5))·1e6)` (the "+1" Lucene form keeps
+    * it positive). Returns the top k docs per query by (score DESC, id).
+    *
+    * Scale: same shape as tfidfTopK — postings partial-aggregate out of
+    * the tokenize pass; df is aggregated over the QUERY-TERM SLIVER (semi
+    * join against the broadcast term set before the group-by, never the
+    * full vocabulary); doc lengths join candidates on the id key; the
+    * final rank is the salted two-phase top-k. The cleared-denominator
+    * products stay well under 2^63 while idf_micro·22·A·tf_max < 2^63 —
+    * beyond that (A ≳ 10^12 tokens) a production deployment quantizes
+    * dl/avgdl once per doc instead; the contract require()s the bound. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, Seq[String])], k: Int,
+               salts: Int = 16): DataFrame = {
+    require(queries.nonEmpty && k > 0, "need queries and k > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val postings = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val lens = postings.groupBy("id").agg(sum("tf").as("dl"))
+      .localCheckpoint(true)
+    // the two corpus scalars the cleared-fraction formula needs (guarded
+    // driver aggregate, same contract as tfidfTopK's n)
+    val g = lens.agg(count(lit(1)).as("n"), sum("dl").as("a")).head()
+    val n = g.getLong(0)
+    require(n > 0, "BM25 needs a non-empty corpus")
+    val a = g.getLong(1)
+    val maxTf = 1L max postings.agg(max("tf")).head().getLong(0)
+    require(BigInt(22) * a * maxTf * 15000000L < BigInt(Long.MaxValue),
+      s"cleared BM25 denominators overflow long at A=$a tokens — " +
+        "quantize dl/avgdl per doc at this scale")
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "w")
+    val qw = queries.flatMap(_._2).distinct.map(Tuple1(_)).toDF("w")
+    val dfreq = postings.join(broadcast(qw), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .select(col("w"),
+        round(log(lit(1.0) +
+            (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * 1e6, 0)
+          .cast("long").as("idf_micro"))
+    val order = Seq(col("score").desc, col("id").asc)
+    postings
+      .join(broadcast(qterms), "w")
+      .join(broadcast(dfreq), "w")
+      .join(lens, "id")
+      .select(col("qid"), col("id"), expr(
+        s"(idf_micro * 22L * ${a}L * tf) div " +
+          s"(10L * ${a}L * tf + 3L * ${a}L + 9L * dl * ${n}L)").as("tsc"))
+      .groupBy("qid", "id").agg(sum("tsc").as("score"))
+      .withColumn("__salt", pmod(hash(col("id")), lit(salts)))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("qid", "__salt").orderBy(order: _*)))
+      .where(col("__pr") <= k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(order: _*)))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("id"),
+        col("score"))
+  }
 }
