@@ -66,4 +66,52 @@ object DomainRank {
     }
     pr
   }
+
+  /** Personalized PageRank over `(src, dst, w)` edges: the teleport mass
+    * goes ONLY to the seed set (the crawl-frontier prioritizer — "rank
+    * pages by their closeness to these trusted seeds"), in the same exact
+    * integer micro-unit arithmetic as pageRank, so a fixed iteration count
+    * is bit-identical on any engine/partitioning. Initial mass: scale div
+    * |seeds| on each seed, 0 elsewhere; per pass, a seed receives
+    * `(15·(scale div |seeds|)) div 100` teleport plus the damped inbound
+    * sum, a non-seed only the damped inbound sum.
+    *
+    * Seeds are a literal list (broadcast by construction — a seed set is
+    * dozens of trusted hubs, not a table); state and passes have the same
+    * 100-TB shape as pageRank: one (id, pr) row per node, keyed join +
+    * keyed sum per pass, per-pass localCheckpoint. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iters: Int = 4,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val maxW = edges.agg(max(col("w").cast("long"))).head().getLong(0)
+    require(maxW <= 0 || scale <= Long.MaxValue / maxW,
+      s"scale=$scale x max edge weight $maxW would overflow Long")
+    val ew = edges
+      .join(edges.groupBy("src").agg(sum("w").as("ow")), "src")
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"),
+        col("ow").cast("long").as("ow"))
+      .localCheckpoint()
+    val base = scale / seeds.size
+    val isSeed = col("id").isin(seeds: _*)
+    var pr = nodes.withColumn("pr", when(isSeed, lit(base)).otherwise(lit(0L)))
+    var k = 0
+    while (k < iters) {
+      val contrib = ew
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("(pr * w) div ow").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(isSeed, lit((15L * base) / 100L)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("pr"))
+        .localCheckpoint()
+      k += 1
+    }
+    pr
+  }
 }

@@ -27,19 +27,24 @@ object KMeansInt {
     * squared distance `dist_sum` (constant across the cluster's rows —
     * the convergence monitor). Clusters that attract no members keep
     * their previous centroid (n_members = 0, dist_sum = 0). */
-  def lloydStep(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val dists = vectors.crossJoin(broadcast(centroids))
+  /** Nearest-centroid assignment — the shared step of lloydStep and the
+    * SemDeDup cluster partitioner: centroids broadcast, per-row integer-L2
+    * argmin with deterministic (dist, cid) tie-break via one struct min (a
+    * per-id aggregate, not a window — no single-partition risk). Returns
+    * `(id, cid, dist, q8)`. */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
       .select(col("id"), col("cid"), col("q8"), expr(
         """aggregate(zip_with(q8, cq8, (x, y) -> cast(x - y as bigint) *
           |  cast(x - y as bigint)), 0L, (a, z) -> a + z)""".stripMargin)
         .as("dist"))
-    // argmin with deterministic (dist, cid) tie-break via one struct min —
-    // a per-id aggregate, not a window (no single-partition risk)
-    val assigned = dists
       .groupBy("id")
       .agg(min(struct(col("dist"), col("cid"), col("q8"))).as("m"))
       .select(col("id"), col("m.cid").as("cid"), col("m.dist").as("dist"),
         col("m.q8").as("q8"))
+
+  def lloydStep(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = assign(vectors, centroids)
       .transform(graft.spark.PersistTracker.persist) // update + dist_sum below
     val sums = assigned
       .select(col("cid"), posexplode(col("q8")))

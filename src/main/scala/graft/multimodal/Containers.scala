@@ -95,6 +95,40 @@ object Containers {
       out
     }
 
+    /** Nearest-neighbor resize of a 24bpp BMP — REAL pixel-domain work on
+      * the decoded raster (not a header rewrite): source sample for output
+      * (x, y) is (x·wIn div wOut, y·hIn div hOut), the standard floor
+      * mapping, then the raster is re-encoded through write(). Deterministic
+      * (no interpolation, pure index arithmetic), so an oracle can predict
+      * every output pixel from the input synthesis formula. Accepts both
+      * bottom-up and top-down inputs; output is canonical bottom-up. This
+      * is the thumbnail step of an image-crawl pipeline — per-row narrow
+      * work with no shuffle implications. */
+    def resizeNearest(b: Array[Byte], wOut: Int, hOut: Int): Array[Byte] = {
+      require(wOut > 0 && hOut > 0, s"bad target dims ${wOut}x$hOut")
+      val m = meta(b)
+      require(m.bpp == 24, s"resizeNearest supports 24bpp, got ${m.bpp}")
+      val inOff = m.dataOffset.toInt
+      val outStride = stride(wOut, 24)
+      val out = new Array[Byte](outStride * hOut)
+      var y = 0
+      while (y < hOut) {
+        val sy = (y.toLong * m.height / hOut).toInt       // image row, top = 0
+        val srcRow = if (m.topDown) sy else m.height - 1 - sy
+        val dstRow = hOut - 1 - y                          // bottom-up output
+        var x = 0
+        while (x < wOut) {
+          val sx = (x.toLong * m.width / wOut).toInt
+          val s = inOff + srcRow * m.rowStride + sx * 3
+          val d = dstRow * outStride + x * 3
+          out(d) = b(s); out(d + 1) = b(s + 1); out(d + 2) = b(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      write(wOut, hOut, out)
+    }
+
     /** Parse header facts from BMP bytes. Fails (IllegalArgumentException)
       * on bad magic, truncation, or unsupported compression. */
     def meta(b: Array[Byte]): BmpMeta = {

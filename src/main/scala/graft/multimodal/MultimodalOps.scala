@@ -104,10 +104,6 @@ object MultimodalOps {
       MediaMeta(len, hash, (len % 640).toInt + 1, (len * 7 % 480).toInt + 1)
     }
 
-    /** STUB resize: returns a deterministic downsample marker. */
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-      (s"resized:${w}x$h:" + bytes.length).getBytes("UTF-8")
-
     /** STUB frame sampling: every `stride`-th 1KB block's hash stands in
       * for a decoded video frame. */
     def sampleFrames(bytes: Array[Byte], stride: Int): Seq[String] = {
@@ -251,6 +247,92 @@ object MultimodalOps {
           Row(r.getLong(0), m.headerSize, m.width.toLong, m.height.toLong,
             if (m.topDown) 1L else 0L, m.bpp.toLong, m.rowStride.toLong,
             m.dataOffset, m.pixelBytes, m.fileSize)
+        }
+      }(enc)
+  }
+
+  /** Image thumbnailing through the REAL pixel path: decode the 24bpp BMP,
+    * nearest-neighbor resize to (wOut, hOut) (Containers.Bmp.resizeNearest),
+    * re-encode, then RE-PARSE the produced container and sum its blue
+    * channel — so the certificate covers decode ∘ resize ∘ encode ∘ decode
+    * end to end (a bug anywhere in the chain breaks the gray sum, which
+    * the oracle predicts closed-form from the synthesis formula and the
+    * floor sample mapping). mapPartitions batch shape: media bytes never
+    * leave the partition iterator; downstream sees integer facts only. */
+  def resizeBmpFacts(df: DataFrame, idCol: String, mediaCol: String,
+                     wOut: Int, hOut: Int): DataFrame = {
+    require(wOut > 0 && hOut > 0, s"bad target dims ${wOut}x$hOut")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("out_w", LongType, nullable = false),
+      StructField("out_h", LongType, nullable = false),
+      StructField("out_bytes", LongType, nullable = false),
+      StructField("gray_sum", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val resized = Containers.Bmp.resizeNearest(
+            r.getAs[Array[Byte]]("media"), wOut, hOut)
+          val m = Containers.Bmp.meta(resized)
+          val off = m.dataOffset.toInt
+          var acc = 0L
+          var y = 0
+          while (y < m.height) {
+            var x = 0
+            while (x < m.width) {
+              acc += resized(off + y * m.rowStride + x * 3) & 0xff // blue
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), m.width.toLong, m.height.toLong,
+            resized.length.toLong, acc)
+        }
+      }(enc)
+  }
+
+  /** Audio decimation through the REAL byte path: decode 8-bit mono PCM
+    * (Containers.Wav chunk walk), keep every `factor`-th sample, re-encode
+    * at sampleRate/factor, RE-PARSE the produced container, and emit the
+    * decimated stream's facts — sample count, output rate, and the total
+    * signal energy Σ(s−128)² computed from the re-encoded bytes. Exact
+    * integer arithmetic end to end; the oracle predicts every fact from
+    * the synthesis formula at indices 0, factor, 2·factor, …. */
+  def resampleWavFacts(df: DataFrame, idCol: String, mediaCol: String,
+                       factor: Int): DataFrame = {
+    require(factor > 0, s"factor must be positive (got $factor)")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_out", LongType, nullable = false),
+      StructField("out_rate", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val m = Containers.Wav.meta(bytes)
+          require(m.channels == 1 && m.bitsPerSample == 8,
+            s"decimation expects 8-bit mono PCM, got ${m.channels}ch/${m.bitsPerSample}bit")
+          require(m.sampleRate % factor == 0,
+            s"rate ${m.sampleRate} not divisible by decimation factor $factor")
+          val pcm = Containers.Wav.data(bytes)
+          val dec = new Array[Byte]((pcm.length + factor - 1) / factor)
+          var i = 0
+          while (i < dec.length) { dec(i) = pcm(i * factor); i += 1 }
+          val reenc = Containers.Wav.write(
+            (m.sampleRate / factor).toInt, 1, 8, dec)
+          val m2 = Containers.Wav.meta(reenc)
+          val out = Containers.Wav.data(reenc)
+          var acc = 0L
+          var j = 0
+          while (j < out.length) {
+            val d = (out(j) & 0xff) - 128
+            acc += d.toLong * d
+            j += 1
+          }
+          Row(r.getLong(0), m2.nSamples, m2.sampleRate, acc)
         }
       }(enc)
   }
