@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Round-5 ninth batch: interval-overlap join, winnowing fingerprints,
+  * edit-distance-verified near-dup, MAD outlier detection, snapshot
+  * compaction round-trip, and weighted shortest paths — each gated by a
+  * closed-form DuckDB oracle over the same parquet inputs. */
+object EntryRound5i {
+
+  private[graft] val snapSeq = new AtomicLong(0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // interval-overlap join: ad-impression hours × outage windows, joined
+    // WITHOUT a cross product by exploding both interval sets onto hour
+    // buckets (the 1-D cell-cover trick); the oracle is the naive
+    // predicate join, feasible at oracle scale only
+    "q170_interval_overlap" -> ((s, dir) => {
+      import graft.operators.IntervalJoin
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      // parquet ts is TIMESTAMP_NTZ; session TZ is UTC, so the cast pins
+      // the same epoch micros DuckDB's epoch_us reads off the naive value
+      val micros = unix_micros(col("ts").cast("timestamp"))
+      val ads = ev.select(col("event_id").as("lid"), micros.as("ls"))
+        .withColumn("le", col("ls") + lit(3600000000L))
+      val outages = ev.where(col("event_id") % 997 === 0)
+        .select(col("event_id").as("rid"), micros.as("rs"))
+        .withColumn("re", col("rs") + lit(7200000000L))
+      IntervalJoin.overlap(ads, outages, bucketMicros = 3600000000L,
+          broadcastRight = true)
+        .groupBy(col("rid").as("outage_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy("outage_id")
+    }),
+
+    // MOSS winnowing: documents plus prefix-shifted copies (id+200000)
+    // fingerprinted with k=8, w=4 over the first 300 chars; pairs sharing
+    // >= 10 rare fingerprints (doc-freq <= 4) surface the planted copies
+    "q171_winnowing_pairs" -> ((s, dir) => {
+      import graft.text.Winnowing
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(lit("zzz "), col("text")).as("text")))
+      val fps = Winnowing.fingerprints(corpus, k = 8, w = 4, maxChars = 300)
+      Winnowing.sharedPairs(fps, maxDocFreq = 4, minShared = 10)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // edit-distance near-dup: single-character mutants (position 10 -> 'Z',
+    // id+300000) recovered by (length-bucket, 8-char-prefix) blocking plus
+    // the codegen'd levenshtein kernel — never an all-pairs comparison
+    "q172_editdist_neardup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = d.select(col("doc_id"),
+          substring(col("text"), 1, 160).as("t"))
+        .unionByName(d
+          .where(col("doc_id") % 11 === 0 && length(col("text")) >= 12)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(substring(col("text"), 1, 9), lit("Z"),
+              substring(col("text"), 11, 150)).as("t")))
+      val blocked = corpus.select(col("doc_id"), col("t"),
+        expr("length(t) div 16").as("lb"), substring(col("t"), 1, 8).as("pb"))
+      val a = blocked.select(col("lb"), col("pb"),
+        col("doc_id").as("doc_a"), col("t").as("ta"))
+      val b = blocked.select(col("lb"), col("pb"),
+        col("doc_id").as("doc_b"), col("t").as("tb"))
+      a.join(b, Seq("lb", "pb"))
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .where(col("dist") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // robust outlier detection: per-language median + MAD over doc lengths
+    // (exact integer rank arithmetic, grouped windows only); planted 50x
+    // length spikes (id+400000) are the outliers both engines must flag
+    "q173_mad_outliers" -> ((s, dir) => {
+      import graft.text.PipelineOps
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val docs = base.unionByName(base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("lang"),
+          (col("n_chars") * 50).as("n_chars")))
+      val med = PipelineOps.exactPercentiles(docs, "lang", "n_chars",
+          "doc_id", Seq(50))
+        .select(col("g").as("lang"), col("p50").as("med"))
+      val dev = docs.join(med, "lang")
+        .withColumn("dev", abs(col("n_chars").cast("long") - col("med")))
+      val mad = PipelineOps.exactPercentiles(dev, "lang", "dev", "doc_id",
+          Seq(50))
+        .select(col("g").as("lang"), col("p50").as("mad"))
+      dev.join(mad, "lang")
+        .where(col("dev") > lit(5L) * col("mad"))
+        .select(col("lang"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("med"), col("mad"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // small-file compaction round trip: eight appends fragment the table,
+    // compact() rewrites the CURRENT snapshot into 4 files (old versions
+    // stay time-travelable), and the read-back must be row-identical to
+    // the source — the oracle reads the source directly
+    "q174_snapshot_compact" -> ((s, dir) => {
+      import graft.table.SnapshotTable
+      val root = SparkEntry.scratch(s, s"q174_${snapSeq.incrementAndGet()}", dir)
+      val t = new SnapshotTable(root)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "n_chars")
+      for (i <- 0 until 8)
+        t.append(d.where(col("doc_id") % 8 === i), s"slice$i")
+      val before = t.current.map(_.files.size).getOrElse(0)
+      val compacted = t.compact(s, numFiles = 4)
+      require(compacted.files.size <= 4 && compacted.files.size < before,
+        s"compaction did not shrink the file list: $before -> ${compacted.files.size}")
+      t.read(s).orderBy("doc_id")
+    }),
+
+    // weighted shortest paths (Bellman-Ford rounds) over the closed-form
+    // link graph with deterministic integer weights, gated by a DuckDB
+    // RECURSIVE CTE bounded to the same <= 8-edge paths
+    "q175_sssp" -> ((s, dir) => {
+      import graft.graph.Sssp
+      val edges = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          explode(array(lit(7919L), lit(15838L), lit(23757L))).as("p"))
+        .select((col("doc_id") % 97).as("src"),
+          ((col("doc_id") * 31 + col("p")) % 97).as("dst"))
+        .distinct()
+        .withColumn("w", (col("src") * 7 + col("dst") * 13) % 9 + 1)
+      val seeds = s.range(3).select(col("id"))
+      Sssp.distances(edges, seeds, maxRounds = 8)
+        .select(col("id"), col("dist"))
+        .orderBy("id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    // the naive predicate join IS the spec; the engine must reproduce it
+    // through the bucketed equi-join + distinct
+    "q170_interval_overlap" ->
+      """WITH a AS (SELECT event_id AS lid, epoch_us(ts) AS ls,
+        |    epoch_us(ts) + 3600000000 AS le FROM events),
+        |o AS (SELECT event_id AS rid, epoch_us(ts) AS rs,
+        |    epoch_us(ts) + 7200000000 AS re FROM events
+        |  WHERE event_id % 997 = 0)
+        |SELECT o.rid AS outage_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |FROM a JOIN o ON a.ls <= o.re AND o.rs <= a.le
+        |GROUP BY o.rid ORDER BY outage_id""".stripMargin,
+
+    // independent winnow: per-position k-gram md5s, window-min with the
+    // full following frame BEFORE the fit filter, distinct fingerprints,
+    // stop-fingerprint cut, then the pair self-join
+    "q171_winnowing_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, substr(text, 1, 300) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, substr('zzz ' || text, 1, 300)
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |g AS (SELECT doc_id, t, length(t) - 7 AS np FROM corpus
+        |      WHERE length(t) - 7 >= 4),
+        |h AS (SELECT doc_id, np, t,
+        |        unnest(generate_series(1, np)) AS i FROM g),
+        |h2 AS (SELECT doc_id, np, i, md5(substr(t, i, 8)) AS hh FROM h),
+        |fpw AS (SELECT doc_id, np, i,
+        |    min(hh) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM h2),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM fpw WHERE i <= np - 3),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp
+        |    GROUP BY fp) WHERE df BETWEEN 2 AND 4),
+        |k AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare r USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q172_editdist_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, substr(text, 1, 160) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |    substr(text, 1, 9) || 'Z' || substr(text, 11, 150)
+        |  FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 12),
+        |b AS (SELECT doc_id, t, length(t) // 16 AS lb,
+        |        substr(t, 1, 8) AS pb FROM corpus)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(levenshtein(x.t, y.t) AS INT) AS dist
+        |FROM b x JOIN b y
+        |  ON x.lb = y.lb AND x.pb = y.pb AND x.doc_id < y.doc_id
+        |WHERE levenshtein(x.t, y.t) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same ceiling-rank convention as the engine: rank (n*50+99)//100 over
+    // (value, doc_id) order, per language
+    "q173_mad_outliers" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, lang, n_chars * 50 FROM documents
+        |  WHERE doc_id % 97 = 0),
+        |r AS (SELECT lang, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM docs),
+        |med AS (SELECT lang, CAST(n_chars AS BIGINT) AS med FROM r
+        |        WHERE rn = (n * 50 + 99) // 100),
+        |d AS (SELECT docs.lang, docs.doc_id,
+        |        CAST(docs.n_chars AS BIGINT) AS n_chars, med.med,
+        |        abs(docs.n_chars - med.med) AS dev
+        |      FROM docs JOIN med USING (lang)),
+        |r2 AS (SELECT lang, dev, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM d),
+        |mad AS (SELECT lang, CAST(dev AS BIGINT) AS mad FROM r2
+        |        WHERE rn = (n * 50 + 99) // 100)
+        |SELECT d.lang, d.doc_id, d.n_chars, d.med, m.mad
+        |FROM d JOIN mad m USING (lang)
+        |WHERE d.dev > 5 * m.mad
+        |ORDER BY d.lang, d.doc_id""".stripMargin,
+
+    // compaction must be row-invariant: the oracle is the source itself
+    "q174_snapshot_compact" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY doc_id",
+
+    "q175_sssp" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT doc_id % 97 AS src,
+        |    (doc_id * 31 + p) % 97 AS dst
+        |  FROM documents, (SELECT unnest([7919, 15838, 23757]) AS p)
+        |  WHERE doc_id % 5 <> 0),
+        |ew AS (SELECT src, dst, (src * 7 + dst * 13) % 9 + 1 AS w FROM e),
+        |paths(id, d, h) AS (
+        |  SELECT CAST(k AS BIGINT), CAST(0 AS BIGINT), 0
+        |  FROM (SELECT unnest(range(3)) AS k)
+        |  UNION
+        |  SELECT ew.dst, p.d + ew.w, p.h + 1
+        |  FROM paths p JOIN ew ON ew.src = p.id WHERE p.h < 8)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist
+        |FROM paths GROUP BY id ORDER BY id""".stripMargin
+  )
+}
