@@ -139,3 +139,45 @@ object HyperLogLog {
           .cast("long").as("hll_est"))
   }
 }
+
+/** Mergeable fixed-width histogram quantile sketch — the 100 TB-scale
+  * companion to `PipelineOps.exactPercentiles`: the exact operator ranks
+  * every row inside a per-group window (a per-group sort of the DATA),
+  * while the sketch reduces each group to `ceil(range/binWidth)` counters
+  * with map-side combine, then ranks the COUNTERS. Error is bounded and
+  * one-sided by construction: the estimate is the inclusive upper edge of
+  * the first bin whose cumulative count reaches the ceiling rank
+  * `(n·p+99) div 100` — the same rank convention as the exact operator —
+  * so `exact ≤ estimate < exact + binWidth` always (property-gated in
+  * SketchesSpec).
+  *
+  * The sketch is a pure keyed aggregation: deterministic on any engine,
+  * trivially mergeable across partitions/days (counters add), and the
+  * per-group window that orders bins runs over counter rows, never data
+  * rows. */
+object HistQuantile {
+
+  /** `(groupCol, valCol)` (non-negative integer values) → one row per
+    * group: `(g, n_rows, p<P>_est…)` with the estimates at the bins'
+    * inclusive upper edges. */
+  def quantiles(df: DataFrame, groupCol: String, valCol: String,
+                binWidth: Long, ps: Seq[Int]): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in 1..100, got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val bins = df
+      .select(col(groupCol).as("g"),
+        expr(s"cast($valCol as long) div $binWidth").as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("bin")
+    val cum = bins
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    cum.groupBy("g")
+      .agg(max(col("n")).as("n_rows"),
+        ps.map(p => min(when(
+          col("cum") >= expr(s"(n * $p + 99) div 100"),
+          col("bin") * binWidth + binWidth - 1)).as(s"p${p}_est")): _*)
+  }
+}

@@ -68,4 +68,33 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(base("g") - 2000L) <= 500, s"g: ${base("g")}")
     assert(math.abs(base("h") - 50L) <= 15, s"h: ${base("h")}")
   }
+
+  test("histogram quantile sketch: exact <= est < exact + binWidth, " +
+      "partition-invariant, for n in 1..400 x p in {50,90,99}") {
+    val s = spark
+    import s.implicits._
+    val ps = Seq(50, 90, 99)
+    // skewed deterministic values across several group sizes, incl. n=1
+    val rows = for {
+      (g, n) <- Seq(("a", 1), ("b", 7), ("c", 64), ("d", 400))
+      i <- 0 until n
+    } yield (g, (i * i * 37L) % 5000, s"$g$i")
+    val df = rows.toDF("g", "v", "id")
+    for (w <- Seq(1L, 16L, 64L)) {
+      val est = HistQuantile.quantiles(df, "g", "v", w, ps)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getLong(2 + i))).toMap
+      val exact = PipelineOps.exactPercentiles(df, "g", "v", "id", ps)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getLong(2 + i))).toMap
+      for ((g, ex) <- exact; i <- ps.indices) {
+        assert(est(g)(i) >= ex(i) && est(g)(i) < ex(i) + w,
+          s"g=$g p=${ps(i)} w=$w: est=${est(g)(i)} exact=${ex(i)}")
+      }
+      val est5 = HistQuantile.quantiles(df.repartition(5), "g", "v", w, ps)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getLong(2 + i))).toMap
+      assert(est5 == est, s"w=$w: sketch must not depend on partitioning")
+    }
+  }
 }
