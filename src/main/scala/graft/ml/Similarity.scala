@@ -119,6 +119,70 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the k
+    * most-cosine-similar corpus vectors whose label DIFFERS from the
+    * anchor's — "looks alike, isn't" — the standard negative-sampling
+    * recipe for retrieval/embedding training. Same single-corpus-pass
+    * bounded-heap shape as [[cosineTopK]] (anchors are a guarded
+    * broadcast-sized probe set; the corpus streams once per partition;
+    * only k rows per anchor survive to the final tiny rank window); the
+    * exclusion predicate moves from `qid != cid` to `qlab != clab`,
+    * which also excludes the anchor itself. */
+  def hardNegativeTopK(anchors: DataFrame, corpus: DataFrame, k: Int,
+                       maxProbes: Int = 1 << 16): DataFrame = {
+    val spark = anchors.sparkSession
+    import spark.implicits._
+    val collected = anchors
+      .select(col("qid").cast("long"), col("qlab").cast("int"), col("qvec"))
+      .limit(maxProbes + 1)
+      .collect()
+    require(collected.length <= maxProbes,
+      s"hardNegativeTopK anchor set exceeds $maxProbes rows — mine per anchor shard instead")
+    val qs: Array[(Long, Int, Array[Float])] = collected
+      .map(r => (r.getLong(0), r.getInt(1), floats(r.getSeq[Float](2))))
+      .sortBy(_._1)
+
+    val partials = corpus
+      .select(col("cid").cast("long"), col("clab").cast("int"), col("cvec"))
+      .as[(Long, Int, Seq[Float])]
+      .mapPartitions { rows =>
+        implicit val dord: Ordering[Double] = Ordering.Double.TotalOrdering
+        val ord = Ordering.by[(Double, Long), (Double, Long)] {
+          case (cos, cid) => (-cos, cid)
+        }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        rows.foreach { case (cid, clab, cvecSeq) =>
+          val cvec = floats(cvecSeq)
+          var qi = 0
+          while (qi < qs.length) {
+            val (_, qlab, qvec) = qs(qi)
+            if (qlab != clab) {
+              val cos = cosine(qvec, cvec)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cos, cid))
+              else {
+                val (wc, wid) = h.head
+                if (cos > wc || (cos == wc && cid < wid)) {
+                  h.dequeue(); h.enqueue((cos, cid))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cos, cid) => (qs(qi)._1, cid, cos) }
+        }
+      }
+      .toDF("qid", "cid", "cos")
+
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    partials.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
   /** Hyperplane component matrices are pure functions of (table, planes,
     * dim) — memoized per executor JVM instead of re-hashed per row. */
   private val planeCache =
