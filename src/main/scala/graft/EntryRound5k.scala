@@ -154,7 +154,7 @@ object EntryRound5k {
     """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |wd AS (SELECT w, count(*) AS freq FROM w0
       |       WHERE regexp_matches(w, '^[a-z]{2,20}$') GROUP BY 1),
-      |s0 AS (SELECT w, freq, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms
+      |s0 AS (SELECT w, freq, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms
       |       FROM wd)""".stripMargin
 
   private lazy val bpeSql: String = {
