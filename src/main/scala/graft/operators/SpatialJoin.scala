@@ -256,6 +256,27 @@ object SpatialJoin {
     }
   }
 
+  /** NOT-EXISTS twin of [[overlayPoints]]: the points OUTSIDE every mask
+    * polygon (the reference's exclusion-filter reading of an overlay,
+    * `overlay.c` with the predicate inverted). Same broadcast cell-cover
+    * plan with `left_anti` — a point whose cell holds no mask candidate
+    * survives without ever evaluating the exact test, and a multi-polygon
+    * hit needs no dedup because anti-join semantics already collapse it. */
+  def overlayPointsAnti(points: DataFrame, mask: DataFrame,
+                        domain: CellDomain, res: Int,
+                        x: String = "x", y: String = "y",
+                        geom: String = "geom"): DataFrame = {
+    val maskE = broadcast(
+      mask.select(col(geom).as("__mgeom"))
+        .withColumn("__cell", explode(polyCoverCells(col("__mgeom"), domain, res))))
+    val ptsE = points.withColumn("__cell", cellEncode(col(x), col(y), domain, res))
+    ptsE.join(maskE,
+        ptsE("__cell") === maskE("__cell") &&
+          containsPoint(ptsE(x), ptsE(y), maskE("__mgeom")),
+        "left_anti")
+      .drop("__cell")
+  }
+
   /** OVERLAY for polygon/line inputs. The reference UNIONS the mask's
     * polygons into one region and tests every input against it
     * (polyUnion, mims_spatial.c:491) — masks are dimension-sized by
