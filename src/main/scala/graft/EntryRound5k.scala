@@ -44,7 +44,7 @@ object EntryRound5k {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(((col("doc_id") * 37) % 256).as("ix"),
           ((col("doc_id") * 91 + 13) % 256).as("iy"))
-      d.withColumn("h", Hilbert.hvalue(col("ix"), col("iy"), 8))
+      Hilbert.attach(d, "ix", "iy", 8, "h")
         .withColumn("block", expr("h div 256"))
         .groupBy("block")
         .agg(count(lit(1)).as("n"),

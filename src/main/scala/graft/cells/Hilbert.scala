@@ -21,8 +21,50 @@ import org.apache.spark.sql.functions._
   */
 object Hilbert {
 
+  /** Attach the Hilbert distance of `(ixCol, iyCol)` as `outCol` —
+    * THE form to use on data: each of the `order` levels lands in its
+    * own named projection, so the plan stays LINEAR in `order`. The
+    * pure-Column [[hvalue]] inlines level i's x/y into level i+1 twice,
+    * growing the expression tree ~4^order (at order 8 that is a ~65k-node
+    * expression — measured 287 s on the sf0.1 bench vs sub-second here);
+    * named intermediates are non-cheap and multiply-referenced, which
+    * stops CollapseProject from re-inlining them. */
+  def attach(df: org.apache.spark.sql.DataFrame, ixCol: String,
+             iyCol: String, order: Int, outCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(order >= 1 && order <= 31, s"order must be in 1..31: $order")
+    val n = 1L << order
+    var d = df
+      .withColumn("__hx", col(ixCol).cast("long"))
+      .withColumn("__hy", col(iyCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    var s = n >> 1
+    while (s > 0) {
+      d = d
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__hd", col("__hd") +
+          lit(s * s) * (col("__rx") * lit(3L)).bitwiseXOR(col("__ry")))
+        // __nx from the OLD pair, then __hy from the OLD __hx, then swap in
+        .withColumn("__nx", when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(n - 1) - col("__hy"))
+              .otherwise(col("__hy"))).otherwise(col("__hx")))
+        .withColumn("__hy", when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(n - 1) - col("__hx"))
+              .otherwise(col("__hx"))).otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+      s >>= 1
+    }
+    d.withColumn(outCol, col("__hd"))
+      .drop("__hx", "__hy", "__hd", "__nx", "__rx", "__ry")
+  }
+
   /** Hilbert distance of `(ix, iy)` on the `2^order × 2^order` lattice;
-    * inputs must already lie in `[0, 2^order)`. */
+    * inputs must already lie in `[0, 2^order)`. Pure-Column form — the
+    * expression tree grows ~4^order, so keep `order` SMALL (≤ 5); use
+    * [[attach]] on data. */
   def hvalue(ix: Column, iy: Column, order: Int): Column = {
     require(order >= 1 && order <= 31, s"order must be in 1..31: $order")
     val n = 1L << order

@@ -67,8 +67,12 @@ class HilbertSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = 256
     // full lattice is 64k points — sample a deterministic stripe instead
     val pts = (0 until 4096).map(i => ((i * 73L) % n, (i * 149L + 7) % n))
-    val rows = pts.toDF("ix", "iy")
-      .withColumn("h", Hilbert.hvalue(col("ix"), col("iy"), 8))
+    val base = pts.toDF("ix", "iy")
+    // attach (the linear-plan data form) must agree with the reference
+    val sample = Hilbert.attach(base.limit(200), "ix", "iy", 8, "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((x, y, h) <- sample) assert(h == refXy2d(8, x, y), s"attach($x,$y)")
+    val rows = Hilbert.attach(base, "ix", "iy", 8, "h")
       .withColumn("block", expr("h div 4096"))
       .groupBy("block")
       .agg(max("ix") - min("ix"), max("iy") - min("iy"))
