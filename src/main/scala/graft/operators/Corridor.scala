@@ -46,4 +46,36 @@ object Corridor {
       .agg(count(lit(1)).as("n_segs"),
         min(col("d2")).cast("long").as("min_d2"))
   }
+
+  /** Map-matching snap: each point to its nearest segment within `r`
+    * (ties → smaller segment id), or no row if nothing is in range — the
+    * GPS-trace-to-road-network step. Candidates come from joining the
+    * point's bucket against each segment's r-expanded bucket cover
+    * (never points × segments); the winner is a keyed struct-min, no
+    * rank window. `pts(pid, x, y)`, `segs(id, x1, x2, sy)` (horizontal,
+    * x1 <= x2) → `(pid, seg_id, d2)`. */
+  def snapPoints(pts: DataFrame, segs: DataFrame, bucket: Double,
+                 r: Double): DataFrame = {
+    require(bucket > 0 && r > 0, s"bucket=$bucket r=$r")
+    val segE = segs
+      .withColumn("bx", explode(sequence(
+        floor((col("x1") - r) / bucket).cast("long"),
+        floor((col("x2") + r) / bucket).cast("long"))))
+      .withColumn("by", explode(sequence(
+        floor((col("sy") - r) / bucket).cast("long"),
+        floor((col("sy") + r) / bucket).cast("long"))))
+    val ptsE = pts
+      .withColumn("bx", floor(col("x") / bucket).cast("long"))
+      .withColumn("by", floor(col("y") / bucket).cast("long"))
+    ptsE.join(segE, Seq("bx", "by"))
+      .withColumn("dx", greatest(lit(0.0), col("x1") - col("x"),
+        col("x") - col("x2")))
+      .withColumn("dy", abs(col("y") - col("sy")))
+      .withColumn("d2", col("dx") * col("dx") + col("dy") * col("dy"))
+      .where(col("d2") <= r * r)
+      .groupBy("pid")
+      .agg(min(struct(col("d2"), col("id"))).as("m"))
+      .select(col("pid"), col("m.id").as("seg_id"),
+        col("m.d2").cast("long").as("d2"))
+  }
 }

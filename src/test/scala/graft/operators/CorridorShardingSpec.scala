@@ -45,6 +45,31 @@ class CorridorShardingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == brute.toMap)
   }
 
+  test("snapPoints matches the brute-force nearest segment within r") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((1L, 150.0, 210.0), (2L, 990.0, 980.0), (3L, 40.0, 700.0),
+      (4L, 555.0, 555.0), (5L, 5.0, 5.0))
+    val segs = Seq((10L, 100.0, 400.0, 230.0), (11L, 0.0, 80.0, 680.0),
+      (12L, 900.0, 1300.0, 940.0), (13L, 100.0, 400.0, 190.0))
+    val got = Corridor.snapPoints(pts.toDF("pid", "x", "y"),
+        segs.toDF("id", "x1", "x2", "sy"), bucket = 250.0, r = 120.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute = pts.flatMap { case (pid, x, y) =>
+      val cand = segs.map { case (id, x1, x2, sy) =>
+        val dx = math.max(0.0, math.max(x1 - x, x - x2))
+        (id, dx * dx + (y - sy) * (y - sy))
+      }.filter(_._2 <= 120.0 * 120.0)
+      if (cand.isEmpty) None
+      else {
+        val m = cand.minBy { case (id, d2) => (d2, id) }
+        Some(pid -> (m._1, m._2.toLong))
+      }
+    }.toMap
+    assert(got == brute, s"got $got exp $brute")
+    assert(!got.contains(4L), "a point with nothing in range must emit nothing")
+  }
+
   test("hrw resharding 16 -> 17 moves a small stable fraction, exactly once per key") {
     val s = spark
     import s.implicits._
