@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distribution statistics over grouped integer measures — the
+  * corpus-governance companions to the drift monitors (q161, q133): the
+  * Gini coefficient answers "how concentrated is the crawl on few
+  * domains?", the two-sample Kolmogorov–Smirnov distance answers "did the
+  * length/quality distribution shift between slices?" — both in exact
+  * integer arithmetic so the oracle matches bit-for-bit.
+  *
+  * Scale shape (both): the only data-sized exchange is a keyed groupBy
+  * with map-side partials; every window runs over the aggregated VALUE
+  * SUPPORT (distinct measure values), never over entities. Ranking 10⁸
+  * domains needs no 10⁸-row sort: domains with equal count are a tie
+  * group, and the rank-weighted sum Σ rank·x over a tie group has the
+  * closed form v·(m·R + m(m+1)/2) with R = #entities below — so the
+  * window input is |distinct counts| rows (heavy-tailed corpora: tiny),
+  * the q123/q204 support-bounded discipline.
+  */
+object Inequality {
+
+  /** Gini coefficient of the per-key counts of `df` grouped by `keyCol`,
+    * in exact integer micro-units. Returns ONE row
+    * (n_keys, n_items, gini_e6): with x_(1)≤…≤x_(n) the sorted counts,
+    *   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx),  gini_e6 = trunc(10⁶·G).
+    * Σ i·x_(i) is tie-order-invariant, computed per tie group as above. */
+  def giniByKey(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("c"))
+    val groups = counts.groupBy("c").agg(count(lit(1)).as("m"))
+    // exclusive prefix of group sizes over ascending value — support-bounded
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = groups.withColumn("r", coalesce(sum("m").over(w), lit(0L)))
+      .select(col("c"), col("m"), col("r"),
+        // m(m+1) is even, so `div 2` is exact; all-integer throughout
+        expr("c * (m * r + m * (m + 1) div 2)").as("six"))
+    ranked.agg(sum("m").as("n"), sum(col("c") * col("m")).as("sx"),
+        sum("six").as("si"))
+      .select(col("n").as("n_keys"), col("sx").as("n_items"),
+        expr("(1000000 * (2 * si - (n + 1) * sx)) div (n * sx)")
+          .as("gini_e6"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the integer
+    * `valueCol` distributions of the rows where `sliceCol` = 0 vs = 1.
+    * Returns ONE row (n1, n2, ks_e6, ks_at):
+    *   D = max_v |F1(v) − F2(v)|, ks_e6 = trunc(10⁶·max|C1(v)·n2 − C2(v)·n1|
+    *   / (n1·n2)), ks_at = smallest v attaining the max.
+    * Cumulative counts C are exact Longs; the single division happens once
+    * on the final scalar. The cumulative window runs over the merged value
+    * support (distinct values of a bounded measure — document lengths,
+    * scores), not over documents. */
+  def ksTwoSample(df: DataFrame, valueCol: String,
+                  sliceCol: String): DataFrame = {
+    val byV = df.groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(sliceCol) === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sliceCol) === 1, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byV.select(col("v"),
+      sum("c1").over(w).as("k1"), sum("c2").over(w).as("k2"))
+    val tot = byV.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val diffs = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("n1"), col("n2"),
+        abs(col("k1") * col("n2") - col("k2") * col("n1")).as("gap"))
+    // argmax with deterministic tie-break: min v among max-gap rows — one
+    // struct-max aggregate, no second pass
+    diffs.agg(max(struct(col("gap"), (-col("v")).as("nv"),
+        col("n1"), col("n2"))).as("m"))
+      .select(col("m.n1").as("n1"), col("m.n2").as("n2"),
+        expr("(1000000 * m.gap) div (m.n1 * m.n2)").as("ks_e6"),
+        (-col("m.nv")).as("ks_at"))
+  }
+}
