@@ -52,10 +52,10 @@ object RipleyK {
       .where(col("idA") < col("idB"))
       .select(((col("xa") - col("xb")) * (col("xa") - col("xb")) +
         (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
-    val counts = cand.agg(
-      radii.map(r => coalesce(
-        sum(when(col("d2") <= r * r, 1L).otherwise(0L)), lit(0L))
-        .as(s"p$r")): _*)
+    val aggs = radii.map(r => coalesce(
+      sum(when(col("d2") <= r * r, 1L).otherwise(0L)), lit(0L))
+      .as(s"p$r"))
+    val counts = cand.agg(aggs.head, aggs.tail: _*)
     val perR = radii.map(r => struct(lit(r).as("r"),
       col(s"p$r").as("p")))
     counts.crossJoin(broadcast(tot))

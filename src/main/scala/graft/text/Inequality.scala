@@ -44,6 +44,41 @@ object Inequality {
           .as("gini_e6"))
   }
 
+  /** Add-1-smoothed Kullback–Leibler divergence KL(P‖Q) between the term
+    * distributions of slice 0 (P) and slice 1 (Q) of `df`, in micro-nats.
+    * With union vocabulary V and slice totals N1/N2, every union term
+    * contributes p·ln(p/q) with p = (c1+1)/(N1+V), q = (c2+1)/(N2+V):
+    *
+    *   lr_micro = round(ln( ((c1+1)·(N2+V)) / ((c2+1)·(N1+V)) )·10⁶)
+    *   kl_micro = Σ (c1+1)·lr_micro  div  (N1+V)
+    *
+    * One double op per DISTINCT term (the established idf micro-round —
+    * the log argument is a ratio of exact integers, so both engines see
+    * the same double); the weighted sum is carried in Decimal(38,0) and
+    * divided once. Returns ONE row (v_size, n1, n2, kl_micro).
+    *
+    * Scale shape: tokenize → one vocabulary-keyed groupBy with map-side
+    * partials; the totals are a 1-row aggregate broadcast back; no window,
+    * no sort, final result one row. */
+  def klSmoothed(df: DataFrame, termCol: String, sliceCol: String)
+      : DataFrame = {
+    val byW = df.groupBy(col(termCol).as("w"))
+      .agg(sum(when(col(sliceCol) === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sliceCol) === 1, 1L).otherwise(0L)).as("c2"))
+    val tot = byW.agg(count(lit(1)).as("v"),
+      sum("c1").as("n1"), sum("c2").as("n2"))
+    val terms = byW.crossJoin(broadcast(tot))
+      .select(col("v"), col("n1"), col("n2"), col("c1"),
+        round(log(((col("c1") + 1).cast("double") * (col("n2") + col("v"))) /
+          ((col("c2") + 1).cast("double") * (col("n1") + col("v")))) * 1e6, 0)
+          .cast("long").as("lr_micro"))
+    terms.groupBy("v", "n1", "n2")
+      .agg(sum(((col("c1") + 1) * col("lr_micro")).cast("decimal(38,0)"))
+        .as("t"))
+      .select(col("v").as("v_size"), col("n1"), col("n2"),
+        expr("t div (n1 + v)").as("kl_micro"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the integer
     * `valueCol` distributions of the rows where `sliceCol` = 0 vs = 1.
     * Returns ONE row (n1, n2, ks_e6, ks_at):
