@@ -36,10 +36,19 @@ object Autocorr {
     * Returns ONE row: (n_cells, w_pairs, n_points, morans_e6) where
     * morans_e6 = trunc(10⁶·I). */
   def moransI(pts: DataFrame, cxCol: String, cyCol: String,
-              ncols: Int, nrows: Int): DataFrame = {
-    val spark = pts.sparkSession
-    val counts = pts.groupBy(col(cxCol).as("cx"), col(cyCol).as("cy"))
-      .agg(count(lit(1)).as("c"))
+              ncols: Int, nrows: Int): DataFrame =
+    moransIFromCounts(
+      pts.groupBy(col(cxCol).as("cx"), col(cyCol).as("cy"))
+        .agg(count(lit(1)).as("c")),
+      ncols, nrows)
+
+  /** [[moransI]] from an already-aggregated per-cell count table
+    * (cx, cy, c) — the entry point for INCREMENTALLY MAINTAINED counts
+    * (a CDF delta folded into the previous counts), where the point
+    * stream is never re-scanned. */
+  def moransIFromCounts(counts: DataFrame, ncols: Int, nrows: Int)
+      : DataFrame = {
+    val spark = counts.sparkSession
     val lattice = spark.range(ncols.toLong * nrows)
       .select((col("id") % ncols).as("cx"), expr(s"id div $ncols").as("cy"))
     val cells = lattice.join(counts, Seq("cx", "cy"), "left")
