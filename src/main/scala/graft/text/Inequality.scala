@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,53 @@ object Inequality {
       .select(col("n").as("n_keys"), col("sx").as("n_items"),
         expr("(1000000 * (2 * si - (n + 1) * sx)) div (n * sx)")
           .as("gini_e6"))
+  }
+
+  /** Theil T inequality with between/within decomposition — the grouped
+    * sibling of [[giniByKey]] (Theil is additively decomposable; Gini is
+    * not): for entities i with integer masses x_i, total X, count n,
+    *
+    *   T = Σ (x_i/X)·ln(n·x_i/X)
+    *     = round per entity: lr_micro = round(ln(n·x_i / X)·10⁶),
+    *       t_micro = Σ x_i·lr_micro div X        (Decimal sum, one div)
+    *
+    * Output one row per group `g` (within-group Theil over that group's
+    * entities), one `__between` row (Theil over group totals — how much
+    * inequality the grouping itself explains) and one `__total` row
+    * (ungrouped Theil over all entities); each row carries its own exact
+    * ladder. The float decomposition identity T ≈ T_between + Σ
+    * (X_g/X)·T_g holds only pre-quantization, so the three faces are
+    * reported, not `require`d.
+    *
+    * Scale shape: one keyed (group, entity) count groupBy with map-side
+    * partials; every later aggregate is group- or entity-support-sized;
+    * one ln round per entity (the idf discipline); no window. */
+  def theilByGroup(df: DataFrame, keyCol: String, groupCol: String)
+      : DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("g"), col(keyCol).as("k"))
+      .agg(count(lit(1)).as("x"))
+      .transform(graft.spark.PersistTracker.persist)
+    def theil(entities: DataFrame, label: Column): DataFrame = {
+      // entities: (g, x) — one row per entity within its (possibly
+      // synthetic) group; ladder is per-group
+      val tot = entities.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("x").as("xt"))
+      entities.join(tot, "g")
+        .select(col("g"), col("x"), col("n"), col("xt"),
+          round(log((col("n") * col("x")).cast("double") / col("xt")) * 1e6,
+            0).cast("long").as("lr"))
+        .groupBy("g", "n", "xt")
+        .agg(sum((col("x") * col("lr")).cast("decimal(38,0)")).as("t"))
+        .select(label.as("slice"), col("n").as("n_keys"),
+          col("xt").as("n_items"), expr("t div xt").as("theil_micro"))
+    }
+    val within = theil(counts.select(col("g"), col("x")), col("g"))
+    val between = theil(
+      counts.groupBy("g").agg(sum("x").as("x"))
+        .select(lit("__between").as("g"), col("x")), col("g"))
+    val total = theil(
+      counts.select(lit("__total").as("g"), col("x")), col("g"))
+    within.unionByName(between).unionByName(total)
   }
 
   /** Add-1-smoothed Kullback–Leibler divergence KL(P‖Q) between the term
