@@ -80,6 +80,65 @@ object Autocorr {
       moransE6(col("nc"), col("w"), col("num"), col("den")).as("morans_e6"))
   }
 
+  /** Geary's C — the contiguity-based dispersion companion of Moran's I
+    * (C < 1 clustered, C = 1 random, C > 1 dispersed; Geary weights
+    * LOCAL differences where Moran weights covariance, so the pair is
+    * the standard report):
+    *
+    *   C = (N−1)·Σ_ij w_ij (x_i−x_j)² / (2W·Σ (x_i−x̄)²)
+    *
+    * With the same ×N deviations D_i = N·x_i − S, (x_i−x_j)² scales to
+    * (D_i−D_j)²/N², which cancels against the denominator's D²/N² —
+    * so geary_e6 = trunc(10⁶·(N−1)·Σ(D_i−D_j)² / (2W·ΣD_i²)), carried
+    * in Decimal(38,0) with ONE exact BigInteger division at the end.
+    * Same one-shuffle shape as [[moransI]]. */
+  def gearyC(pts: DataFrame, cxCol: String, cyCol: String,
+             ncols: Int, nrows: Int): DataFrame = {
+    val spark = pts.sparkSession
+    val counts = pts.groupBy(col(cxCol).as("cx"), col(cyCol).as("cy"))
+      .agg(count(lit(1)).as("c"))
+    val lattice = spark.range(ncols.toLong * nrows)
+      .select((col("id") % ncols).as("cx"), expr(s"id div $ncols").as("cy"))
+    val cells = lattice.join(counts, Seq("cx", "cy"), "left")
+      .select(col("cx"), col("cy"), coalesce(col("c"), lit(0L)).as("n"))
+    val tot = cells.agg(sum("n").as("s"), count(lit(1)).as("nc"))
+    val d = cells.crossJoin(broadcast(tot))
+      .select(col("cx"), col("cy"), col("nc"), col("s"),
+        (col("nc") * col("n") - col("s")).cast("decimal(38,0)").as("d"))
+      .transform(graft.spark.PersistTracker.persist)
+    val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+      (0, 1), (1, -1), (1, 0), (1, 1))
+    val withNbr = d.select(col("cx"), col("cy"), col("d"),
+        explode(typedLit(offsets)).as("o"))
+      .select((col("cx") + col("o._1")).as("nx"),
+        (col("cy") + col("o._2")).as("ny"), col("d").as("da"))
+    val pairs = withNbr.join(
+      d.select(col("cx").as("nx"), col("cy").as("ny"), col("d").as("db")),
+      Seq("nx", "ny"))
+    val agg = pairs.agg(count(lit(1)).as("w"),
+      sum((col("da") - col("db")) * (col("da") - col("db"))).as("num"))
+    val den = d.agg(max("nc").as("nc"), max("s").as("s"),
+      sum(col("d") * col("d")).as("den"))
+    den.crossJoin(agg).select(
+      col("nc").as("n_cells"), col("w").as("w_pairs"),
+      col("s").as("n_points"),
+      gearyE6(col("nc"), col("w"), col("num"), col("den")).as("geary_e6"))
+  }
+
+  private val gearyE6Udf = udf(
+    (nc: Long, w: Long, num: java.math.BigDecimal,
+     den: java.math.BigDecimal) => {
+      val denB = den.toBigInteger
+        .multiply(java.math.BigInteger.valueOf(2L * w))
+      if (denB.signum() == 0) 0L
+      else num.toBigInteger
+        .multiply(java.math.BigInteger.valueOf(1000000L * (nc - 1)))
+        .divide(denB).longValueExact()
+    })
+
+  private def gearyE6(nc: Column, w: Column, num: Column, den: Column) =
+    gearyE6Udf(nc, w, num, den)
+
   /** Local Moran's I (LISA) quadrants — the per-cell decomposition of
     * [[moransI]]: with the same ×N deviations D_i = N·x_i − S and queen
     * contiguity, each cell's spatial lag is L_i = Σ_{j∈nbr(i)} D_j and

@@ -84,6 +84,46 @@ class AutocorrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runMorans(counts, 6) === bruteMorans(counts, 6))
   }
 
+  test("gearyC: matches the brute BigInt ladder; clustered mass is " +
+       "C < 1, checkerboard C > 1") {
+    def bruteGeary(counts: Map[(Int, Int), Long], n: Int): Long = {
+      val cells = for (x <- 0 until n; y <- 0 until n)
+        yield (x, y) -> counts.getOrElse((x, y), 0L)
+      val nc = BigInt(cells.size); val s = BigInt(cells.map(_._2).sum)
+      val d = cells.map { case (k, v) => k -> (nc * v - s) }.toMap
+      val off = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+        (0, 1), (1, -1), (1, 0), (1, 1))
+      var w = 0L; var num = BigInt(0)
+      for (((x, y), da) <- d; (dx, dy) <- off)
+        d.get((x + dx, y + dy)).foreach { db =>
+          w += 1; num += (da - db) * (da - db) }
+      val den = d.values.map(v => v * v).sum
+      if (den == 0 || w == 0) 0L
+      else (BigInt(1000000) * (nc - 1) * num / (BigInt(2 * w) * den))
+        .toLong
+    }
+    def run(counts: Map[(Int, Int), Long], n: Int): Long = {
+      val s = spark
+      import s.implicits._
+      val pts = counts.toSeq.flatMap { case ((x, y), c) =>
+        Seq.fill(c.toInt)((x.toLong, y.toLong)) }
+        .toDF("cx", "cy").repartition(4)
+      val r = Autocorr.gearyC(pts, "cx", "cy", n, n).collect()(0)
+      graft.spark.PersistTracker.drain()
+      r.getAs[Long]("geary_e6")
+    }
+    val block = (for (x <- 0 until 3; y <- 0 until 3)
+      yield (x, y) -> 4L).toMap
+    val gB = run(block, 6)
+    assert(gB === bruteGeary(block, 6))
+    assert(gB < 1000000L, s"clustered should be C < 1: $gB")
+    val checker = (for (x <- 0 until 4; y <- 0 until 4
+      if (x + y) % 2 == 0) yield (x, y) -> 3L).toMap
+    val gC = run(checker, 4)
+    assert(gC === bruteGeary(checker, 4))
+    assert(gC > 1000000L, s"checkerboard should be C > 1: $gC")
+  }
+
   private def bruteGini(xs: Seq[Long]): Long = {
     val s = xs.sorted
     val n = BigInt(s.size)
