@@ -199,4 +199,76 @@ object Autocorr {
 
   private def moransE6(nc: Column, w: Column, num: Column, den: Column) =
     moransE6Udf(nc, w, num, den)
+
+  /** Getis–Ord Gi* hot-spot statistic per cell — the significance-style
+    * companion of [[localMorans]] (Ord & Getis 1995): with binary queen
+    * weights INCLUDING self (the * variant), local sum L_i and
+    * neighborhood size W_i,
+    *
+    *   z_i = (L_i − x̄·W_i) / (S·√[(N·W_i − W_i²)/(N−1)])
+    *
+    * z is irrational, but z² is an exact rational in the integer counts
+    * — multiply through by N²:
+    *
+    *   z_i² = (N·L_i − S·W_i)²·(N−1) / ((N·Σx² − S²)·(N·W_i − W_i²))
+    *
+    * so the operator reports `gi_sign` (hot/cold/zero) and
+    * `zsq_e6 = trunc(10⁶·z²)` — bit-identical anywhere, no float, no
+    * √. Hot spots at |z| > 1.96 are exactly `zsq_e6 > 3_841_600 ∧
+    * gi_sign = 1`.
+    *
+    * Scale shape: identical to [[localMorans]] — one keyed count
+    * groupBy of the point stream, then grid-sized 9-offset explode +
+    * equi-join + keyed agg; the exact BigInteger division runs once per
+    * GRID cell (bounded by the modeling grid, not the data). */
+  def getisGiStar(pts: DataFrame, cxCol: String, cyCol: String,
+                  ncols: Int, nrows: Int): DataFrame = {
+    val spark = pts.sparkSession
+    val counts = pts.groupBy(col(cxCol).as("cx"), col(cyCol).as("cy"))
+      .agg(count(lit(1)).as("c"))
+    val lattice = spark.range(ncols.toLong * nrows)
+      .select((col("id") % ncols).as("cx"), expr(s"id div $ncols").as("cy"))
+    val cells = lattice.join(counts, Seq("cx", "cy"), "left")
+      .select(col("cx"), col("cy"), coalesce(col("c"), lit(0L)).as("n"))
+      .transform(graft.spark.PersistTracker.persist) // tot + gather ×2
+    val tot = cells.agg(sum("n").as("s"), count(lit(1)).as("nc"),
+      sum(col("n").cast("decimal(38,0)") * col("n")).as("ss"))
+    val offsets = Seq((0, 0), (-1, -1), (-1, 0), (-1, 1), (0, -1),
+      (0, 1), (1, -1), (1, 0), (1, 1)) // self + queen
+    val loc = cells.select(col("cx"), col("cy"),
+        explode(typedLit(offsets)).as("o"))
+      .select(col("cx"), col("cy"),
+        (col("cx") + col("o._1")).as("nx"), (col("cy") + col("o._2")).as("ny"))
+      .join(cells.select(col("cx").as("nx"), col("cy").as("ny"),
+        col("n").as("zn")), Seq("nx", "ny"))
+      .groupBy("cx", "cy")
+      .agg(sum("zn").as("l"), count(lit(1)).as("w"))
+    loc.crossJoin(broadcast(tot)).select(
+      col("cx"), col("cy"), col("w").as("w_i"), col("l").as("local_sum"),
+      (col("nc").cast("decimal(38,0)") * col("l") -
+        col("s").cast("decimal(38,0)") * col("w")).as("num"),
+      (col("nc").cast("decimal(38,0)") * col("ss") -
+        col("s").cast("decimal(38,0)") * col("s")).as("den_a"),
+      (col("nc") * col("w") - col("w") * col("w")).as("den_b"),
+      col("nc"))
+      .select(col("cx"), col("cy"), col("w_i"), col("local_sum"),
+        when(col("num") > 0, lit(1L)).when(col("num") < 0, lit(-1L))
+          .otherwise(lit(0L)).as("gi_sign"),
+        giStarE6Udf(col("nc"), col("num"), col("den_a"), col("den_b"))
+          .as("zsq_e6"))
+  }
+
+  private val giStarE6Udf = udf(
+    (nc: Long, num: java.math.BigDecimal, denA: java.math.BigDecimal,
+     denB: Long) => {
+      val den = denA.toBigInteger
+        .multiply(java.math.BigInteger.valueOf(denB))
+      if (den.signum() == 0) 0L
+      else {
+        val n = num.toBigInteger
+        n.multiply(n)
+          .multiply(java.math.BigInteger.valueOf(1000000L * (nc - 1)))
+          .divide(den).longValueExact()
+      }
+    })
 }
