@@ -23,18 +23,44 @@ object Triangles {
   /** `edges(src, dst)` (directed or undirected input; self-loops dropped,
     * duplicates collapsed) → per-node triangle membership counts
     * `(id, n_tri)` for every node in ≥ 1 triangle. */
-  def perNode(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set: a < b
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .transform(graft.spark.PersistTracker.persist) // consumed 3× below
-    // degree per endpoint (of the undirected graph)
-    val deg = und.select(col("a").as("id"))
+  def perNode(edges: DataFrame): DataFrame =
+    triCounts(canonical(edges))
+
+  /** Local clustering coefficient per node — the "is this neighborhood a
+    * community or a directory" audit: cc = 2·tri / (deg·(deg−1)), emitted
+    * in exact integer micro-units (cc_e6 = (2e6·tri) div (deg·(deg−1))),
+    * one row per node with deg ≥ 1 (n_tri 0 when the node closes nothing).
+    * Same degree-ordered wedge machinery as [[perNode]]; one extra
+    * broadcast-sized left join attaches the triangle counts to degrees. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = canonical(edges)
+    val deg = degrees(und)
+    deg.join(triCounts(und).withColumnsRenamed(Map("id" -> "id2")),
+        col("id") === col("id2"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_e6",
+        when(col("deg") >= 2,
+          expr("(2000000 * n_tri) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Canonical undirected edge set (a < b), persisted — consumed 3×. */
+  private def canonical(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .where(col("a") =!= col("b"))
+    .distinct()
+    .transform(graft.spark.PersistTracker.persist)
+
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+
+  private def triCounts(und: DataFrame): DataFrame = {
+    // degree per endpoint (of the undirected graph)
+    val deg = degrees(und)
     // orient by (deg, id): u → v iff (deg(u), u) < (deg(v), v)
     val withDeg = und
       .join(deg.withColumnsRenamed(Map("id" -> "a", "deg" -> "da")), "a")

@@ -86,8 +86,11 @@ case class SpatialJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** spark.sql.extensions entry point: registers the spatial-join rewrite. */
+/** spark.sql.extensions entry point: registers the spatial-join rewrite
+  * and the native-kernel SQL functions (graft_cell_encode & co). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SpatialJoinRewrite())
+    graft.spark.SqlFunctions.descriptions.foreach(e.injectFunction)
+  }
 }

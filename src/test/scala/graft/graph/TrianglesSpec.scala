@@ -64,4 +64,29 @@ class TrianglesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val g = (1 to 200).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
     assert(run(g, parts = 1) === run(g, parts = 8))
   }
+
+  test("clusteringCoeff matches brute force (deg, tri, exact micro-units)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val g = (1 to 250).map(_ => (rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+    val got = Triangles.clusteringCoeff(g.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    graft.spark.PersistTracker.drain()
+    val und = g.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val deg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tri = ref(g).withDefaultValue(0L)
+    assert(got.keySet === deg.keySet)
+    deg.foreach { case (id, d) =>
+      val (gd, gt, gc) = got(id)
+      assert(gd === d, s"deg of $id")
+      assert(gt === tri(id), s"tri of $id")
+      val expCc = if (d >= 2) 2000000L * tri(id) / (d * (d - 1)) else 0L
+      assert(gc === expCc, s"cc of $id")
+    }
+  }
 }
