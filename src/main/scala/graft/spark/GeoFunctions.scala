@@ -58,6 +58,12 @@ object GeoFunctions {
       exprOf(x.cast("double")), exprOf(y.cast("double")),
       d.xmin, d.ymin, d.xmax, d.ymax, res))
 
+  /** Base-32 geohash of (lon, lat) at a fixed precision — the lon-lat
+    * sibling of cellEncode, same codegen discipline. */
+  def geohash(lon: Column, lat: Column, precision: Int): Column =
+    exprCol(graft.spark.expressions.GeohashExpr(
+      exprOf(lon.cast("double")), exprOf(lat.cast("double")), precision))
+
   /** UDF twin of cellEncode, kept for cross-checking the native expression. */
   def cellEncodeUdf(x: Column, y: Column, d: CellDomain, res: Int): Column = {
     val f = udf((px: Double, py: Double) => CellIndex.encode(px, py, d, res))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, Decimal, DoubleType}
-import graft.spark.expressions.{CellEncodeExpr, CoverCellsExpr, PointInPolygonStatus}
+import graft.spark.expressions.{CellEncodeExpr, CoverCellsExpr, GeohashExpr, PointInPolygonStatus}
 
 /** SQL surface for the engine's native kernels: registers the codegen'd
   * Catalyst expressions as SQL functions so `spark.sql("SELECT
@@ -75,11 +75,18 @@ object SqlFunctions {
       litInt(args(5), "graft_cover_cells"))
   }
 
+  /** graft_geohash(lon, lat, precision) → STRING base-32 geohash. */
+  val geohash: Seq[Expression] => Expression = { args =>
+    require(args.length == 3, "graft_geohash(lon, lat, precision)")
+    GeohashExpr(d(args(0)), d(args(1)), litInt(args(2), "graft_geohash"))
+  }
+
   /** (name, class-for-doc, builder) rows — one per SQL function. */
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("graft_cell_encode", classOf[CellEncodeExpr], cellEncode),
     ("graft_pip_status", classOf[PointInPolygonStatus], pipStatus),
-    ("graft_cover_cells", classOf[CoverCellsExpr], coverCells))
+    ("graft_cover_cells", classOf[CoverCellsExpr], coverCells),
+    ("graft_geohash", classOf[GeohashExpr], geohash))
 
   def info(name: String, cls: Class[_]): ExpressionInfo =
     new ExpressionInfo(cls.getCanonicalName, name)

@@ -155,3 +155,61 @@ case class CoverCellsExpr(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Geohash encode kernel — the classic interval-bisection algorithm
+  * (public base-32 geohash, Niemeyer 2008). Bisection midpoints starting
+  * from ±180/±90 are exact dyadic doubles, so the encoding is fully
+  * deterministic for every input double: no multiply-then-floor rounding
+  * ambiguity, which is what lets a SQL oracle re-derive the bits with
+  * integer arithmetic on lattice fixtures. */
+object GeoHashKernel {
+  private val Alphabet = "0123456789bcdefghjkmnpqrstuvwxyz".toCharArray
+
+  def encode(lon: Double, lat: Double, precision: Int):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val out = new Array[Char](precision)
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    var isLon = true; var bits = 0; var ch = 0; var pos = 0
+    var i = 0
+    val total = precision * 5
+    while (i < total) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      isLon = !isLon
+      bits += 1
+      if (bits == 5) { out(pos) = Alphabet(ch); pos += 1; bits = 0; ch = 0 }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(out))
+  }
+}
+
+/** geohash(lon, lat): base-32 geohash string at a fixed precision — the
+  * world-standard shard/join key for lon-lat data; codegen'd like the
+  * planar cell encode so a geotag stage can emit both keys in one pass. */
+case class GeohashExpr(left: Expression, right: Expression, precision: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "geohash"
+
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    GeoHashKernel.encode(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      precision)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) =>
+      s"graft.spark.expressions.GeoHashKernel.encode($lon, $lat, $precision)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

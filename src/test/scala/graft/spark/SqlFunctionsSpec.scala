@@ -90,4 +90,19 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         l.contains("*(") && l.contains("cell_encode")),
       s"expected the cell_encode projection inside a codegen span:\n$plan")
   }
+
+  test("geohash matches published test vectors (SQL and Column paths)") {
+    val s = spark
+    import graft.spark.expressions.GeoHashKernel
+    // Niemeyer's canonical example and the Wikipedia vector
+    assert(GeoHashKernel.encode(-5.6, 42.6, 5).toString === "ezs42")
+    assert(GeoHashKernel.encode(10.40744, 57.64911, 11).toString
+      === "u4pruydqqvj")
+    assert(GeoHashKernel.encode(0.0, 0.0, 4).toString === "s000")
+    val got = s.sql(
+      "SELECT graft_geohash(-5.6D, 42.6D, 5), graft_geohash(0.0D, 0.0D, 1)")
+      .collect().head
+    assert(got.getString(0) === "ezs42")
+    assert(got.getString(1) === "s")
+  }
 }
