@@ -2,9 +2,11 @@ package graft.spark
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, Decimal, DoubleType}
-import graft.spark.expressions.{CellEncodeExpr, CoverCellsExpr, GeohashExpr, PointInPolygonStatus}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, Decimal, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.spark.expressions.{CellEncodeExpr, CoverCellsExpr, GeohashExpr, LuhnValid, MultiPatternCounts, PointInPolygonStatus}
 
 /** SQL surface for the engine's native kernels: registers the codegen'd
   * Catalyst expressions as SQL functions so `spark.sql("SELECT
@@ -81,12 +83,43 @@ object SqlFunctions {
     GeohashExpr(d(args(0)), d(args(1)), litInt(args(2), "graft_geohash"))
   }
 
+  private def litStrings(e: Expression, fn: String): Seq[String] = e match {
+    case CreateArray(children, _) => children.map {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: pattern array elements must be string literals, got $other")
+    }
+    case Literal(a: ArrayData, ArrayType(StringType, _)) =>
+      a.toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString)
+        .toSeq
+    case other => throw new IllegalArgumentException(
+      s"$fn: patterns must be a literal string array, got $other")
+  }
+
+  /** graft_multi_pattern_counts(text, array('a','b',…)) → ARRAY<BIGINT>
+    * per-pattern occurrence counts via one Aho–Corasick pass. */
+  val multiPatternCounts: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      "graft_multi_pattern_counts(text, array(patterns…))")
+    MultiPatternCounts(Cast(args(0), StringType),
+      litStrings(args(1), "graft_multi_pattern_counts"))
+  }
+
+  /** graft_luhn_valid(s) → BOOLEAN Luhn mod-10 check (13–19 digits). */
+  val luhnValid: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "graft_luhn_valid(s)")
+    LuhnValid(Cast(args(0), StringType))
+  }
+
   /** (name, class-for-doc, builder) rows — one per SQL function. */
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("graft_cell_encode", classOf[CellEncodeExpr], cellEncode),
     ("graft_pip_status", classOf[PointInPolygonStatus], pipStatus),
     ("graft_cover_cells", classOf[CoverCellsExpr], coverCells),
-    ("graft_geohash", classOf[GeohashExpr], geohash))
+    ("graft_geohash", classOf[GeohashExpr], geohash),
+    ("graft_multi_pattern_counts", classOf[MultiPatternCounts],
+      multiPatternCounts),
+    ("graft_luhn_valid", classOf[LuhnValid], luhnValid))
 
   def info(name: String, cls: Class[_]): ExpressionInfo =
     new ExpressionInfo(cls.getCanonicalName, name)
