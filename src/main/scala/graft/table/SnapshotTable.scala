@@ -121,6 +121,29 @@ class SnapshotTable(val root: String) {
     commitFiles(parent ++ files, "append", stage)
   }
 
+  /** Copy-on-write DELETE: rows matching `cond` disappear by rewriting
+    * ONLY the files that contain a match; every untouched file carries
+    * over by reference — O(touched files) like merge(), the shape that
+    * makes a right-to-be-forgotten pass affordable on a 100 TB table.
+    * The touched-file probe is one scan projecting just the file name;
+    * the collected list is metadata-scale (bounded by the file count). */
+  def delete(spark: SparkSession, cond: org.apache.spark.sql.Column,
+             stage: String): Snapshot = {
+    val cur = current.getOrElse(
+      throw new IllegalStateException("delete on an empty table"))
+    import org.apache.spark.sql.functions.input_file_name
+    val touched = readFiles(spark, cur.files)
+      .withColumn("__file", input_file_name())
+      .where(cond).select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val (hit, carried) = cur.files.partition(f =>
+      touched.exists(_.endsWith(f.path)))
+    if (hit.isEmpty) return cur
+    val keep = readFiles(spark, hit).where(!cond)
+    val (_, rewritten) = writeDataFiles(keep)
+    commitFiles(carried ++ rewritten, "delete", stage)
+  }
+
   /** Write `df`'s rows as immutable files under a fresh data id WITHOUT
     * committing a snapshot — the data half of copy-on-write operations. */
   private def writeDataFiles(df: DataFrame): (String, Seq[FileMetrics]) = {

@@ -142,4 +142,31 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.currentVersion.get == v)
     assert(t.read(spark).count() == 10)
   }
+
+  test("copy-on-write delete: only touched files rewrite, CDF sees deletes") {
+    import spark.implicits._
+    val t = new SnapshotTable(tmpRoot())
+    // 8 range-partitioned files over id 0..399; victims live in few files
+    val df = (0L until 400L).toDF("id")
+      .withColumn("grp", col("id") % 4)
+      .repartitionByRange(8, col("id"))
+    val v1 = t.commit(df, "append", "base")
+    val v2 = t.delete(spark, col("id") >= 350L, "forget-tail")
+    // rows gone, others intact
+    assert(t.read(spark).count() == 350)
+    assert(t.read(spark).where(col("id") >= 350).count() == 0)
+    // file-granular: most parent files carried over by reference
+    val reused = v2.files.map(_.path).toSet
+      .intersect(v1.files.map(_.path).toSet).size
+    assert(reused >= 5, s"only $reused of ${v1.files.size} files reused")
+    // CDF: exactly the victims appear as deletes, nothing as insert
+    val ch = t.changes(spark, v1.version, v2.version)
+    assert(ch.where(col("_op") === "delete").count() == 50)
+    assert(ch.where(col("_op") === "insert").count() == 0)
+    // no-match delete is a no-op commit (same version back)
+    val v3 = t.delete(spark, col("id") === 99999L, "noop")
+    assert(v3.version == v2.version)
+    // time travel still serves the pre-delete snapshot
+    assert(t.readAt(spark, v1.version).count() == 400)
+  }
 }
