@@ -75,3 +75,27 @@ case class LuhnValid(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** nfc_normalize(s): Unicode NFC normalization (canonical composition) —
+  * the pre-dedup canonicalization step: "é" as U+0065 U+0301 and as
+  * U+00E9 must hash identically or near-dup clusters split by encoder
+  * accident. Wraps the JDK normalizer in codegen. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($s.toString(), " +
+        "java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
