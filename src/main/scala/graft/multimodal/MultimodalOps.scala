@@ -371,6 +371,44 @@ object MultimodalOps {
     * integer arithmetic, closed-form-predictable by an oracle from the
     * synthesis formula. mapPartitions: the media bytes never outlive the
     * partition iterator; downstream sees only long triples. */
+  /** Per-frame zero-crossing rate over real RIFF/WAVE bytes — the
+    * cheap voiced/unvoiced + silence screen next to frame energy:
+    * crossings = adjacent sample pairs WITHIN the frame whose signs
+    * (v >= 0 vs v < 0, after the 8-bit 128 offset) differ. Same
+    * mapPartitions batch shape as decodeWavFrameEnergy. */
+  def decodeWavZeroCrossings(df: DataFrame, idCol: String, mediaCol: String,
+                             frameLen: Int = 64): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive (got $frameLen)")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("zcr", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val m = Containers.Wav.meta(bytes)
+          require(m.channels == 1 && m.bitsPerSample == 8,
+            s"zcr expects 8-bit mono PCM, got ${m.channels}ch/${m.bitsPerSample}bit")
+          val pcm = Containers.Wav.data(bytes)
+          val id = r.getLong(0)
+          (0 until pcm.length by frameLen).map { off =>
+            var c = 0L
+            var i = off + 1
+            val end = math.min(off + frameLen, pcm.length)
+            while (i < end) {
+              val a = (pcm(i - 1) & 0xff) - 128 >= 0
+              val b = (pcm(i) & 0xff) - 128 >= 0
+              if (a != b) c += 1
+              i += 1
+            }
+            Row(id, (off / frameLen).toLong, c)
+          }
+        }
+      }(enc)
+  }
+
   def decodeWavFrameEnergy(df: DataFrame, idCol: String, mediaCol: String,
                            frameLen: Int = 64): DataFrame = {
     require(frameLen > 0, s"frameLen must be positive (got $frameLen)")
