@@ -64,6 +64,53 @@ object StatefulCrawl {
       .toDF("url", "digest", "first_ts", "n_caps")
   }
 
+  /** Conversion-funnel state, update mode: per user the earliest signup
+    * and the first purchase landing within `windowUs` (event-time micros) after it. State is
+    * two longs per ACTIVE user; event-time timeout evicts users whose
+    * window can no longer convert. Emits an update row whenever the
+    * user's (signup, purchase) pair improves; the final table is the
+    * min-reconstruction over updates (both fields monotone non-increasing
+    * per user). Assumes per-user event-time-ordered arrival (upstream
+    * watermark reordering at scale; exactly true for the harness feed). */
+  def funnelStateUpdate(events: DataFrame, windowUs: Long,
+                        retention: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val retMs = retentionMs(retention)
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("tus").cast("long").as("tus"),
+        expr("timestamp_micros(tus)").as("ets"))
+      .withWatermark("ets", retention)
+      .as[(Long, String, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var signup = if (state.exists) state.get._1 else Long.MaxValue
+            var purch = if (state.exists) state.get._2 else Long.MaxValue
+            var maxEtsMs = Long.MinValue
+            // deterministic in-batch order: event time
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach { r =>
+              maxEtsMs = math.max(maxEtsMs, r._4.getTime)
+              if (r._2 == "signup") signup = math.min(signup, r._3)
+              else if (r._2 == "purchase" && signup != Long.MaxValue &&
+                r._3 >= signup && r._3 <= signup + windowUs)
+                purch = math.min(purch, r._3)
+            }
+            state.update((signup, purch))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1, maxEtsMs + retMs))
+            if (signup == Long.MaxValue) Iterator.empty
+            else Iterator.single((userId, signup,
+              if (purch == Long.MaxValue) -1L else purch))
+          }
+      }
+      .toDF("user_id", "signup_us", "purchase_us")
+  }
+
   /** Decay-density state, update mode: per (ix, iy) cell the page count
     * and running integer weight sum. Input columns: ix, iy, w (the
     * per-page decay weight computed upstream — q115's exact integer
