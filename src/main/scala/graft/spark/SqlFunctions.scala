@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, Expression,
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, Decimal, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.spark.expressions.{CellEncodeExpr, CoverCellsExpr, GeohashExpr, LuhnValid, MultiPatternCounts, PointInPolygonStatus}
+import graft.spark.expressions.{CellEncodeExpr, CoverCellsExpr, GeohashExpr, LuhnValid, MultiPatternCounts, NfcNormalize, PointInPolygonStatus}
 
 /** SQL surface for the engine's native kernels: registers the codegen'd
   * Catalyst expressions as SQL functions so `spark.sql("SELECT
@@ -119,7 +119,12 @@ object SqlFunctions {
     ("graft_geohash", classOf[GeohashExpr], geohash),
     ("graft_multi_pattern_counts", classOf[MultiPatternCounts],
       multiPatternCounts),
-    ("graft_luhn_valid", classOf[LuhnValid], luhnValid))
+    ("graft_luhn_valid", classOf[LuhnValid], luhnValid),
+    ("graft_nfc", classOf[NfcNormalize],
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc(s)")
+        NfcNormalize(Cast(args(0), StringType))
+      }))
 
   def info(name: String, cls: Class[_]): ExpressionInfo =
     new ExpressionInfo(cls.getCanonicalName, name)

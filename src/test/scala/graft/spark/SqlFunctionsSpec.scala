@@ -105,4 +105,13 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getString(0) === "ezs42")
     assert(got.getString(1) === "s")
   }
+
+  test("graft_nfc composes decomposed accents from SQL") {
+    val s = spark
+    val got = s.sql(
+      "SELECT graft_nfc('cafe\u0301'), length(graft_nfc('cafe\u0301'))")
+      .collect().head
+    assert(got.getString(0) === "caf\u00e9")
+    assert(got.getInt(1) === 4)
+  }
 }
