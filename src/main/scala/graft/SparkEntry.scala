@@ -29,7 +29,7 @@ object SparkEntry {
       EntryRound5.queries ++ EntryRound5b.queries ++ EntryRound5c.queries ++
       EntryRound5d.queries ++ EntryRound5e.queries ++ EntryRound5f.queries ++
       EntryRound5g.queries ++ EntryRound5h.queries ++ EntryRound5i.queries ++
-      EntryRound5j.queries ++ EntryRound5k.queries ++ EntryRound5l.queries ++ EntryRound5m.queries ++ EntryRound5n.queries ++ EntryRound5o.queries ++ EntryRound5p.queries ++ EntryRound5q.queries ++ EntryRound5r.queries ++ EntryRound5s.queries ++ EntryRound5t.queries ++ EntryRound5u.queries ++ EntryRound5v.queries ++ EntryRound5w.queries ++ EntryRound5x.queries ++ EntryRound5y.queries ++ EntryRound5z.queries ++ EntryRound5aa.queries ++ EntryRound5ab.queries ++ EntryRound5ac.queries ++ EntryRound5ad.queries ++ EntryRound5ae.queries ++ EntryRound5af.queries ++ EntryRound5ag.queries ++ EntryRound5ah.queries ++ EntryRound5ai.queries ++ EntryRound5aj.queries ++ EntryRound5ak.queries ++ EntryRound5al.queries ++ EntryRound5am.queries ++ EntryRound5an.queries ++ EntryRound5ao.queries ++ EntryRound5ap.queries ++ EntryRound5aq.queries ++ EntryRound5ar.queries ++ EntryRound5as.queries ++ EntryRound5at.queries ++ EntryRound5au.queries ++ EntryRound5av.queries ++ EntryRound5aw.queries ++ EntryRound5ax.queries ++ EntryRound5ay.queries ++ EntryRound5az.queries ++ EntryRound5ba.queries ++ EntryRound5bb.queries ++ EntryRound5bc.queries ++ EntryRound5bd.queries
+      EntryRound5j.queries ++ EntryRound5k.queries ++ EntryRound5l.queries ++ EntryRound5m.queries ++ EntryRound5n.queries ++ EntryRound5o.queries ++ EntryRound5p.queries ++ EntryRound5q.queries ++ EntryRound5r.queries ++ EntryRound5s.queries ++ EntryRound5t.queries ++ EntryRound5u.queries ++ EntryRound5v.queries ++ EntryRound5w.queries ++ EntryRound5x.queries ++ EntryRound5y.queries ++ EntryRound5z.queries ++ EntryRound5aa.queries ++ EntryRound5ab.queries ++ EntryRound5ac.queries ++ EntryRound5ad.queries ++ EntryRound5ae.queries ++ EntryRound5af.queries ++ EntryRound5ag.queries ++ EntryRound5ah.queries ++ EntryRound5ai.queries ++ EntryRound5aj.queries ++ EntryRound5ak.queries ++ EntryRound5al.queries ++ EntryRound5am.queries ++ EntryRound5an.queries ++ EntryRound5ao.queries ++ EntryRound5ap.queries ++ EntryRound5aq.queries ++ EntryRound5ar.queries ++ EntryRound5as.queries ++ EntryRound5at.queries ++ EntryRound5au.queries ++ EntryRound5av.queries ++ EntryRound5aw.queries ++ EntryRound5ax.queries ++ EntryRound5ay.queries ++ EntryRound5az.queries ++ EntryRound5ba.queries ++ EntryRound5bb.queries ++ EntryRound5bc.queries ++ EntryRound5bd.queries ++ EntryRound5be.queries
 
   def oracleSql: Map[String, String] =
     baseOracles ++ EntryText.oracles ++ EntryPages.oracles ++
@@ -38,7 +38,7 @@ object SparkEntry {
       EntryRound5.oracles ++ EntryRound5b.oracles ++ EntryRound5c.oracles ++
       EntryRound5d.oracles ++ EntryRound5e.oracles ++ EntryRound5f.oracles ++
       EntryRound5g.oracles ++ EntryRound5h.oracles ++ EntryRound5i.oracles ++
-      EntryRound5j.oracles ++ EntryRound5k.oracles ++ EntryRound5l.oracles ++ EntryRound5m.oracles ++ EntryRound5n.oracles ++ EntryRound5o.oracles ++ EntryRound5p.oracles ++ EntryRound5q.oracles ++ EntryRound5r.oracles ++ EntryRound5s.oracles ++ EntryRound5t.oracles ++ EntryRound5u.oracles ++ EntryRound5v.oracles ++ EntryRound5w.oracles ++ EntryRound5x.oracles ++ EntryRound5y.oracles ++ EntryRound5z.oracles ++ EntryRound5aa.oracles ++ EntryRound5ab.oracles ++ EntryRound5ac.oracles ++ EntryRound5ad.oracles ++ EntryRound5ae.oracles ++ EntryRound5af.oracles ++ EntryRound5ag.oracles ++ EntryRound5ah.oracles ++ EntryRound5ai.oracles ++ EntryRound5aj.oracles ++ EntryRound5ak.oracles ++ EntryRound5al.oracles ++ EntryRound5am.oracles ++ EntryRound5an.oracles ++ EntryRound5ao.oracles ++ EntryRound5ap.oracles ++ EntryRound5aq.oracles ++ EntryRound5ar.oracles ++ EntryRound5as.oracles ++ EntryRound5at.oracles ++ EntryRound5au.oracles ++ EntryRound5av.oracles ++ EntryRound5aw.oracles ++ EntryRound5ax.oracles ++ EntryRound5ay.oracles ++ EntryRound5az.oracles ++ EntryRound5ba.oracles ++ EntryRound5bb.oracles ++ EntryRound5bc.oracles ++ EntryRound5bd.oracles
+      EntryRound5j.oracles ++ EntryRound5k.oracles ++ EntryRound5l.oracles ++ EntryRound5m.oracles ++ EntryRound5n.oracles ++ EntryRound5o.oracles ++ EntryRound5p.oracles ++ EntryRound5q.oracles ++ EntryRound5r.oracles ++ EntryRound5s.oracles ++ EntryRound5t.oracles ++ EntryRound5u.oracles ++ EntryRound5v.oracles ++ EntryRound5w.oracles ++ EntryRound5x.oracles ++ EntryRound5y.oracles ++ EntryRound5z.oracles ++ EntryRound5aa.oracles ++ EntryRound5ab.oracles ++ EntryRound5ac.oracles ++ EntryRound5ad.oracles ++ EntryRound5ae.oracles ++ EntryRound5af.oracles ++ EntryRound5ag.oracles ++ EntryRound5ah.oracles ++ EntryRound5ai.oracles ++ EntryRound5aj.oracles ++ EntryRound5ak.oracles ++ EntryRound5al.oracles ++ EntryRound5am.oracles ++ EntryRound5an.oracles ++ EntryRound5ao.oracles ++ EntryRound5ap.oracles ++ EntryRound5aq.oracles ++ EntryRound5ar.oracles ++ EntryRound5as.oracles ++ EntryRound5at.oracles ++ EntryRound5au.oracles ++ EntryRound5av.oracles ++ EntryRound5aw.oracles ++ EntryRound5ax.oracles ++ EntryRound5ay.oracles ++ EntryRound5az.oracles ++ EntryRound5ba.oracles ++ EntryRound5bb.oracles ++ EntryRound5bc.oracles ++ EntryRound5bd.oracles ++ EntryRound5be.oracles
 
   /** Process-unique scratch path for the binary-envelope queries:
     * concurrent Verify/Bench runs over the same sfDir must not race on
