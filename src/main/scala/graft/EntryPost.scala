@@ -74,10 +74,13 @@ object EntryPost {
 
     // QA gapfill pivot: per county × gapfilled code, which source filled it
     "q46_qa_gapfill" -> ((s, dir) => {
-      val g600 = PostOps.gapfill(Seq(
-        srg100(s, dir).where(col("fips") >= "47009"), srg120(s, dir)), 600)
-      val g610 = PostOps.gapfill(Seq(
-        srg120(s, dir).where(col("fips") <= "47008"), srg100(s, dir)), 610)
+      // build each surrogate ONCE (they are eagerly checkpointed): the
+      // earlier four srgNNN(s, dir) calls materialized four full spatial
+      // pipelines for two distinct tables
+      val a = srg100(s, dir)
+      val b = srg120(s, dir)
+      val g600 = PostOps.gapfill(Seq(a.where(col("fips") >= "47009"), b), 600)
+      val g610 = PostOps.gapfill(Seq(b.where(col("fips") <= "47008"), a), 610)
       PostOps.qaGapfill(g600.unionByName(g610), codes = Seq(600, 610))
     })
   )

@@ -40,7 +40,11 @@ object EntryRound5 {
         val fmt = if (docId % 2 == 0) "png" else "jpg"
         MultimodalOps.encodeTestImage(fmt, docId, w, h)
       })
+      // metadata-only repartition (16 B/row) before the compute-bound
+      // encode+decode so one small parquet split doesn't serialize it
       val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), mkImg(col("doc_id"), col("n_chars")).as("media"))
       MultimodalOps.decodeImageIoFacts(media, "doc_id", "media")
         .orderBy("id")

@@ -93,6 +93,7 @@ object EntryRound5ac {
         .where(col("c") =!= 0L)
         .transform(graft.spark.PersistTracker.persist)
       val full = t.read(s).groupBy("cx", "cy").agg(count(lit(1)).as("c"))
+        .transform(graft.spark.PersistTracker.persist) // two exceptAll sides
       require(maintained.exceptAll(full).isEmpty &&
         full.exceptAll(maintained).isEmpty,
         "maintained counts diverge from full recompute")

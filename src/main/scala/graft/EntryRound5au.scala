@@ -52,39 +52,38 @@ object EntryRound5au {
     // Containment via shared 3-shingles over a suffix-marked corpus
     "q281_reuse_direction" -> ((s, dir) => {
       // near-dup corpus: copies (id+100000) carry LATER timestamps, so
-      // every original→copy edge points forward in time
-      val docs = graft.fixtures.TextFixtures
+      // every original→copy edge points forward in time.
+      //
+      // Plan shape (rebuilt this round, value-identical output, oracle
+      // unchanged): the original shingle self-join materialized Σ c² ≈ 16M
+      // candidate rows for ~6k qualifying pairs. The containment test
+      // m ≥ ⌈0.8·n_late⌉ admits the Containment prefix filter (frequency-
+      // ordered pigeonhole, provably complete — see Containment.scala), so
+      // candidates shrink to the prefix⋈postings join and each pair pays
+      // ONE merge-intersect over its two sorted hashed-shingle sets.
+      // host/ts are pure functions of doc_id and are derived AFTER pairing
+      // (§2.3: shuffle keys, not payloads); trigram identity is the 64-bit
+      // span hash of the PPJoin/MinHash family — counts of hashes equal
+      // counts of strings modulo the documented-negligible collision
+      // class, bit-verified against the string-side oracle at every SF.
+      import graft.text.{Containment, TextHash}
+      val sets = graft.fixtures.TextFixtures
         .nearDupCorpus(s, dir, " via syndication feed")
-        .select(col("doc_id"), col("text"),
-          (lit(1600000000L) + col("doc_id") * 137L).as("ts"),
-          (col("doc_id") % 97).as("host"))
-      val sh = docs
-        .select(col("doc_id"), col("host"), col("ts"),
-          explode(expr(
-            """transform(sequence(1, size(split(text, ' ')) - 2),
-              |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""
-              .stripMargin)).as("sh"))
-        .distinct()
-      val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.toDF("id_a", "host_a", "ts_a", "sh")
-      val b = sh.toDF("id_b", "host_b", "ts_b", "sh")
-      val shared = a.join(b, "sh")
-        .where(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b", "host_a", "host_b", "ts_a", "ts_b")
-        .agg(count(lit(1)).as("m"))
-      // containment of the LATER doc in the earlier ≥ 80%
-      val dir2 = shared
-        .join(broadcast(nsh.toDF("id_a", "na")), "id_a")
-        .join(broadcast(nsh.toDF("id_b", "nb")), "id_b")
-        .withColumn("src_host",
-          when(col("ts_a") <= col("ts_b"), col("host_a"))
-            .otherwise(col("host_b")))
-        .withColumn("dst_host",
-          when(col("ts_a") <= col("ts_b"), col("host_b"))
-            .otherwise(col("host_a")))
-        .withColumn("n_late",
-          when(col("ts_a") <= col("ts_b"), col("nb")).otherwise(col("na")))
+        .select(col("doc_id").as("id"),
+          TextHash.shingleHashSetUdf(3)(col("text")).as("shs"))
+        .where(size(col("shs")) > 0)
+        .transform(graft.spark.PersistTracker.persist)
+      // ts = 1600000000 + id·137 is strictly increasing in id, so the
+      // LATER doc of a pair (id_a < id_b) is always id_b
+      val dir2 = Containment.candidatePairs(sets, 800)
+        .join(sets.select(col("id").as("id_a"), col("shs").as("__sa")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("shs").as("__sb")), "id_b")
+        .withColumn("m", TextHash.overlapVerifyUdf(col("__sa"), col("__sb")))
+        .select(col("id_a"), col("id_b"), col("m"),
+          size(col("__sb")).as("n_late"))
         .where(col("m") * 10 >= col("n_late") * 8)
+        .withColumn("src_host", col("id_a") % 97)
+        .withColumn("dst_host", col("id_b") % 97)
       dir2.groupBy("src_host", "dst_host")
         .agg(count(lit(1)).as("n_copies"))
     })

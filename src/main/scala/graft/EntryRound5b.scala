@@ -17,7 +17,14 @@ object EntryRound5b {
     val mkImg = udf((docId: Long, nChars: Long) =>
       MultimodalOps.encodeTestImage("png", docId,
         (nChars % 24).toInt + 9, (docId % 16).toInt + 8))
+    // spread the compute-bound encode across all cores: the shuffle moves
+    // 16 bytes/row of metadata, the heavy media bytes are then produced
+    // (and consumed by the decode) in place — guide §8's "move the proxy,
+    // not the payload", applied before the payload even exists. Without it
+    // a single small parquet split serializes every encode+decode.
     s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), mkImg(col("doc_id"), col("n_chars")).as("media"))
   }
 

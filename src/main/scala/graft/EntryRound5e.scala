@@ -80,7 +80,12 @@ object EntryRound5e {
         .select(col("vec_id"), col("embedding"))
       val dups = base.where(col("vec_id") % 7 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      val q = Quantize.int8(base.unionByName(dups), "vec_id", "embedding")
+      // the fixture arrives as one small parquet split, which would pin
+      // the (per-row expensive) quantize + 256-centroid assignment onto
+      // one core and one checkpoint partition; core-count-derived spread
+      val q = Quantize.int8(base.unionByName(dups)
+            .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+          "vec_id", "embedding")
         .localCheckpoint(true)
       val cents = q.where(col("id") < 256)
         .select(col("id").as("cid"), col("q8").as("cq8"))

@@ -46,6 +46,11 @@ object EntryRound5i {
         .unionByName(d.where(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 200000L).as("doc_id"),
             concat(lit("zzz "), col("text")).as("text")))
+        // the fixture union is two sub-128MB parquet splits — the
+        // compute-bound per-doc winnow would run on two cores; spread it
+        // (core-count-derived, not a constant; a real crawl input already
+        // arrives in many splits and skips this)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val fps = Winnowing.fingerprints(corpus, k = 8, w = 4, maxChars = 300)
       Winnowing.sharedPairs(fps, maxDocFreq = 4, minShared = 10)
         .orderBy("doc_a", "doc_b")

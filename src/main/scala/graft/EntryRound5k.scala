@@ -82,12 +82,17 @@ object EntryRound5k {
         .select("fips").distinct()
       val affCounties = TpchGeo.counties(s).join(broadcast(aff), "fips")
       val w2 = t.read(s)
+      // both certification sides persisted: each feeds two exceptAll
+      // branches (and delta the output) — without the persists the two
+      // surrogate pipelines execute ~5x per run
       val delta = Surrogate.pointSurrogate(w2, affCounties,
-        grid, domain, zres, srgCode = 100)
+          grid, domain, zres, srgCode = 100)
+        .transform(graft.spark.PersistTracker.persist)
       val full = Surrogate.pointSurrogate(w2, TpchGeo.counties(s),
           grid, domain, zres, srgCode = 100)
         .join(broadcast(aff), "fips")
         .select(delta.columns.map(col): _*)
+        .transform(graft.spark.PersistTracker.persist)
       require(delta.exceptAll(full).isEmpty && full.exceptAll(delta).isEmpty,
         "incremental surrogate recompute diverged from the full recompute " +
           "restricted to the affected counties")

@@ -54,6 +54,10 @@ object EntryRound5l {
         .unionByName(d.where(col("doc_id") % 9 === 0)
           .select((col("doc_id") + 400000L).as("doc_id"),
             concat(lit("edit: "), col("text")).as("text")))
+        // two small fixture splits would serialize the O(len·w) rolling-
+        // hash expressions onto two cores; spread by core count (a real
+        // input's many splits make this a no-op choice)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val ch = Chunking.chunks(corpus, "doc_id", "text", w = 16, divisor = 32)
       Chunking.sharedPairs(ch, maxDocFreq = 4, minShared = 3)
         .orderBy("doc_a", "doc_b")

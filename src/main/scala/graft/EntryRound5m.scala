@@ -21,11 +21,16 @@ object EntryRound5m {
     // change, the oracle re-certifies the salted output end to end
     "q187_salted_srg_parity" -> ((s, dir) => {
       import graft.operators.Surrogate
+      // both parity sides persisted: each feeds two exceptAll branches
+      // (and salted the output) — without this the two surrogate
+      // pipelines execute ~5x per run
       val salted = Surrogate.pointSurrogate(TpchGeo.points(s, dir),
-        TpchGeo.counties(s), grid, domain, zres, srgCode = 100,
-        saltFactor = 8)
+          TpchGeo.counties(s), grid, domain, zres, srgCode = 100,
+          saltFactor = 8)
+        .transform(graft.spark.PersistTracker.persist)
       val unsalted = Surrogate.pointSurrogate(TpchGeo.points(s, dir),
-        TpchGeo.counties(s), grid, domain, zres, srgCode = 100)
+          TpchGeo.counties(s), grid, domain, zres, srgCode = 100)
+        .transform(graft.spark.PersistTracker.persist)
       require(salted.exceptAll(unsalted).isEmpty &&
           unsalted.exceptAll(salted).isEmpty,
         "saltFactor=8 changed the surrogate output — salting must be a " +

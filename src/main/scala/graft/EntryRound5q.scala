@@ -41,10 +41,14 @@ object EntryRound5q {
       val cdf = t.changes(s, v1, v2)
         .transform(graft.spark.PersistTracker.persist)
       val cols = Seq("doc_id", "lang", "n_chars").map(col)
+      // both replay sides persisted: each feeds two exceptAll branches
+      // (and v2df the output aggregate)
       val replayed = t.readAt(s, v1).select(cols: _*)
         .exceptAll(cdf.where(col("_op") === "delete").select(cols: _*))
         .unionByName(cdf.where(col("_op") === "insert").select(cols: _*))
+        .transform(graft.spark.PersistTracker.persist)
       val v2df = t.readAt(s, v2).select(cols: _*)
+        .transform(graft.spark.PersistTracker.persist)
       require(replayed.exceptAll(v2df).isEmpty &&
           v2df.exceptAll(replayed).isEmpty,
         "CDF replay over v1 failed to reproduce v2 — the change feed is " +

@@ -66,17 +66,23 @@ object EntryText {
     // unit-level gate on the same property.
     "q16_simhash" -> ((s, dir) => {
       val corpus = TextFixtures.nearDupCorpus(s, dir, " graftmark")
+      // persisted: exceptAll consumes each side twice (and the brute
+      // cross-join consumes `sh` on both sides) — without the persists
+      // the simhash UDF subtree executes up to 6x per run
       val lsh = TextOps.simhashPairs(corpus, "doc_id", "text",
           n = 3, maxHamming = 8, tables = 9,
           preDedupExact = graft.text.PreCollapse.Assume)
         .select("id_a", "id_b", "hamming")
+        .transform(graft.spark.PersistTracker.persist)
       val sh = corpus.select(col("doc_id").as("id"),
-        TextOps.simhashUdf(3)(col("text")).as("sh"))
+          TextOps.simhashUdf(3)(col("text")).as("sh"))
+        .transform(graft.spark.PersistTracker.persist)
       val brute = sh.as("a").crossJoin(broadcast(sh.as("b")))
         .where(col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
         .where(col("hamming") <= 8)
+        .transform(graft.spark.PersistTracker.persist)
       val badIds = lsh.exceptAll(brute).union(brute.exceptAll(lsh))
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .distinct().withColumn("__bad", lit(1))

@@ -67,29 +67,31 @@ object Hits {
         expr(s"($c * ${Scale}L) div ${mx}L").as(c))
     }
 
+    // Intermediate vectors carry ONLY nodes with a non-zero sum: a node
+    // missing from `auth`/`hub` is exactly a node whose score is 0, and a
+    // 0-score node contributes 0 to every downstream update term and
+    // never owns the (strictly positive) max, so dropping the per-half-
+    // pass `nodes` left-join + coalesce is value-identical — it removes
+    // one join and a nodes-sized frame from all 2·iters half-passes. The
+    // zero rows are re-attached once, at the end.
     var hub = nodes.withColumn("h", lit(Scale)).localCheckpoint()
     var auth: DataFrame = null
     var k = 0
     while (k < iters) {
-      val a = nodes
-        .join(ew.join(hub.withColumnRenamed("domain", "src_domain"),
-              "src_domain")
-            .select(col("dst_domain").as("domain"), (col("h") * col("w")).as("c"))
-            .groupBy("domain").agg(sum("c").as("a")),
-          Seq("domain"), "left")
-        .select(col("domain"), coalesce(col("a"), lit(0L)).as("a"))
+      val a = ew.join(hub.withColumnRenamed("domain", "src_domain"),
+            "src_domain")
+        .select(col("dst_domain").as("domain"), (col("h") * col("w")).as("c"))
+        .groupBy("domain").agg(sum("c").as("a"))
       auth = rescale(a, "a")
-      val h = nodes
-        .join(ew.join(auth.withColumnRenamed("domain", "dst_domain"),
-              "dst_domain")
-            .select(col("src_domain").as("domain"), (col("a") * col("w")).as("c"))
-            .groupBy("domain").agg(sum("c").as("h")),
-          Seq("domain"), "left")
-        .select(col("domain"), coalesce(col("h"), lit(0L)).as("h"))
+      val h = ew.join(auth.withColumnRenamed("domain", "dst_domain"),
+            "dst_domain")
+        .select(col("src_domain").as("domain"), (col("a") * col("w")).as("c"))
+        .groupBy("domain").agg(sum("c").as("h"))
       hub = rescale(h, "h")
       k += 1
     }
-    nodes.join(auth, "domain").join(hub, "domain")
-      .select(col("domain"), col("a").as("auth"), col("h").as("hub"))
+    nodes.join(auth, Seq("domain"), "left").join(hub, Seq("domain"), "left")
+      .select(col("domain"), coalesce(col("a"), lit(0L)).as("auth"),
+        coalesce(col("h"), lit(0L)).as("hub"))
   }
 }

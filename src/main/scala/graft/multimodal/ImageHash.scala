@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
   */
 object ImageHash {
 
+  // same per-JVM switch as MultimodalOps: ImageIO's default disk-backed
+  // stream cache costs a temp file per decode; memory streams decode
+  // byte-identically
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** 64-bit dHash of an encoded image (any ImageIO-decodable container —
     * PNG/BMP/GIF bit-exact; JPEG decodes but is lossy, so oracle-gated
     * fixtures use lossless formats). Gray = red channel of the decoded
@@ -88,8 +93,12 @@ object ImageHash {
       s"need bands > maxHamming and bands | 64, got bands=$bands max=$maxHamming")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
+    // persisted: both sides of the band self-join consume `h`; without the
+    // persist the (expensive — decode per image) hash subtree runs once
+    // per join side. 16 bytes/row, corpus-sized.
     val h = hashes.select(col(idCol).cast("long").as("id"),
-      col(hashCol).cast("long").as("hash"))
+        col(hashCol).cast("long").as("hash"))
+      .transform(graft.spark.PersistTracker.persist)
     val banded = h.select(col("id"), col("hash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("bi"),

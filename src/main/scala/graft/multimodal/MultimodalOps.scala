@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode call
+  // (create + write + delete on local disk for every image) — pure
+  // per-call overhead for in-memory byte arrays. Memory-cached streams
+  // produce byte-identical output; this runs once per JVM at first use
+  // of any codec path (driver and executors alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media metadata carried next to the binary payload. */
   case class MediaMeta(byteLen: Long, contentHash: String,
                        width: Int, height: Int)

@@ -48,13 +48,16 @@ object Chunking {
            |           (a, x) -> (a * 31 + x) % $Mod) % $divisor = 0)
            |else array() end""".stripMargin))
       .withColumn("cuts", expr("concat(array(0), bs, array(size(codes)))"))
-      .withColumn("chunk", explode(expr(
-        """filter(transform(sequence(2, size(cuts)),
-          |  k -> substring(t, element_at(cuts, k - 1) + 1,
-          |                 element_at(cuts, k) - element_at(cuts, k - 1))),
-          |  c -> c <> '')""".stripMargin)))
-      .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"))
-      .distinct()
+      // per-doc dedup happens doc-locally (array_distinct over the chunk
+      // hashes) — all of a doc's chunks live in one array, so the earlier
+      // global DISTINCT exchange bought nothing
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+          |  filter(transform(sequence(2, size(cuts)),
+          |    k -> substring(t, element_at(cuts, k - 1) + 1,
+          |                   element_at(cuts, k) - element_at(cuts, k - 1))),
+          |    c -> c <> ''),
+          |  c -> md5(c)))""".stripMargin)).as("chunk_md5"))
   }
 
   /** Pairs of docs sharing >= `minShared` chunks, restricted to chunks
@@ -62,11 +65,14 @@ object Chunking {
     * enter the self-join). */
   def sharedPairs(chunks: DataFrame, maxDocFreq: Int,
                   minShared: Int): DataFrame = {
+    // persisted: both sides of the pair self-join consume `rare`; without
+    // it the chunking expressions + df-window run once per side
     val rare = chunks
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("chunk_md5")))
       .where(col("df") <= maxDocFreq)
       .select("doc_id", "chunk_md5")
+      .transform(graft.spark.PersistTracker.persist)
     rare.as("a").join(rare.as("b"), Seq("chunk_md5"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -111,6 +111,44 @@ object TextHash {
     inter.toDouble / (a.length + b.length - inter).toDouble
   })
 
+  /** Hot-path twin of [[jaccardUdf]] for the candidate-verification joins:
+    * the same merge-intersect arithmetic (bit-identical doubles), but
+    *
+    *   - primitive `Array[Long]` parameters — Spark feeds the unsafe array
+    *     through `toLongArray()` with zero per-element boxing, where the
+    *     `Seq[Long]` form boxes every element of both arrays per call
+    *     (measured dominant in the 520k-candidate PPJoin verify pass);
+    *   - marked non-deterministic — an optimizer fence (optimization guide
+    *     §4.4): the deterministic form gets pushed INTO the verify join's
+    *     condition AND re-evaluated in the project above it, paying the
+    *     merge twice per candidate row. The function is pure; only the
+    *     optimizer's freedom to duplicate/push it changes.
+    */
+  val jaccardVerifyUdf = udf((a: Array[Long], b: Array[Long]) => {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter).toDouble
+  }).asNondeterministic()
+
+  /** Exact overlap |A∩B| of two sorted distinct hash arrays — the
+    * containment-join verifier. Same primitive-array + non-deterministic
+    * (single-evaluation fence) discipline as [[jaccardVerifyUdf]]. */
+  val overlapVerifyUdf = udf((a: Array[Long], b: Array[Long]) => {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }).asNondeterministic()
+
   /** 64-bit SimHash over hashed shingles. */
   def simhash(text: String, n: Int): Long = {
     val shs = shingleHashes(text, n)

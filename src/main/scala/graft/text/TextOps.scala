@@ -163,7 +163,7 @@ object TextOps {
     ngramJaccardCandidates(prepared, tau, positional = true)
       .join(prepared.select(col("id").as("id_a"), col("shs").as("__sa")), "id_a")
       .join(prepared.select(col("id").as("id_b"), col("shs").as("__sb")), "id_b")
-      .withColumn("jac", TextHash.jaccardUdf(col("__sa"), col("__sb")))
+      .withColumn("jac", TextHash.jaccardVerifyUdf(col("__sa"), col("__sb")))
       .where(col("jac") >= tau)
       .select("id_a", "id_b", "jac")
       // tiny result, expensive plan: cache it so downstream consumers
@@ -184,13 +184,17 @@ object TextOps {
     val postings = prepared.select(col("id"), size(col("shs")).as("sz"),
       explode(col("shs")).as("sh"))
     val freq = postings.groupBy("sh").agg(count(lit(1)).as("__c"))
-    // prefix length |d| − ⌈τ·|d|⌉ + 1, shingles ranked rare-first
+    // prefix length |d| − ⌈τ·|d|⌉ + 1, shingles ranked rare-first.
+    // Persisted: the self-join below would otherwise execute the whole
+    // freq-join + per-doc window subtree TWICE (once per join side — the
+    // dominant duplicated work in the executed plan before this round).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("__c", "sh")
     val prefixes = postings.join(freq, "sh")
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
       .select("id", "sz", "sh", "__rn")
+      .transform(graft.spark.PersistTracker.persist)
     val posBound =
       (lit(1) + least(col("a.sz") - col("a.__rn"), col("b.sz") - col("b.__rn")))
         .cast("double") >=
@@ -239,13 +243,16 @@ object TextOps {
     while (changed > 0 && pass < 50) {
       val nbr = edges.join(labels.select(col("id").as("v"), col("rep")), "v")
         .groupBy(col("u").as("id")).agg(min("rep").as("__nrep"))
+      // old label carried through the checkpoint so the convergence test
+      // is a narrow filter over the materialized pass — the previous
+      // re-join of updated with labels cost one extra exchange per pass
       val updated = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"),
+          col("rep").as("__old"))
         .localCheckpoint(true)
-      changed = updated.join(labels.withColumnRenamed("rep", "__old"), "id")
-        .where(col("rep") =!= col("__old")).count()
-      labels = updated
+      changed = updated.where(col("rep") =!= col("__old")).count()
+      labels = updated.select("id", "rep")
       pass += 1
     }
     lastCcRounds.set(pass.toLong)
@@ -470,8 +477,12 @@ object TextOps {
         (reps.drop("__th"), Some(members))
       }
 
+    // persisted: consumed by the optional bucket guard AND both sides of
+    // the candidate self-join (which would otherwise re-run the banding
+    // projection per side)
     val bandsDf = prepared.select(col("id"),
         explode(bandKeysUdf(bands, rows)(col("sig"))).as("band_key"))
+      .transform(graft.spark.PersistTracker.persist)
     maxBucketSize.foreach { cap =>
       // guarded driver action (tiny aggregate) — the fail-fast contract;
       // coalesce: max over an empty band table is NULL, not an error
@@ -489,7 +500,7 @@ object TextOps {
     val repPairs = cands
       .join(prepared.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(prepared.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
-      .withColumn("jac", TextHash.jaccardUdf(col("shs_a"), col("shs_b")))
+      .withColumn("jac", TextHash.jaccardVerifyUdf(col("shs_a"), col("shs_b")))
       .where(col("jac") >= tau)
       .select("id_a", "id_b", "jac")
 
@@ -552,16 +563,20 @@ object TextOps {
         (reps.drop("__th"), Some(members))
       }
     val sliceUdf = udf((h: Long) => TextHash.bitSlices(h, tables))
+    // persisted: the slice self-join would otherwise run the fingerprint
+    // subtree once per join side
     val sliced = prepared.select(col("id"), col("sh"),
-      explode(sliceUdf(col("sh"))).as("slice_key"))
-    val hamming = udf((a: Long, b: Long) =>
-      java.lang.Long.bitCount(a ^ b))
+        explode(sliceUdf(col("sh"))).as("slice_key"))
+      .transform(graft.spark.PersistTracker.persist)
+    // native codegen popcount (bit_count(xor)) instead of a Scala UDF:
+    // single whole-stage-codegen evaluation, int-identical values
     val repPairs = sliced.as("a").join(sliced.as("b"), Seq("slice_key"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
     memberMap match {

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, "Local
@@ -23,28 +22,32 @@ import org.apache.spark.sql.functions._
 object Winnowing {
 
   /** `docs(doc_id, text)` → distinct `(doc_id, fp)` fingerprints over the
-    * first `maxChars` characters (k-gram size `k`, winnow window `w`). */
+    * first `maxChars` characters (k-gram size `k`, winnow window `w`).
+    *
+    * Computed entirely DOC-LOCALLY with array higher-order functions: the
+    * per-doc gram hashes are one `transform`, each window minimum one
+    * `array_min(slice(...))`, per-doc dedup one `array_distinct` — all
+    * inside a single narrow projection. The earlier formulation exploded
+    * every gram (~maxChars rows/doc), shuffled them into a per-doc window
+    * sort, and paid a second global exchange for the distinct; the winnow
+    * is a local algorithm (Schleimer et al. §4), so NO exchange is
+    * fundamentally required before pair generation — now none happens
+    * (values are unchanged: same md5 over the same byte spans, same
+    * string-min per window, same per-doc fingerprint set). */
   def fingerprints(docs: DataFrame, k: Int, w: Int, maxChars: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
     require(w >= 1, s"w must be >= 1: $w")
     require(maxChars >= k, s"maxChars must be >= k: $maxChars vs $k")
-    val grams = docs
+    docs
       .select(col("doc_id"), substring(col("text"), 1, maxChars).as("t"))
       .withColumn("np", length(col("t")) - (k - 1))
       .where(col("np") >= w) // need at least one full winnow window
-      .select(col("doc_id"), col("np"),
-        explode(sequence(lit(1), col("np"))).as("i"),
-        col("t"))
-      .select(col("doc_id"), col("np"), col("i"),
-        md5(col("t").substr(col("i"), lit(k)).cast("binary")).as("h"))
-    val win = Window.partitionBy("doc_id").orderBy("i")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("fp", min(col("h")).over(win))
-      // only windows that fit entirely inside the gram sequence
-      .where(col("i") <= col("np") - (w - 1))
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+      .withColumn("hs", expr(
+        s"transform(sequence(1, np), i -> md5(cast(substr(t, i, $k) as binary)))"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"array_distinct(transform(sequence(1, np - ${w - 1}), " +
+            s"i -> array_min(slice(hs, i, $w))))")).as("fp"))
   }
 
   /** Document pairs sharing >= `minShared` fingerprints, after dropping
@@ -54,11 +57,16 @@ object Winnowing {
   def sharedPairs(fps: DataFrame, maxDocFreq: Int, minShared: Int): DataFrame = {
     require(maxDocFreq >= 2, s"maxDocFreq must be >= 2: $maxDocFreq")
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
-    val rare = fps.groupBy("fp")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= maxDocFreq)
-      .select("fp")
-    val kept = fps.join(rare, "fp")
+    // one pass decides keep/drop: a windowed doc-frequency count over the
+    // fp partitioning replaces the earlier aggregate + semi-join (which
+    // re-ran the fingerprint subtree); persisted because both sides of
+    // the pair self-join consume it
+    val kept = fps
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .where(col("__df") >= 2 && col("__df") <= maxDocFreq)
+      .select("doc_id", "fp")
+      .transform(graft.spark.PersistTracker.persist)
     val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
     val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
     a.join(b, "fp")
