@@ -24,12 +24,15 @@ object EntryRound5m {
       // both parity sides persisted: each feeds two exceptAll branches
       // (and salted the output) — without this the two surrogate
       // pipelines execute ~5x per run
+      // ordered = false: exceptAll is order-insensitive and the output
+      // re-sorts explicitly below
       val salted = Surrogate.pointSurrogate(TpchGeo.points(s, dir),
           TpchGeo.counties(s), grid, domain, zres, srgCode = 100,
-          saltFactor = 8)
+          saltFactor = 8, ordered = false)
         .transform(graft.spark.PersistTracker.persist)
       val unsalted = Surrogate.pointSurrogate(TpchGeo.points(s, dir),
-          TpchGeo.counties(s), grid, domain, zres, srgCode = 100)
+          TpchGeo.counties(s), grid, domain, zres, srgCode = 100,
+          ordered = false)
         .transform(graft.spark.PersistTracker.persist)
       require(salted.exceptAll(unsalted).isEmpty &&
           unsalted.exceptAll(salted).isEmpty,

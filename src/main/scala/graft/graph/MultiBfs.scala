@@ -23,14 +23,23 @@ object MultiBfs {
   def neighborhoodFunction(edges: DataFrame, sources: Seq[Long]): DataFrame = {
     require(sources.nonEmpty && sources.size <= 64,
       s"1..64 landmark sources, got ${sources.size}")
+    // duplicate landmark ids would produce two bitOf rows and double-count
+    // every pair after the left join (round-5 advice, low)
+    require(sources.distinct.size == sources.size,
+      s"landmark sources must be distinct: $sources")
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     val bitOf = sources.zipWithIndex.map { case (src, i) => (src, 1L << i) }
       .toDF("id", "b")
+    // landmarks union'd in: an isolated landmark still reaches itself, so
+    // N(0) must count it (round-5 advice, low; a no-op when every
+    // landmark has edges, as in the oracle-gated fixture)
     val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .unionAll(e.select(col("dst").as("id")))
+      .unionAll(bitOf.select(col("id")))
+      .distinct()
     var reach = nodes.join(bitOf, Seq("id"), "left")
       .select(col("id"), coalesce(col("b"), lit(0L)).as("bits"))
       .localCheckpoint(true)

@@ -104,6 +104,7 @@ object Surrogate {
                     grid: GridSpec, domain: CellDomain, res: Int,
                     srgCode: Int, weight: Option[String] = None,
                     denomThreshold: Double = 1e-5,
+                    ordered: Boolean = true,
                     keepSkipped: Boolean = false): DataFrame = {
     val wexpr = weight.map(col(_).cast("double")).getOrElse(lit(0.0))
     val wts = weights
@@ -138,7 +139,8 @@ object Surrogate {
       .withColumn("col", (col("__cellid") % grid.ncols).cast("int") + 1)
       .withColumn("row", (col("__cellid") / grid.ncols).cast("int") + 1)
       .groupBy("fips", "col", "row").agg(sum(numContrib).as("numer"))
-    ratio(numer, denom, srgCode, denomThreshold, keepSkipped = keepSkipped)
+    ratio(numer, denom, srgCode, denomThreshold, ordered = ordered,
+      keepSkipped = keepSkipped)
   }
 
   /** Line-weight surrogate (roads): length mode when weight None.

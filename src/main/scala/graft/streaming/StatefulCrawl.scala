@@ -92,8 +92,13 @@ object StatefulCrawl {
             var signup = if (state.exists) state.get._1 else Long.MaxValue
             var purch = if (state.exists) state.get._2 else Long.MaxValue
             var maxEtsMs = Long.MinValue
-            // deterministic in-batch order: event time
-            rows.toSeq.sortBy(r => (r._3, r._2)).foreach { r =>
+            // deterministic in-batch order: event time, SIGNUP FIRST on a
+            // timestamp tie — lexicographic ("purchase" < "signup") would
+            // process a same-microsecond purchase before its signup and
+            // drop it, diverging from the batch oracle's tus >= s
+            // (round-5 advice, low)
+            rows.toSeq.sortBy(r =>
+              (r._3, if (r._2 == "signup") 0 else 1)).foreach { r =>
               maxEtsMs = math.max(maxEtsMs, r._4.getTime)
               if (r._2 == "signup") signup = math.min(signup, r._3)
               else if (r._2 == "purchase" && signup != Long.MaxValue &&

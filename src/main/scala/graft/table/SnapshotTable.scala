@@ -139,7 +139,13 @@ class SnapshotTable(val root: String) {
     val (hit, carried) = cur.files.partition(f =>
       touched.exists(_.endsWith(f.path)))
     if (hit.isEmpty) return cur
-    val keep = readFiles(spark, hit).where(!cond)
+    // keep rows where the predicate is NOT TRUE: a NULL-valued predicate
+    // (e.g. a condition on a nullable column) must KEEP the row, exactly
+    // as SQL DELETE does — `!cond` alone evaluates NULL and silently
+    // drops such rows from rewritten files while identical rows in
+    // untouched files survive (round-5 advice, high)
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val keep = readFiles(spark, hit).where(!coalesce(cond, lit(false)))
     val (_, rewritten) = writeDataFiles(keep)
     commitFiles(carried ++ rewritten, "delete", stage)
   }

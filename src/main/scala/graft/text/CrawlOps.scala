@@ -343,13 +343,15 @@ object CrawlOps {
       .localCheckpoint(true)
     val lens = postings.groupBy("id").agg(sum("tf").as("dl"))
       .localCheckpoint(true)
-    // the two corpus scalars the cleared-fraction formula needs (guarded
-    // driver aggregate, same contract as tfidfTopK's n)
-    val g = lens.agg(count(lit(1)).as("n"), sum("dl").as("a")).head()
+    // the three corpus scalars (doc count, token count, max tf) in ONE
+    // guarded driver aggregate over the checkpointed postings — n(docs) =
+    // distinct posting ids = lens row count, a = Σtf = Σdl
+    val g = postings.agg(count_distinct(col("id")).as("n"),
+      sum("tf").as("a"), max("tf").as("m")).head()
     val n = g.getLong(0)
     require(n > 0, "BM25 needs a non-empty corpus")
     val a = g.getLong(1)
-    val maxTf = 1L max postings.agg(max("tf")).head().getLong(0)
+    val maxTf = 1L max g.getLong(2)
     require(BigInt(22) * a * maxTf * 15000000L < BigInt(Long.MaxValue),
       s"cleared BM25 denominators overflow long at A=$a tokens — " +
         "quantize dl/avgdl per doc at this scale")

@@ -1098,6 +1098,34 @@ object PipelineOps {
           col("v"))).as(s"p$p")): _*)
   }
 
+  /** GLOBAL exact percentiles via the VALUE histogram — the scale-safe
+    * twin of [[exactPercentiles]] for a single group: the value at
+    * multiset rank `ceil(n·p/100)` equals the smallest value whose
+    * cumulative count reaches that rank, so the computation needs one
+    * hash aggregate keyed on the (integer) value plus one ordered pass
+    * over the DISTINCT-VALUE table. The single-partition window that made
+    * the row-ranked form a 10^12-doc scale-killer (round-5 verdict) now
+    * runs over a frame bounded by the VALUE RANGE (micro-nat averages:
+    * ~10^7 distinct values at any corpus size), not by the corpus.
+    * Returns one row (n_rows, p<ps..>), bit-identical to
+    * `exactPercentiles(df, lit-group, valCol, idCol, ps)` — certified by
+    * PerplexityCutSpec on randomized multisets. */
+  def exactPercentilesByValue(df: DataFrame, valCol: String,
+                              ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in 1..100, got $ps")
+    val hist = df.select(col(valCol).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .transform(graft.spark.PersistTracker.persist) // cum pass + total
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+      .agg(max(col("n")).as("n_rows"),
+        ps.map(p => min(when(col("cum") >= expr(s"(n * $p + 99) div 100"),
+          col("v"))).as(s"p$p")): _*)
+  }
+
   // ------------------------------------------------- stratified sampling
 
   /** Deterministic stratified sampling: per-stratum keep rates in

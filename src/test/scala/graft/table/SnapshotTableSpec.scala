@@ -169,4 +169,22 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // time travel still serves the pre-delete snapshot
     assert(t.readAt(spark, v1.version).count() == 400)
   }
+
+  test("delete keeps rows whose predicate evaluates to NULL (SQL DELETE)") {
+    import spark.implicits._
+    val t = new SnapshotTable(tmpRoot())
+    // nullable column: predicate on v is NULL for the null rows
+    val df = Seq((1L, Some("drop")), (2L, Some("keep")),
+        (3L, None: Option[String]), (4L, None: Option[String]))
+      .toDF("id", "v")
+      .repartition(1) // one file: null rows share the rewritten file
+    t.commit(df, "append", "base")
+    t.delete(spark, col("v") === "drop", "null-pred")
+    // SQL DELETE semantics: only rows where the predicate is TRUE go;
+    // NULL-predicate rows in the REWRITTEN file must survive exactly like
+    // identical rows in untouched files would
+    val left = t.read(spark).select("id").collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(2L, 3L, 4L),
+      s"null-predicate rows were dropped: kept ${left.toSeq}")
+  }
 }
