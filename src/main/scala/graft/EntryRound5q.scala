@@ -68,9 +68,13 @@ object EntryRound5q {
       import graft.text.{Html, Bpe}
       import graft.operators.SpatialJoin
       val pages = Pages.pages(s, dir)
+      // persisted: the gazetteer build (wordDict) and the token explode
+      // both consume the html-extraction output — without this the
+      // extraction expressions run twice over every page
       val extracted = pages.select(
-        regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
-        col("lang"), Html.extractText(col("html")).as("text"))
+          regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("lang"), Html.extractText(col("html")).as("text"))
+        .transform(graft.spark.PersistTracker.persist)
       val gaz = Bpe.wordDict(extracted, "text")
         .where(col("freq") >= 20)
         .select(col("w"),

@@ -72,16 +72,21 @@ object NgramLm {
     // input persisted: consumed by the histogram aggregate and the ranked
     // projection below
     val in = graft.spark.PersistTracker.persist(scored)
+    // histogram + cumulative counts + grand total in ONE pass over the
+    // (value-bounded) distinct-value table — both windows run over the
+    // histogram, never the corpus
     val hist = in.groupBy("avg_unll").agg(count(lit(1)).as("__c"))
       .withColumn("__cumBefore",
         coalesce(sum("__c").over(Window.orderBy("avg_unll")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .transform(graft.spark.PersistTracker.persist) // rank join + total
+      .withColumn("__n", sum("__c").over(
+        Window.orderBy("avg_unll").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("avg_unll", "__cumBefore", "__n")
     in
       .withColumn("__rid", row_number().over(
         Window.partitionBy("avg_unll").orderBy("id")))
-      .join(hist.select("avg_unll", "__cumBefore"), "avg_unll")
-      .crossJoin(broadcast(hist.agg(sum(col("__c")).as("__n"))))
+      .join(hist, "avg_unll")
       .withColumn("__r", col("__cumBefore") + col("__rid"))
       .withColumn("ppl_bucket", expr(
         """CASE WHEN __r <= (__n % 3) * (__n div 3 + 1)
