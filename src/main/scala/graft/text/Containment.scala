@@ -80,14 +80,34 @@ object Containment {
     val freq = postings.groupBy("sh").agg(count(lit(1)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("__c", "sh")
-    // θ = ⌈τ·sz⌉ in exact integer arithmetic; prefix = first sz − θ + 1
-    val prefixes = postings.join(freq, "sh")
+    // every posting carries its global (freq asc, hash) rank within its
+    // doc; persisted — the prefix slice and the full probe side both read
+    // it, and the positional bound below needs full-side ranks too
+    val ranked = postings.join(freq, "sh")
       .withColumn("__rn", row_number().over(w))
+      .select("id", "sz", "sh", "__rn")
+      .transform(graft.spark.PersistTracker.persist)
+    // θ = ⌈τ·sz⌉ in exact integer arithmetic; prefix = first sz − θ + 1
+    val prefixes = ranked
       .where(col("__rn") <=
         col("sz") - expr(s"($tauMilli * sz + 999) div 1000") + 1)
-      .select(col("id").as("__pid"), col("sh"))
-    postings.select(col("id").as("__fid"), col("sh")).join(prefixes, "sh")
+      .select(col("id").as("__pid"), col("sz").as("__psz"),
+        col("sh"), col("__rn").as("__prn"))
+    // aggregated positional bound (see TextOps.ngramJaccardCandidates for
+    // the monotone-rank proof; it holds for prefix×full orientations too):
+    //   o ≤ opref + min(szp − rp*, szf − rf*)
+    // tested against the PREFIX side's own θ in exact integers — the side
+    // whose containment the orientation covers
+    ranked.select(col("id").as("__fid"), col("sz").as("__fsz"),
+        col("sh"), col("__rn").as("__frn"))
+      .join(prefixes, "sh")
       .where(col("__fid") =!= col("__pid"))
+      .groupBy(col("__pid"), col("__fid"), col("__psz"), col("__fsz"))
+      .agg(count(lit(1)).as("__opref"),
+        max(col("__prn")).as("__rp"), max(col("__frn")).as("__rf"))
+      .where(col("__opref") +
+        least(col("__psz") - col("__rp"), col("__fsz") - col("__rf")) >=
+        expr(s"($tauMilli * __psz + 999) div 1000"))
       .select(least(col("__fid"), col("__pid")).as("id_a"),
         greatest(col("__fid"), col("__pid")).as("id_b"))
       .distinct()

@@ -171,14 +171,25 @@ object TextOps {
       .transform(graft.spark.PersistTracker.persist)
   }
 
-  /** Candidate pair generation for the exact path — prefix filter plus the
-    * PPJoin+ POSITIONAL filter: a shared prefix shingle at ranks (ra, rb)
-    * bounds the total overlap by 1 + min(|a|−ra, |b|−rb) (all common
-    * shingles rank ≥ the first common one in the global order); pairs whose
-    * every shared prefix shingle fails o ≥ τ(|a|+|b|)/(1+τ) cannot reach τ
-    * and are pruned BEFORE the expensive shingle-set verification join.
-    * Safe: a true pair's first common shingle always passes (proof in the
-    * PPJoin/PPJoin+ papers; ε guards double rounding of the bound). */
+  /** Candidate pair generation for the exact path — prefix filter plus an
+    * AGGREGATED positional filter (tightened this round): both docs'
+    * shingle lists are sorted by the SAME global (frequency, hash) order,
+    * so positions of common shingles are monotone in that order on both
+    * sides, and for the LAST shared prefix shingle s* (ranks ra*, rb* —
+    * each the max over shared rows, attained together by monotonicity):
+    *
+    *   every common shingle globally BEFORE s* has rank < ra* ≤ prefLen(a)
+    *   and < rb* ≤ prefLen(b), hence lies in BOTH prefixes and is counted
+    *   in opref; every common shingle AFTER s* has rank > ra* and > rb*,
+    *   hence ≤ min(|a|−ra*, |b|−rb*) of them exist. So
+    *
+    *     o ≤ opref + min(|a|−ra*, |b|−rb*)
+    *
+    * and pairs whose bound misses o ≥ τ(|a|+|b|)/(1+τ) are pruned BEFORE
+    * the shingle-set verification join (ε guards double rounding). This
+    * replaces the earlier any-row first-shared bound + DISTINCT with one
+    * grouped aggregate — strictly tighter pruning, same completeness (a
+    * true pair's bound dominates its true overlap). */
   private[text] def ngramJaccardCandidates(prepared: DataFrame, tau: Double,
                                            positional: Boolean): DataFrame = {
     val postings = prepared.select(col("id"), size(col("shs")).as("sz"),
@@ -195,17 +206,23 @@ object TextOps {
       .where(col("__rn") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
       .select("id", "sz", "sh", "__rn")
       .transform(graft.spark.PersistTracker.persist)
-    val posBound =
-      (lit(1) + least(col("a.sz") - col("a.__rn"), col("b.sz") - col("b.__rn")))
-        .cast("double") >=
-        lit(tau / (1.0 + tau)) * (col("a.sz") + col("b.sz")) - lit(1e-9)
-    prefixes.as("a").join(prefixes.as("b"), Seq("sh"))
+    val joined = prefixes.as("a").join(prefixes.as("b"), Seq("sh"))
       .where(col("a.id") < col("b.id") &&
         col("a.sz") >= lit(tau) * col("b.sz") &&
-        col("b.sz") >= lit(tau) * col("a.sz") &&
-        (if (positional) posBound else lit(true)))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+        col("b.sz") >= lit(tau) * col("a.sz"))
+    if (!positional)
+      joined.select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    else
+      joined
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sz").as("__sza"), col("b.sz").as("__szb"))
+        .agg(count(lit(1)).as("__opref"),
+          max(col("a.__rn")).as("__ra"), max(col("b.__rn")).as("__rb"))
+        .where((col("__opref") +
+            least(col("__sza") - col("__ra"), col("__szb") - col("__rb")))
+          .cast("double") >=
+          lit(tau / (1.0 + tau)) * (col("__sza") + col("__szb")) - lit(1e-9))
+        .select("id_a", "id_b")
   }
 
   // -------------------------------------------------- dedup group canonical
